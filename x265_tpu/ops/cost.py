@@ -1,0 +1,94 @@
+"""Distortion kernels: SAD, SSE/SSD, SATD (Hadamard), SA8D.
+
+Reference embodiments: x265_1.9/source/common/pixel.cpp:40 (sad),
+:163 (satd_4x4), :244 (sa8d_8x8) and the pixel-a.asm / sad-a.asm families.
+Batched over [B, H, W] blocks; int32 exact.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+H4 = np.array([[1, 1, 1, 1],
+               [1, -1, 1, -1],
+               [1, 1, -1, -1],
+               [1, -1, -1, 1]], dtype=np.int32)
+
+
+def _hadamard(n: int) -> np.ndarray:
+    if n == 4:
+        return H4
+    h = _hadamard(n // 2)
+    return np.block([[h, h], [h, -h]])
+
+
+def sad(a: jax.Array, b: jax.Array) -> jax.Array:
+    """[..., H, W] -> [...] sum of absolute differences."""
+    return jnp.sum(jnp.abs(a.astype(jnp.int32) - b.astype(jnp.int32)),
+                   axis=(-2, -1))
+
+
+def sse(a: jax.Array, b: jax.Array) -> jax.Array:
+    d = a.astype(jnp.int32) - b.astype(jnp.int32)
+    return jnp.sum(d * d, axis=(-2, -1))
+
+
+@functools.partial(jax.jit, static_argnames=())
+def satd(a: jax.Array, b: jax.Array) -> jax.Array:
+    """Sum of 4x4 Hadamard-transformed absolute differences.
+
+    a, b: [..., H, W] with H, W multiples of 4.  Matches the x265 satd
+    convention: per 4x4 block (sum |H d H^T| + 1) >> 1.
+    """
+    d = a.astype(jnp.int32) - b.astype(jnp.int32)
+    *lead, h, w = d.shape
+    d = d.reshape(*lead, h // 4, 4, w // 4, 4)
+    d = jnp.moveaxis(d, -3, -2)                       # [..., h/4, w/4, 4, 4]
+    t = jnp.asarray(H4)
+    had = jnp.einsum("ij,...jk,lk->...il", t, d, t)
+    per_blk = (jnp.sum(jnp.abs(had), axis=(-2, -1)) + 1) >> 1
+    return jnp.sum(per_blk, axis=(-2, -1))
+
+
+@functools.partial(jax.jit, static_argnames=())
+def sa8d(a: jax.Array, b: jax.Array) -> jax.Array:
+    """Sum of 8x8 Hadamard absolute differences ((sum + 2) >> 2 per block)."""
+    d = a.astype(jnp.int32) - b.astype(jnp.int32)
+    *lead, h, w = d.shape
+    d = d.reshape(*lead, h // 8, 8, w // 8, 8)
+    d = jnp.moveaxis(d, -3, -2)
+    t = jnp.asarray(_hadamard(8))
+    had = jnp.einsum("ij,...jk,lk->...il", t, d, t)
+    per_blk = (jnp.sum(jnp.abs(had), axis=(-2, -1)) + 2) >> 2
+    return jnp.sum(per_blk, axis=(-2, -1))
+
+
+# numpy oracles ------------------------------------------------------------
+
+def satd_np(a: np.ndarray, b: np.ndarray) -> int:
+    d = a.astype(np.int64) - b.astype(np.int64)
+    h, w = d.shape
+    total = 0
+    for y in range(0, h, 4):
+        for x in range(0, w, 4):
+            blk = d[y:y + 4, x:x + 4]
+            had = H4 @ blk @ H4.T
+            total += (int(np.abs(had).sum()) + 1) >> 1
+    return total
+
+
+def sa8d_np(a: np.ndarray, b: np.ndarray) -> int:
+    d = a.astype(np.int64) - b.astype(np.int64)
+    h8 = _hadamard(8)
+    h, w = d.shape
+    total = 0
+    for y in range(0, h, 8):
+        for x in range(0, w, 8):
+            blk = d[y:y + 8, x:x + 8]
+            had = h8 @ blk @ h8.T
+            total += (int(np.abs(had).sum()) + 2) >> 2
+    return total

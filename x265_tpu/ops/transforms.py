@@ -1,0 +1,110 @@
+"""HEVC core transforms: 4/8/16/32 integer DCT and the 4x4 DST-VII.
+
+Inverse transform + dequant follow ITU-T H.265 §8.6 exactly (normative);
+the forward transform mirrors the standard partial-butterfly formulation
+(reference embodiment: x265_1.9/source/common/dct.cpp:442-636), expressed
+as two rounded matrix products so the whole thing is a batched matmul on
+device — the TPU-native replacement for dct8.asm (SURVEY.md §2.3).
+
+Shapes: all batched entry points take ``[B, N, N]`` int32 and are shape-
+polymorphic in B only; N and all shifts are static.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ._dct_matrix import T32
+
+# 4x4 DST-VII matrix (H.265 §8.6.4.1; used for 4x4 intra luma TBs)
+DST4 = np.array([
+    [29, 55, 74, 84],
+    [74, 74, 0, -74],
+    [84, -29, -74, 55],
+    [55, -84, 74, -29],
+], dtype=np.int32)
+
+
+@functools.lru_cache(maxsize=None)
+def dct_matrix(n: int) -> np.ndarray:
+    """N-point HEVC transform matrix (rows subsample T32: T_N[k]=T32[32k/N][:N])."""
+    assert n in (4, 8, 16, 32)
+    return np.ascontiguousarray(T32[:: 32 // n, :n])
+
+
+def _matrix(n: int, dst: bool) -> np.ndarray:
+    return DST4 if dst else dct_matrix(n)
+
+
+# ---------------------------------------------------------------------------
+# numpy reference (spec oracle)
+# ---------------------------------------------------------------------------
+
+def forward_transform_np(resi: np.ndarray, bit_depth: int = 8,
+                         dst: bool = False) -> np.ndarray:
+    """2D forward transform of one NxN residual block (int32)."""
+    n = resi.shape[-1]
+    log2n = n.bit_length() - 1
+    t = _matrix(n, dst).astype(np.int64)
+    shift1 = log2n + bit_depth - 9
+    shift2 = log2n + 6
+    # stage 1 transforms rows (output transposed), stage 2 transforms columns:
+    # C = T @ R @ T^T with rounding after each stage.
+    tmp = (t @ resi.astype(np.int64).T + (1 << (shift1 - 1))) >> shift1
+    out = (t @ tmp.T + (1 << (shift2 - 1))) >> shift2
+    return out.astype(np.int32)
+
+
+def inverse_transform_np(coef: np.ndarray, bit_depth: int = 8,
+                         dst: bool = False) -> np.ndarray:
+    """Normative inverse transform (§8.6.4): returns NxN int32 residual."""
+    n = coef.shape[-1]
+    t = _matrix(n, dst).astype(np.int64)
+    shift1 = 7
+    shift2 = 20 - bit_depth
+    # stage 1 vertical: E = clip16((T^T C + 64) >> 7)
+    tmp = (t.T @ coef.astype(np.int64) + (1 << (shift1 - 1))) >> shift1
+    tmp = np.clip(tmp, -32768, 32767)
+    # stage 2 horizontal: R = clip16((E T + add) >> shift2)
+    out = (tmp @ t + (1 << (shift2 - 1))) >> shift2
+    return np.clip(out, -32768, 32767).astype(np.int32)
+
+
+# ---------------------------------------------------------------------------
+# batched jnp (device path)
+# ---------------------------------------------------------------------------
+
+def _rshift_round(x, shift: int):
+    return (x + (1 << (shift - 1))) >> shift
+
+
+@functools.partial(jax.jit, static_argnames=("bit_depth", "dst"))
+def forward_transform(resi: jax.Array, bit_depth: int = 8,
+                      dst: bool = False) -> jax.Array:
+    """Batched forward transform: [B, N, N] int32 -> [B, N, N] int32."""
+    n = resi.shape[-1]
+    log2n = n.bit_length() - 1
+    t = jnp.asarray(_matrix(n, dst), dtype=jnp.int32)
+    shift1 = log2n + bit_depth - 9
+    shift2 = log2n + 6
+    # C = T @ R @ T^T, rounding after each stage (int32 is sufficient:
+    # |stage1 products| < 2^21, |stage2 products| < 2^29)
+    tmp = _rshift_round(jnp.einsum("ki,bji->bkj", t, resi), shift1)
+    out = _rshift_round(jnp.einsum("ki,bji->bkj", t, tmp), shift2)
+    return out
+
+
+@functools.partial(jax.jit, static_argnames=("bit_depth", "dst"))
+def inverse_transform(coef: jax.Array, bit_depth: int = 8,
+                      dst: bool = False) -> jax.Array:
+    """Batched normative inverse transform: [B, N, N] int32 -> [B, N, N]."""
+    n = coef.shape[-1]
+    t = jnp.asarray(_matrix(n, dst), dtype=jnp.int32)
+    tmp = _rshift_round(jnp.einsum("ki,bkj->bij", t, coef), 7)
+    tmp = jnp.clip(tmp, -32768, 32767)
+    out = _rshift_round(jnp.einsum("lj,bil->bij", t, tmp), 20 - bit_depth)
+    return jnp.clip(out, -32768, 32767)
