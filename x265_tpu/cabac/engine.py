@@ -69,7 +69,7 @@ class CabacEncoder:
     # -- bin coding ----------------------------------------------------------
 
     def encode_bin(self, ctx_idx: int, bin_val: int) -> None:
-        packed = self.ctx[ctx_idx]
+        packed = int(self.ctx[ctx_idx])
         state = packed >> 1
         mps = packed & 1
         lps = int(_LPS[state, (self.range >> 6) & 3])
@@ -142,7 +142,7 @@ class CabacDecoder:
         self.ctx = ctx
 
     def decode_bin(self, ctx_idx: int) -> int:
-        packed = self.ctx[ctx_idx]
+        packed = int(self.ctx[ctx_idx])
         state = packed >> 1
         mps = packed & 1
         lps = int(_LPS[state, (self.range >> 6) & 3])
