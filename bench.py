@@ -1,0 +1,64 @@
+"""Benchmark driver entry point.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Measures end-to-end all-intra 1080p encode throughput (the BASELINE.md
+north-star metric: >= 30 fps 1080p per chip == vs_baseline 1.0).
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
+import numpy as np  # noqa: E402
+
+
+def synthetic_frame(w, h, seed=0):
+    """Natural-ish content: smooth structures + texture + a little noise."""
+    rng = np.random.RandomState(seed)
+    yy, xx = np.mgrid[0:h, 0:w]
+    y = (120 + 60 * np.sin(xx / 41.0) * np.cos(yy / 29.0)
+         + 40 * np.sin((xx + yy) / 97.0)
+         + rng.randint(-6, 6, (h, w))).clip(0, 255).astype(np.uint8)
+    u = (128 + 40 * np.sin(xx[::2, ::2] / 53.0)).clip(0, 255).astype(np.uint8)
+    v = (128 + 40 * np.cos(yy[::2, ::2] / 67.0)).clip(0, 255).astype(np.uint8)
+    return y, u, v
+
+
+def main():
+    from x265_tpu.common.params import Params
+    from x265_tpu.encoder import Encoder
+
+    w, h = 1920, 1080
+    n_frames = int(os.environ.get("BENCH_FRAMES", "2"))
+    frames = [synthetic_frame(w, h, s) for s in range(n_frames)]
+
+    p = Params(source_width=w, source_height=h, qp=32, decoded_picture_hash=1)
+    enc = Encoder(p)
+    # warmup: compile device kernels on a single frame encode
+    enc.headers()
+    enc.encode_frame(frames[0])
+
+    t0 = time.time()
+    total_bytes = 0
+    for fr in frames:
+        au, _rec = enc.encode_frame(fr)
+        total_bytes += len(au)
+    dt = time.time() - t0
+    fps = n_frames / dt
+
+    print(json.dumps({
+        "metric": "1080p_intra_encode_fps",
+        "value": round(fps, 4),
+        "unit": "fps",
+        "vs_baseline": round(fps / 30.0, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,458 @@
+"""CTU-level HEVC syntax: coding_quadtree / coding_unit (intra) /
+transform_tree / transform_unit — encode and decode.
+
+Spec: ITU-T H.265 §7.3.8.4-§7.3.8.10 (syntax), §9.3.4.2 (ctx derivation),
+§8.4.2 (luma MPM derivation), §8.4.3 (chroma mode derivation).
+Reference embodiments: x265_1.9/source/encoder/entropy.cpp:539 (encodeCU)
+and libde265/libde265/slice.cc read_coding_unit / read_transform_tree.
+
+Architecture note (TPU-first): syntax state lives in flat per-picture SoA
+arrays at 4x4 granularity (``PicSyntax``) plus full-resolution coefficient
+planes.  Entropy coding reads/writes ONLY these arrays — so the encoder's
+decision/recon passes and the decoder's reconstruction pass are completely
+decoupled from the bit layer and can run batched on device, while CABAC
+remains a sequential host pass per substream (SURVEY.md §7 design stance).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..common.geometry import PictureGeometry
+from .engine import CabacDecoder, CabacEncoder
+from .syntax import (SCAN_DIAG, decode_residual, encode_residual,
+                     scan_for_intra)
+from .tables import CTX_OFFSET
+
+PLANAR, DC, HOR, VER = 0, 1, 10, 26
+MODE_INTRA, MODE_INTER, MODE_SKIP = 1, 0, 2
+
+# §8.6.1 Table 8-10: chroma QP mapping for 4:2:0
+_CHROMA_QP_MAP = np.array(
+    [29, 30, 31, 32, 33, 33, 34, 34, 35, 35, 36, 36, 37, 37], dtype=np.int32)
+
+
+def chroma_qp(qp_y: int, qp_offset: int = 0, chroma_format: int = 1) -> int:
+    qpi = max(-12, min(57, qp_y + qp_offset))
+    if chroma_format != 1:
+        return min(qpi, 51)
+    if qpi < 30:
+        return max(0, qpi)
+    if qpi > 43:
+        return qpi - 6
+    return int(_CHROMA_QP_MAP[qpi - 30])
+
+
+@dataclass
+class PicSyntax:
+    """Per-picture syntax state at 4x4 granularity + coefficient planes.
+
+    All block coordinates are in luma samples; index arrays use (y4, x4) =
+    (y >> 2, x >> 2).  Arrays cover the *coded* (CTB-padded) picture size.
+    """
+    geom: PictureGeometry
+    max_tr_depth_intra: int = 0
+    sign_hiding: bool = False
+    depth: np.ndarray = field(default=None)        # CU depth
+    part: np.ndarray = field(default=None)         # 0 = 2Nx2N, 1 = NxN
+    pred_mode: np.ndarray = field(default=None)    # MODE_INTRA / MODE_INTER
+    luma_mode: np.ndarray = field(default=None)    # 0..34 per 4x4
+    chroma_mode: np.ndarray = field(default=None)  # derived chroma mode
+    tu_depth: np.ndarray = field(default=None)     # transform depth rel. CU
+    coeff_y: np.ndarray = field(default=None)      # [H, W] int32
+    coeff_cb: np.ndarray = field(default=None)     # [H/2, W/2]
+    coeff_cr: np.ndarray = field(default=None)
+
+    def __post_init__(self):
+        g = self.geom
+        h4, w4 = g.h4, g.w4
+        for name in ("depth", "part", "pred_mode", "luma_mode",
+                     "chroma_mode", "tu_depth"):
+            if getattr(self, name) is None:
+                setattr(self, name, np.zeros((h4, w4), dtype=np.uint8))
+        h, w = h4 * 4, w4 * 4
+        if self.coeff_y is None:
+            self.coeff_y = np.zeros((h, w), dtype=np.int32)
+        if self.coeff_cb is None:
+            self.coeff_cb = np.zeros((h // 2, w // 2), dtype=np.int32)
+        if self.coeff_cr is None:
+            self.coeff_cr = np.zeros((h // 2, w // 2), dtype=np.int32)
+
+    # -- helpers -------------------------------------------------------------
+
+    def set_region(self, arr: np.ndarray, x0: int, y0: int, size: int, v: int):
+        arr[y0 >> 2:(y0 + size) >> 2, x0 >> 2:(x0 + size) >> 2] = v
+
+    def luma_mpm(self, x0: int, y0: int) -> list[int]:
+        """§8.4.2 three most-probable luma modes for the PB at (x0, y0)."""
+        g = self.geom
+        cand = []
+        for dx, dy, is_above in ((-1, 0, False), (0, -1, True)):
+            xn, yn = x0 + dx, y0 + dy
+            mode = DC
+            if g.available(x0, y0, xn, yn) and \
+               self.pred_mode[yn >> 2, xn >> 2] == MODE_INTRA:
+                # above neighbor outside the current CTB row is treated as DC
+                if not (is_above and
+                        (yn >> g.log2_ctb) != (y0 >> g.log2_ctb)):
+                    mode = int(self.luma_mode[yn >> 2, xn >> 2])
+            cand.append(mode)
+        a, b = cand
+        if a == b:
+            if a < 2:
+                return [PLANAR, DC, VER]
+            return [a, 2 + ((a + 29) % 32), 2 + ((a - 2 + 1) % 32)]
+        mpm = [a, b]
+        if PLANAR not in mpm:
+            mpm.append(PLANAR)
+        elif DC not in mpm:
+            mpm.append(DC)
+        else:
+            mpm.append(VER)
+        return mpm
+
+
+# chroma mode candidate list (§8.4.3): intra_chroma_pred_mode 0..3 select
+# from this list with substitution to 34 when equal to the luma mode
+_CHROMA_MODE_LIST = [PLANAR, VER, HOR, DC]
+
+
+def chroma_mode_from_index(idx: int, luma_mode: int) -> int:
+    if idx == 4:
+        return luma_mode
+    m = _CHROMA_MODE_LIST[idx]
+    return 34 if m == luma_mode else m
+
+
+def chroma_index_from_mode(mode: int, luma_mode: int) -> int:
+    if mode == luma_mode:
+        return 4
+    lst = [34 if m == luma_mode else m for m in _CHROMA_MODE_LIST]
+    return lst.index(mode)
+
+
+# ---------------------------------------------------------------------------
+# encode
+# ---------------------------------------------------------------------------
+
+class CtuCoder:
+    """Encodes / decodes CTUs against a PicSyntax structure."""
+
+    def __init__(self, ps: PicSyntax, log2_min_cb: int = 3,
+                 log2_min_tb: int = 2, log2_max_tb: int = 5):
+        self.ps = ps
+        self.g = ps.geom
+        self.log2_min_cb = log2_min_cb
+        self.log2_min_tb = log2_min_tb
+        self.log2_max_tb = log2_max_tb
+
+    # -- shared context helpers ---------------------------------------------
+
+    def _split_cu_ctx(self, x0: int, y0: int, depth: int) -> int:
+        g, ps = self.g, self.ps
+        ctx = 0
+        if g.available(x0, y0, x0 - 1, y0) and \
+           ps.depth[y0 >> 2, (x0 - 1) >> 2] > depth:
+            ctx += 1
+        if g.available(x0, y0, x0, y0 - 1) and \
+           ps.depth[(y0 - 1) >> 2, x0 >> 2] > depth:
+            ctx += 1
+        return CTX_OFFSET["SPLIT_CU"] + ctx
+
+    def _cbf_region_nz(self, plane: np.ndarray, x: int, y: int,
+                       size: int) -> int:
+        return int(np.any(plane[y:y + size, x:x + size]))
+
+    # -- encode -------------------------------------------------------------
+
+    def encode_ctu(self, enc: CabacEncoder, ctu_addr: int) -> None:
+        x0, y0 = self.g.ctu_origin(ctu_addr)
+        self._enc_quadtree(enc, x0, y0, self.g.log2_ctb, 0)
+
+    def _enc_quadtree(self, enc: CabacEncoder, x0: int, y0: int,
+                      log2_size: int, depth: int) -> None:
+        g, ps = self.g, self.ps
+        size = 1 << log2_size
+        fits = x0 + size <= g.width and y0 + size <= g.height
+        split = ps.depth[y0 >> 2, x0 >> 2] > depth or not fits
+        if fits and log2_size > self.log2_min_cb:
+            enc.encode_bin(self._split_cu_ctx(x0, y0, depth), int(split))
+        # (when !fits, split is inferred 1; at min size it is inferred 0)
+        if split:
+            half = size >> 1
+            for i in range(4):
+                x1 = x0 + (i & 1) * half
+                y1 = y0 + (i >> 1) * half
+                if x1 < g.width and y1 < g.height:
+                    self._enc_quadtree(enc, x1, y1, log2_size - 1, depth + 1)
+        else:
+            self._enc_cu(enc, x0, y0, log2_size)
+
+    def _enc_cu(self, enc: CabacEncoder, x0: int, y0: int,
+                log2_size: int) -> None:
+        ps = self.ps
+        nxn = bool(ps.part[y0 >> 2, x0 >> 2])
+        if log2_size == self.log2_min_cb:
+            # part_mode, intra: 1 -> PART_2Nx2N, 0 -> PART_NxN
+            enc.encode_bin(CTX_OFFSET["PART_MODE"], 0 if nxn else 1)
+        size = 1 << log2_size
+        pb = size >> 1 if nxn else size
+        pus = [(x0, y0)]
+        if nxn:
+            pus = [(x0, y0), (x0 + pb, y0), (x0, y0 + pb), (x0 + pb, y0 + pb)]
+
+        # pass 1: prev_intra_luma_pred_flag for every PU
+        infos = []
+        for (px, py) in pus:
+            mode = int(ps.luma_mode[py >> 2, px >> 2])
+            mpm = ps.luma_mpm(px, py)
+            in_mpm = mode in mpm
+            enc.encode_bin(CTX_OFFSET["PREV_INTRA_LUMA"], int(in_mpm))
+            infos.append((mode, mpm, in_mpm))
+        # pass 2: mpm_idx / rem_intra_luma_pred_mode
+        for mode, mpm, in_mpm in infos:
+            if in_mpm:
+                idx = mpm.index(mode)
+                enc.encode_bypass(min(idx, 1))
+                if idx:
+                    enc.encode_bypass(idx - 1)
+            else:
+                rem = mode
+                for m in sorted(mpm, reverse=True):
+                    if mode > m:
+                        rem -= 1
+                enc.encode_bypass_bins(rem, 5)
+
+        # intra_chroma_pred_mode (one, chroma PB = CU for 4:2:0)
+        luma0 = int(ps.luma_mode[y0 >> 2, x0 >> 2])
+        cidx = chroma_index_from_mode(
+            int(ps.chroma_mode[y0 >> 2, x0 >> 2]), luma0)
+        if cidx == 4:
+            enc.encode_bin(CTX_OFFSET["INTRA_CHROMA"], 0)
+        else:
+            enc.encode_bin(CTX_OFFSET["INTRA_CHROMA"], 1)
+            enc.encode_bypass_bins(cidx, 2)
+
+        self._enc_transform_tree(enc, x0, y0, x0, y0, log2_size, 0, 0,
+                                 intra_split=nxn)
+
+    def _enc_transform_tree(self, enc: CabacEncoder, x0: int, y0: int,
+                            xbase: int, ybase: int, log2_size: int,
+                            depth: int, blk_idx: int, *,
+                            intra_split: bool) -> None:
+        ps = self.ps
+        cu_depth = int(ps.depth[y0 >> 2, x0 >> 2])
+        tu_depth_here = int(ps.tu_depth[y0 >> 2, x0 >> 2])
+        split = tu_depth_here > depth
+        max_depth = ps.max_tr_depth_intra + (1 if intra_split else 0)
+        size = 1 << log2_size
+
+        can_code_split = (log2_size <= self.log2_max_tb
+                          and log2_size > self.log2_min_tb
+                          and depth < max_depth
+                          and not (intra_split and depth == 0))
+        if can_code_split:
+            enc.encode_bin(
+                CTX_OFFSET["SPLIT_TRANSFORM"] + 5 - log2_size, int(split))
+
+        csize = size >> 1
+        if log2_size > 2:
+            cbf_cb = self._cbf_region_nz(ps.coeff_cb, x0 >> 1, y0 >> 1, csize)
+            cbf_cr = self._cbf_region_nz(ps.coeff_cr, x0 >> 1, y0 >> 1, csize)
+            parent_cb = depth == 0 or self._cbf_region_nz(
+                ps.coeff_cb, xbase >> 1, ybase >> 1, size)
+            parent_cr = depth == 0 or self._cbf_region_nz(
+                ps.coeff_cr, xbase >> 1, ybase >> 1, size)
+            if parent_cb:
+                enc.encode_bin(CTX_OFFSET["CBF_CHROMA"] + depth, cbf_cb)
+            if parent_cr:
+                enc.encode_bin(CTX_OFFSET["CBF_CHROMA"] + depth, cbf_cr)
+        else:
+            cbf_cb = self._cbf_region_nz(ps.coeff_cb, xbase >> 1, ybase >> 1,
+                                         size)
+            cbf_cr = self._cbf_region_nz(ps.coeff_cr, xbase >> 1, ybase >> 1,
+                                         size)
+
+        if split:
+            half = size >> 1
+            for i in range(4):
+                x1 = x0 + (i & 1) * half
+                y1 = y0 + (i >> 1) * half
+                self._enc_transform_tree(enc, x1, y1, x0, y0, log2_size - 1,
+                                         depth + 1, i, intra_split=intra_split)
+            return
+
+        cbf_luma = self._cbf_region_nz(ps.coeff_y, x0, y0, size)
+        # intra: cbf_luma always coded
+        enc.encode_bin(CTX_OFFSET["CBF_LUMA"] + (1 if depth == 0 else 0),
+                       cbf_luma)
+        self._enc_transform_unit(enc, x0, y0, xbase, ybase, log2_size,
+                                 blk_idx, cbf_luma, cbf_cb, cbf_cr)
+
+    def _enc_transform_unit(self, enc, x0, y0, xbase, ybase, log2_size,
+                            blk_idx, cbf_luma, cbf_cb, cbf_cr) -> None:
+        ps = self.ps
+        if not (cbf_luma or cbf_cb or cbf_cr):
+            return
+        size = 1 << log2_size
+        if cbf_luma:
+            mode = int(ps.luma_mode[y0 >> 2, x0 >> 2])
+            scan = scan_for_intra(log2_size, 0, mode)
+            block = ps.coeff_y[y0:y0 + size, x0:x0 + size]
+            encode_residual(enc, block, log2_size, 0, scan,
+                            sign_hiding=ps.sign_hiding)
+        if log2_size > 2:
+            cx, cy, clog2 = x0 >> 1, y0 >> 1, log2_size - 1
+        elif blk_idx == 3:
+            cx, cy, clog2 = xbase >> 1, ybase >> 1, 2
+        else:
+            return
+        cmode = int(ps.chroma_mode[cy * 2 >> 2, cx * 2 >> 2])
+        cscan = scan_for_intra(clog2, 1, cmode)
+        csz = 1 << clog2
+        if cbf_cb:
+            encode_residual(enc, ps.coeff_cb[cy:cy + csz, cx:cx + csz],
+                            clog2, 1, cscan, sign_hiding=ps.sign_hiding)
+        if cbf_cr:
+            encode_residual(enc, ps.coeff_cr[cy:cy + csz, cx:cx + csz],
+                            clog2, 2, cscan, sign_hiding=ps.sign_hiding)
+
+    # -- decode -------------------------------------------------------------
+
+    def decode_ctu(self, dec: CabacDecoder, ctu_addr: int) -> None:
+        x0, y0 = self.g.ctu_origin(ctu_addr)
+        self._dec_quadtree(dec, x0, y0, self.g.log2_ctb, 0)
+
+    def _dec_quadtree(self, dec: CabacDecoder, x0: int, y0: int,
+                      log2_size: int, depth: int) -> None:
+        g, ps = self.g, self.ps
+        size = 1 << log2_size
+        fits = x0 + size <= g.width and y0 + size <= g.height
+        if fits and log2_size > self.log2_min_cb:
+            split = dec.decode_bin(self._split_cu_ctx(x0, y0, depth))
+        else:
+            split = 1 if log2_size > self.log2_min_cb else 0
+        if split:
+            ps.set_region(ps.depth, x0, y0, size, depth + 1)  # provisional
+            half = size >> 1
+            for i in range(4):
+                x1 = x0 + (i & 1) * half
+                y1 = y0 + (i >> 1) * half
+                if x1 < g.width and y1 < g.height:
+                    self._dec_quadtree(dec, x1, y1, log2_size - 1, depth + 1)
+        else:
+            ps.set_region(ps.depth, x0, y0, size, depth)
+            self._dec_cu(dec, x0, y0, log2_size)
+
+    def _dec_cu(self, dec: CabacDecoder, x0: int, y0: int,
+                log2_size: int) -> None:
+        ps = self.ps
+        size = 1 << log2_size
+        nxn = False
+        if log2_size == self.log2_min_cb:
+            nxn = dec.decode_bin(CTX_OFFSET["PART_MODE"]) == 0
+        ps.set_region(ps.part, x0, y0, size, int(nxn))
+        ps.set_region(ps.pred_mode, x0, y0, size, MODE_INTRA)
+        pb = size >> 1 if nxn else size
+        pus = [(x0, y0)]
+        if nxn:
+            pus = [(x0, y0), (x0 + pb, y0), (x0, y0 + pb), (x0 + pb, y0 + pb)]
+        prev_flags = [dec.decode_bin(CTX_OFFSET["PREV_INTRA_LUMA"])
+                      for _ in pus]
+        for (px, py), in_mpm in zip(pus, prev_flags):
+            mpm = ps.luma_mpm(px, py)
+            if in_mpm:
+                idx = dec.decode_bypass()
+                if idx:
+                    idx += dec.decode_bypass()
+                mode = mpm[idx]
+            else:
+                rem = dec.decode_bypass_bins(5)
+                for m in sorted(mpm):
+                    if rem >= m:
+                        rem += 1
+                mode = rem
+            ps.set_region(ps.luma_mode, px, py, pb, mode)
+
+        luma0 = int(ps.luma_mode[y0 >> 2, x0 >> 2])
+        if dec.decode_bin(CTX_OFFSET["INTRA_CHROMA"]):
+            cidx = dec.decode_bypass_bins(2)
+        else:
+            cidx = 4
+        ps.set_region(ps.chroma_mode, x0, y0, size,
+                      chroma_mode_from_index(cidx, luma0))
+
+        self._dec_transform_tree(dec, x0, y0, x0, y0, log2_size, 0, 0,
+                                 intra_split=nxn, parent_cbf_cb=1,
+                                 parent_cbf_cr=1)
+
+    def _dec_transform_tree(self, dec: CabacDecoder, x0, y0, xbase, ybase,
+                            log2_size, depth, blk_idx, *, intra_split,
+                            parent_cbf_cb, parent_cbf_cr) -> None:
+        ps = self.ps
+        size = 1 << log2_size
+        max_depth = ps.max_tr_depth_intra + (1 if intra_split else 0)
+        if (log2_size <= self.log2_max_tb and log2_size > self.log2_min_tb
+                and depth < max_depth
+                and not (intra_split and depth == 0)):
+            split = dec.decode_bin(
+                CTX_OFFSET["SPLIT_TRANSFORM"] + 5 - log2_size)
+        else:
+            split = 1 if (log2_size > self.log2_max_tb
+                          or (intra_split and depth == 0)) else 0
+
+        cbf_cb, cbf_cr = parent_cbf_cb, parent_cbf_cr
+        if log2_size > 2:
+            if parent_cbf_cb:
+                cbf_cb = dec.decode_bin(CTX_OFFSET["CBF_CHROMA"] + depth)
+            if parent_cbf_cr:
+                cbf_cr = dec.decode_bin(CTX_OFFSET["CBF_CHROMA"] + depth)
+
+        if split:
+            half = size >> 1
+            for i in range(4):
+                x1 = x0 + (i & 1) * half
+                y1 = y0 + (i >> 1) * half
+                self._dec_transform_tree(
+                    dec, x1, y1, x0, y0, log2_size - 1, depth + 1, i,
+                    intra_split=intra_split, parent_cbf_cb=cbf_cb,
+                    parent_cbf_cr=cbf_cr)
+            return
+
+        ps.set_region(ps.tu_depth, x0, y0, size, depth)
+        cbf_luma = dec.decode_bin(
+            CTX_OFFSET["CBF_LUMA"] + (1 if depth == 0 else 0))
+        self._dec_transform_unit(dec, x0, y0, xbase, ybase, log2_size,
+                                 blk_idx, cbf_luma, cbf_cb, cbf_cr)
+
+    def _dec_transform_unit(self, dec, x0, y0, xbase, ybase, log2_size,
+                            blk_idx, cbf_luma, cbf_cb, cbf_cr) -> None:
+        ps = self.ps
+        if not (cbf_luma or cbf_cb or cbf_cr):
+            return
+        size = 1 << log2_size
+        if cbf_luma:
+            mode = int(ps.luma_mode[y0 >> 2, x0 >> 2])
+            scan = scan_for_intra(log2_size, 0, mode)
+            block = decode_residual(dec, log2_size, 0, scan,
+                                    sign_hiding=ps.sign_hiding)
+            ps.coeff_y[y0:y0 + size, x0:x0 + size] = block
+        if log2_size > 2:
+            cx, cy, clog2 = x0 >> 1, y0 >> 1, log2_size - 1
+        elif blk_idx == 3:
+            cx, cy, clog2 = xbase >> 1, ybase >> 1, 2
+        else:
+            return
+        # for blk_idx==3 TUs, chroma cbf was decoded at the parent node and
+        # passed down; only the last (blk 3) child codes the residual.
+        cmode = int(ps.chroma_mode[cy * 2 >> 2, cx * 2 >> 2])
+        cscan = scan_for_intra(clog2, 1, cmode)
+        csz = 1 << clog2
+        if cbf_cb:
+            ps.coeff_cb[cy:cy + csz, cx:cx + csz] = decode_residual(
+                dec, clog2, 1, cscan, sign_hiding=ps.sign_hiding)
+        if cbf_cr:
+            ps.coeff_cr[cy:cy + csz, cx:cx + csz] = decode_residual(
+                dec, clog2, 2, cscan, sign_hiding=ps.sign_hiding)

@@ -616,8 +616,13 @@ def write_slice_header(sh: SliceHeader, sps: SPS, pps: PPS, nal_type: int,
                 if not sh.deblocking_filter_disabled:
                     bw.write_se(sh.beta_offset_div2)
                     bw.write_se(sh.tc_offset_div2)
+        # presence condition uses the EFFECTIVE deblock state (override or
+        # PPS-level), matching the parse side and §7.3.6.1
+        eff_disabled = (sh.deblocking_filter_disabled
+                        if sh.deblocking_filter_override
+                        else pps.deblocking_filter_disabled)
         if pps.loop_filter_across_slices and \
-           (sh.sao_luma or sh.sao_chroma or not sh.deblocking_filter_disabled):
+           (sh.sao_luma or sh.sao_chroma or not eff_disabled):
             bw.write_flag(sh.loop_filter_across_slices)
     if pps.tiles_enabled or pps.entropy_coding_sync_enabled:
         bw.write_ue(len(sh.entry_points))

@@ -1,0 +1,191 @@
+"""Shared intra reconstruction: CU/TU traversal in decode order + the
+normative prediction/dequant/inverse-transform/recon chain.
+
+Spec: ITU-T H.265 §8.4 (intra decoding process), §8.6 (scaling/transform).
+Reference embodiments: x265's Predict::predIntraLumaAng + initAdiPattern
+(x265_1.9/source/common/predict.cpp:578-719) and libde265's intrapred.cc /
+transform.cc recon path.
+
+Used by BOTH the encoder (whose in-loop recon must match the decoder
+bit-exactly) and the decoder.  This host/numpy implementation is the spec
+oracle; the batched wavefront device path lives in encoder/wavefront.py.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..cabac.ctu import MODE_INTRA, PicSyntax, chroma_qp
+from ..ops.intra import (filter_flag, filter_reference_np, predict_intra_np,
+                         substitute_references_np)
+from ..ops.quantize import dequant_np
+from ..ops.transforms import inverse_transform_np
+from .geometry import PictureGeometry, intra_neighbor_coords
+
+
+def cu_leaves(ps: PicSyntax, ctu_addr: int, log2_min_cb: int = 3):
+    """Yield (x0, y0, log2_size) of CUs in a CTU in z-order (decode order)."""
+    g = ps.geom
+
+    def rec(x0, y0, log2_size, depth):
+        size = 1 << log2_size
+        if x0 >= g.width or y0 >= g.height:
+            return
+        fits = x0 + size <= g.width and y0 + size <= g.height
+        split = ps.depth[y0 >> 2, x0 >> 2] > depth or not fits
+        if split and log2_size > log2_min_cb:
+            half = size >> 1
+            for i in range(4):
+                rec(x0 + (i & 1) * half, y0 + (i >> 1) * half,
+                    log2_size - 1, depth + 1)
+        else:
+            yield_list.append((x0, y0, log2_size))
+
+    yield_list = []
+    x0, y0 = g.ctu_origin(ctu_addr)
+    rec(x0, y0, g.log2_ctb, 0)
+    return yield_list
+
+
+def tu_leaves(ps: PicSyntax, x0: int, y0: int, log2_cb: int,
+              log2_max_tb: int = 5):
+    """Yield (x, y, log2_tb, depth) luma TU leaves of a CU in z-order."""
+    intra_split = bool(ps.part[y0 >> 2, x0 >> 2])
+    out = []
+
+    def rec(x, y, log2_size, depth):
+        forced = (log2_size > log2_max_tb
+                  or (intra_split and depth == 0 and log2_size > 2))
+        split = forced or ps.tu_depth[y >> 2, x >> 2] > depth
+        if split:
+            half = 1 << (log2_size - 1)
+            for i in range(4):
+                rec(x + (i & 1) * half, y + (i >> 1) * half,
+                    log2_size - 1, depth + 1)
+        else:
+            out.append((x, y, log2_size, depth))
+
+    rec(x0, y0, log2_cb, 0)
+    return out
+
+
+def chroma_tu_leaves(ps: PicSyntax, x0: int, y0: int, log2_cb: int,
+                     log2_max_tb: int = 5):
+    """Chroma TU leaves (4:2:0): like tu_leaves but a luma 8x8 node is a
+    chroma leaf (chroma 4x4 is never split).  Returns luma coords +
+    log2 chroma size."""
+    out = []
+
+    def rec(x, y, log2_size, depth):
+        forced = log2_size > log2_max_tb
+        split = forced or ps.tu_depth[y >> 2, x >> 2] > depth
+        if split and log2_size > 3:
+            half = 1 << (log2_size - 1)
+            for i in range(4):
+                rec(x + (i & 1) * half, y + (i >> 1) * half,
+                    log2_size - 1, depth + 1)
+        else:
+            out.append((x, y, log2_size - 1))
+
+    rec(x0, y0, log2_cb, 0)
+    return out
+
+
+def gather_reference(plane: np.ndarray, geom: PictureGeometry, x0: int,
+                     y0: int, n: int, bit_depth: int, *, chroma_shift: int = 0,
+                     constrained: bool = False,
+                     pred_mode: np.ndarray | None = None) -> np.ndarray:
+    """Build the substituted canonical 4N+1 reference vector for a block at
+    (x0, y0) of the given plane.  For chroma, coords/plane are in chroma
+    units and ``chroma_shift=1`` maps to luma for availability."""
+    xs, ys = intra_neighbor_coords(x0, y0, n)
+    lx, ly = xs << chroma_shift, ys << chroma_shift
+    avail = geom.avail_rows(x0 << chroma_shift, y0 << chroma_shift, lx, ly)
+    if constrained and pred_mode is not None:
+        lxc = np.clip(lx, 0, geom.width - 1)
+        lyc = np.clip(ly, 0, geom.height - 1)
+        avail &= pred_mode[lyc >> 2, lxc >> 2] == MODE_INTRA
+    h, w = plane.shape
+    samples = plane[np.clip(ys, 0, h - 1), np.clip(xs, 0, w - 1)]
+    return substitute_references_np(samples.astype(np.int32), avail,
+                                    bit_depth)
+
+
+def strong_smooth_reference(ref: np.ndarray, n: int, bit_depth: int) -> np.ndarray:
+    """§8.4.4.2.3 strong (bilinear) intra smoothing for 32x32 luma TBs."""
+    out = ref.copy()
+    bl = ref[0]           # p[-1][63]
+    corner = ref[2 * n]
+    tr = ref[4 * n]       # p[63][-1]
+    left_mid = ref[n]     # p[-1][31]  (index: left i=31 -> 2n-1-31 = n... )
+    # canonical layout: left i -> index 2n-1-i; top i -> 2n+1+i
+    p_m1_31 = ref[2 * n - 1 - 31]
+    p_31_m1 = ref[2 * n + 1 + 31]
+    thresh = 1 << (bit_depth - 5)
+    if abs(int(corner) + int(tr) - 2 * int(p_31_m1)) < thresh and \
+       abs(int(corner) + int(bl) - 2 * int(p_m1_31)) < thresh:
+        # top run: p[i][-1] = ((63-i)*corner + (i+1)*p[63][-1] + 32) >> 6
+        i = np.arange(63)
+        out[2 * n + 1: 2 * n + 1 + 63] = (
+            (63 - i) * int(corner) + (i + 1) * int(tr) + 32) >> 6
+        # left run: p[-1][i] = ((63-i)*corner + (i+1)*p[-1][63] + 32) >> 6
+        out_idx = 2 * n - 1 - i
+        out[out_idx] = ((63 - i) * int(corner) + (i + 1) * int(bl) + 32) >> 6
+    else:
+        out = filter_reference_np(ref)
+    return out
+
+
+def reconstruct_tu(plane: np.ndarray, coeff: np.ndarray,
+                   geom: PictureGeometry, ps: PicSyntax, x0: int, y0: int,
+                   log2_size: int, mode: int, qp: int, bit_depth: int, *,
+                   is_luma: bool, chroma_shift: int = 0,
+                   strong_smoothing: bool = False) -> None:
+    """Predict + add residual for one TB, in place.  Coords in plane units."""
+    n = 1 << log2_size
+    ref = gather_reference(plane, geom, x0, y0, n, bit_depth,
+                           chroma_shift=chroma_shift)
+    if filter_flag(mode, n, is_luma):
+        if strong_smoothing and n == 32:
+            ref = strong_smooth_reference(ref, n, bit_depth)
+        else:
+            ref = filter_reference_np(ref)
+    pred = predict_intra_np(mode, ref, n, is_luma=is_luma,
+                            bit_depth=bit_depth, already_filtered=True)
+    block = coeff[y0:y0 + n, x0:x0 + n]
+    if np.any(block):
+        dq = dequant_np(block, qp, bit_depth)
+        resi = inverse_transform_np(dq, bit_depth,
+                                    dst=(is_luma and n == 4))
+        rec = np.clip(pred + resi, 0, (1 << bit_depth) - 1)
+    else:
+        rec = pred
+    plane[y0:y0 + n, x0:x0 + n] = rec.astype(plane.dtype)
+
+
+def reconstruct_picture(ps: PicSyntax, planes, qp_y: int, bit_depth: int = 8,
+                        cb_qp_offset: int = 0, cr_qp_offset: int = 0,
+                        strong_smoothing: bool = False) -> None:
+    """Full decoder-side reconstruction of an intra picture, in place.
+
+    ``planes`` = (Y, Cb, Cr) int16 numpy arrays at coded (padded) size.
+    """
+    g = ps.geom
+    y_pl, cb_pl, cr_pl = planes
+    qp_cb = chroma_qp(qp_y, cb_qp_offset)
+    qp_cr = chroma_qp(qp_y, cr_qp_offset)
+    for ctu in range(g.n_ctbs):
+        for (cx, cy, log2_cb) in cu_leaves(ps, ctu):
+            for (tx, ty, log2_tb, _d) in tu_leaves(ps, cx, cy, log2_cb):
+                mode = int(ps.luma_mode[ty >> 2, tx >> 2])
+                reconstruct_tu(y_pl, ps.coeff_y, g, ps, tx, ty, log2_tb,
+                               mode, qp_y, bit_depth, is_luma=True,
+                               strong_smoothing=strong_smoothing)
+            cmode = int(ps.chroma_mode[cy >> 2, cx >> 2])
+            for (tx, ty, log2_cb_tb) in chroma_tu_leaves(ps, cx, cy, log2_cb):
+                reconstruct_tu(cb_pl, ps.coeff_cb, g, ps, tx >> 1, ty >> 1,
+                               log2_cb_tb, cmode, qp_cb, bit_depth,
+                               is_luma=False, chroma_shift=1)
+                reconstruct_tu(cr_pl, ps.coeff_cr, g, ps, tx >> 1, ty >> 1,
+                               log2_cb_tb, cmode, qp_cr, bit_depth,
+                               is_luma=False, chroma_shift=1)

@@ -1,0 +1,100 @@
+"""SEI message writing/parsing.  Spec: ITU-T H.265 Annex D.
+
+Capability target: the reference's SEI writer set (x265_1.9/source/encoder/
+sei.h — buffering period, pic timing, recovery point, hash, user data,
+mastering display, CLL).  This module starts with the ones the conformance
+loop needs: decoded_picture_hash (D.3.19) and user_data_unregistered.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+
+from .bitstream import BitReader, BitWriter
+
+SEI_BUFFERING_PERIOD = 0
+SEI_PICTURE_TIMING = 1
+SEI_USER_DATA_UNREGISTERED = 5
+SEI_RECOVERY_POINT = 6
+SEI_ACTIVE_PARAMETER_SETS = 129
+SEI_DECODED_PICTURE_HASH = 132
+SEI_MASTERING_DISPLAY = 137
+SEI_CONTENT_LIGHT_LEVEL = 144
+
+HASH_MD5, HASH_CRC, HASH_CHECKSUM = 0, 1, 2
+
+
+def plane_md5(plane: np.ndarray, bit_depth: int = 8) -> bytes:
+    """MD5 over one plane's samples, raster order; >8-bit = 2 bytes LE
+    per sample (D.3.19)."""
+    if bit_depth <= 8:
+        data = np.ascontiguousarray(plane, dtype=np.uint8).tobytes()
+    else:
+        data = np.ascontiguousarray(plane, dtype="<u2").tobytes()
+    return hashlib.md5(data).digest()
+
+
+def picture_hash_payload(planes, bit_depth: int = 8,
+                         hash_type: int = HASH_MD5) -> bytes:
+    assert hash_type == HASH_MD5, "only MD5 implemented"
+    out = bytes([hash_type])
+    for p in planes:
+        out += plane_md5(p, bit_depth)
+    return out
+
+
+def write_sei_rbsp(messages: list[tuple[int, bytes]]) -> bytes:
+    """messages: [(payload_type, payload_bytes)] -> SEI RBSP."""
+    bw = BitWriter()
+    for ptype, payload in messages:
+        t = ptype
+        while t >= 255:
+            bw.write(255, 8)
+            t -= 255
+        bw.write(t, 8)
+        s = len(payload)
+        while s >= 255:
+            bw.write(255, 8)
+            s -= 255
+        bw.write(s, 8)
+        for b in payload:
+            bw.write(b, 8)
+    bw.rbsp_trailing_bits()
+    return bw.getvalue()
+
+
+def parse_sei_rbsp(rbsp: bytes) -> list[tuple[int, bytes]]:
+    br = BitReader(rbsp)
+    out = []
+    while br.more_rbsp_data():
+        ptype = 0
+        b = br.read(8)
+        while b == 255:
+            ptype += 255
+            b = br.read(8)
+        ptype += b
+        size = 0
+        b = br.read(8)
+        while b == 255:
+            size += 255
+            b = br.read(8)
+        size += b
+        payload = bytes(br.read(8) for _ in range(size))
+        out.append((ptype, payload))
+    return out
+
+
+def parse_picture_hash(payload: bytes):
+    """Returns (hash_type, [digest per plane])."""
+    hash_type = payload[0]
+    body = payload[1:]
+    if hash_type == HASH_MD5:
+        n = len(body) // 16
+        return hash_type, [body[i * 16:(i + 1) * 16] for i in range(n)]
+    if hash_type == HASH_CRC:
+        n = len(body) // 2
+        return hash_type, [body[i * 2:(i + 1) * 2] for i in range(n)]
+    n = len(body) // 4
+    return hash_type, [body[i * 4:(i + 1) * 4] for i in range(n)]

@@ -1,0 +1,167 @@
+"""Conformant HEVC decoder (intra toolset; inter arrives with the P/B path).
+
+Role and API shape follow libde265 (libde265/libde265/de265.h push-model,
+decctx.cc decode_NAL dispatch); the implementation is our own two-phase
+design: (1) sequential host-side CABAC/syntax parse into ``PicSyntax``
+arrays + coefficient planes, (2) reconstruction from those arrays — the
+phase that runs batched on device in the TPU path (common/recon.py is the
+numpy oracle of it).
+
+The decoder exists in-repo for closed-loop conformance testing of the
+encoder (SURVEY.md §4.4, §7 step 4): every encoded stream must decode here
+AND in the external oracle with matching decoded-picture-hash SEI.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..cabac.ctu import CtuCoder, PicSyntax
+from ..cabac.engine import CabacDecoder
+from ..cabac.tables import init_context_states
+from ..common.bitstream import (NAL_PPS, NAL_PREFIX_SEI, NAL_SPS,
+                                NAL_SUFFIX_SEI, NAL_VPS, BitReader,
+                                split_annexb)
+from ..common.geometry import PictureGeometry
+from ..common.headers import (SLICE_I, parse_pps, parse_slice_header,
+                              parse_sps, parse_vps)
+from ..common.recon import reconstruct_picture
+from ..common.sei import (SEI_DECODED_PICTURE_HASH, parse_picture_hash,
+                          parse_sei_rbsp, plane_md5)
+
+
+@dataclass
+class DecodedPicture:
+    poc: int
+    planes: tuple          # (Y, Cb, Cr) numpy arrays cropped to conf window
+    hash_ok: bool | None = None   # None = no hash SEI present
+    syntax: PicSyntax | None = None
+    qp: int = 0
+    bit_depth: int = 8
+    coded_planes: tuple | None = None  # full coded-size planes (hash domain)
+
+
+class Decoder:
+    """Stateful Annex-B decoder.  Feed bytes; collect ``.pictures``."""
+
+    def __init__(self, check_hashes: bool = True):
+        self.vps = {}
+        self.sps = {}
+        self.pps = {}
+        self.pictures: list[DecodedPicture] = []
+        self.check_hashes = check_hashes
+        self._pending_hash = None
+        self._cur: DecodedPicture | None = None
+
+    def push_bytes(self, data: bytes) -> None:
+        for nal_type, _tid, rbsp in split_annexb(data):
+            self.push_nal(nal_type, rbsp)
+        self.flush()
+
+    def flush(self) -> None:
+        if self._cur is not None:
+            self._finish_picture()
+
+    def push_nal(self, nal_type: int, rbsp: bytes) -> None:
+        if nal_type == NAL_VPS:
+            v = parse_vps(rbsp)
+            self.vps[v.vps_id] = v
+        elif nal_type == NAL_SPS:
+            s = parse_sps(rbsp)
+            self.sps[s.sps_id] = s
+        elif nal_type == NAL_PPS:
+            p = parse_pps(rbsp)
+            self.pps[p.pps_id] = p
+        elif nal_type in (NAL_PREFIX_SEI, NAL_SUFFIX_SEI):
+            for ptype, payload in parse_sei_rbsp(rbsp):
+                if ptype == SEI_DECODED_PICTURE_HASH:
+                    self._pending_hash = parse_picture_hash(payload)
+                    if self._cur is not None:
+                        self._finish_picture()
+        elif nal_type < 32:    # VCL NAL
+            if self._cur is not None:
+                self._finish_picture()
+            self._decode_slice(nal_type, rbsp)
+
+    # -- slice decode --------------------------------------------------------
+
+    def _decode_slice(self, nal_type: int, rbsp: bytes) -> None:
+        # pre-read pps_id to resolve the active parameter sets
+        probe = BitReader(rbsp)
+        probe.read_flag()                  # first_slice_segment_in_pic_flag
+        if 16 <= nal_type <= 23:
+            probe.read_flag()              # no_output_of_prior_pics_flag
+        pps = self.pps[probe.read_ue()]
+        sps = self.sps[pps.sps_id]
+
+        br = BitReader(rbsp)
+        sh = parse_slice_header(br, sps, pps, nal_type)
+        assert sh.slice_type == SLICE_I, "inter slices not yet implemented"
+
+        geom = PictureGeometry(sps.pic_width, sps.pic_height,
+                               sps.log2_ctb_size, sps.log2_min_cb_size)
+        ps = PicSyntax(
+            geom,
+            max_tr_depth_intra=sps.max_transform_hierarchy_depth_intra,
+            sign_hiding=bool(pps.sign_data_hiding))
+        coder = CtuCoder(ps, sps.log2_min_cb_size, sps.log2_min_tb_size,
+                         sps.log2_max_tb_size)
+
+        ctx = init_context_states(0, sh.slice_qp)   # I-slice: initType 0
+        data = rbsp[br.bit_pos >> 3:]  # slice data starts byte-aligned
+        dec = CabacDecoder(BitReader(data), ctx)
+        for ctu in range(geom.n_ctbs):
+            coder.decode_ctu(dec, ctu)
+            end = dec.decode_terminate()
+            if ctu < geom.n_ctbs - 1:
+                assert not end, "premature end_of_slice at CTU %d" % ctu
+            else:
+                assert end, "missing end_of_slice flag"
+
+        h = geom.ctbs_h << geom.log2_ctb
+        w = geom.ctbs_w << geom.log2_ctb
+        bd = sps.bit_depth_luma
+        planes = (np.zeros((h, w), np.int16),
+                  np.zeros((h // 2, w // 2), np.int16),
+                  np.zeros((h // 2, w // 2), np.int16))
+        reconstruct_picture(ps, planes, sh.slice_qp, bd,
+                            pps.cb_qp_offset, pps.cr_qp_offset,
+                            strong_smoothing=bool(sps.strong_intra_smoothing))
+
+        # decoded picture = coded size; output view = conformance-cropped
+        cw, ch = sps.pic_width, sps.pic_height
+        coded = (planes[0][:ch, :cw], planes[1][:ch // 2, :cw // 2],
+                 planes[2][:ch // 2, :cw // 2])
+        cl, cr, ct, cb = sps.conf_win   # offsets in chroma units
+        wl = cw - 2 * (cl + cr)
+        hl = ch - 2 * (ct + cb)
+        y = coded[0][2 * ct:2 * ct + hl, 2 * cl:2 * cl + wl]
+        u = coded[1][ct:ct + hl // 2, cl:cl + wl // 2]
+        v = coded[2][ct:ct + hl // 2, cl:cl + wl // 2]
+        self._cur = DecodedPicture(poc=sh.pic_order_cnt_lsb,
+                                   planes=(y, u, v), syntax=ps,
+                                   qp=sh.slice_qp, bit_depth=bd,
+                                   coded_planes=coded)
+
+    def _finish_picture(self) -> None:
+        pic = self._cur
+        self._cur = None
+        if pic is None:
+            return
+        if self._pending_hash is not None and self.check_hashes:
+            _htype, digests = self._pending_hash
+            dt = np.uint8 if pic.bit_depth == 8 else np.uint16
+            pic.hash_ok = all(
+                plane_md5(p.astype(dt), pic.bit_depth) == d
+                for p, d in zip(pic.coded_planes, digests))
+        self._pending_hash = None
+        self.pictures.append(pic)
+
+
+def decode_annexb(data: bytes, check_hashes: bool = True):
+    """One-shot convenience: full stream bytes -> [DecodedPicture]."""
+    d = Decoder(check_hashes=check_hashes)
+    d.push_bytes(data)
+    return d.pictures

@@ -1,0 +1,278 @@
+"""All-intra HEVC encoder — the minimum end-to-end slice (SURVEY.md §7.3).
+
+Pipeline per frame (TPU-first structure):
+  A. mode decision — BATCHED on device: canonical reference vectors for all
+     CUs are gathered at once, all 35 modes predicted as one MXU matmul
+     (ops.intra.predict_all_modes), SATD-scored, argmin.  Open-loop
+     (original-pixel neighbors), the batched analogue of the reference's
+     sad/satd intra scan (x265_1.9/source/encoder/search.cpp:1452).
+  B. reconstruction — sequential spec loop (common/recon.py math) honoring
+     true decode-order neighbor dependencies: predict -> residual ->
+     DCT/DST -> quant -> dequant -> inverse -> recon.  (The wavefront
+     lax.scan device version of this pass is the next milestone.)
+  C. entropy — host CABAC over the PicSyntax arrays (cabac/ctu.py), slice
+     header, Annex-B NAL assembly, decoded-picture-hash suffix SEI.
+
+Top-level API mirrors the reference C API surface (x265.h:1334-1403):
+Encoder(params) ~ x265_encoder_open, .headers() ~ x265_encoder_headers,
+.encode_frame() ~ x265_encoder_encode.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..cabac.ctu import (MODE_INTRA, CtuCoder, PicSyntax, chroma_qp)
+from ..cabac.engine import CabacEncoder
+from ..cabac.tables import init_context_states
+from ..common.bitstream import (NAL_IDR_W_RADL, NAL_PPS, NAL_SPS,
+                                NAL_SUFFIX_SEI, NAL_VPS, wrap_nal)
+from ..common.geometry import PictureGeometry
+from ..common.headers import (PPS, SPS, VPS, SLICE_I, SliceHeader,
+                              write_pps, write_slice_header, write_sps,
+                              write_vps)
+from ..common.params import Params
+from ..common.recon import (chroma_tu_leaves, cu_leaves, gather_reference,
+                            strong_smooth_reference, tu_leaves)
+from ..common.sei import (SEI_DECODED_PICTURE_HASH, picture_hash_payload,
+                          write_sei_rbsp)
+from ..ops.intra import filter_flag, filter_reference_np, predict_intra_np
+from ..ops.quantize import dequant_np, quant_np
+from ..ops.transforms import forward_transform_np, inverse_transform_np
+
+
+def pad_plane(p: np.ndarray, h: int, w: int) -> np.ndarray:
+    """Edge-replicate pad a plane to (h, w) (reference: PicYuv padding)."""
+    out = np.empty((h, w), dtype=np.int16)
+    ph, pw = p.shape
+    out[:ph, :pw] = p
+    if pw < w:
+        out[:ph, pw:] = out[:ph, pw - 1:pw]
+    if ph < h:
+        out[ph:, :] = out[ph - 1:ph, :]
+    return out
+
+
+class Encoder:
+    """All-intra encoder.  ``Params`` subset honored so far: qp, ctu_size,
+    source geometry, tu_intra_depth, strong_intra_smoothing, hash SEI."""
+
+    def __init__(self, params: Params):
+        self.params = params
+        w, h = params.source_width, params.source_height
+        assert w > 0 and h > 0
+        # coded size: round up to min CU (8); signal the rest via conf window
+        cw = (w + 7) & ~7
+        ch = (h + 7) & ~7
+        log2_ctb = params.ctu_size.bit_length() - 1
+        self.geom = PictureGeometry(cw, ch, log2_ctb, 3)
+        self.bit_depth = params.internal_bit_depth
+
+        self.sps = SPS(
+            pic_width=cw, pic_height=ch,
+            bit_depth_luma=self.bit_depth, bit_depth_chroma=self.bit_depth,
+            log2_ctb_size=log2_ctb,
+            log2_min_cb_size=3,
+            max_transform_hierarchy_depth_intra=max(
+                0, params.tu_intra_depth - 1),
+            conf_win=(0, (cw - w) // 2, 0, (ch - h) // 2),
+            strong_intra_smoothing=int(params.strong_intra_smoothing),
+            vui_timing_present=1, vui_present=1,
+            fps_num=params.fps_num, fps_denom=params.fps_denom,
+            max_dec_pic_buffering=1, num_reorder_pics=0)
+        # deblocking is signalled off until the loop-filter milestone lands
+        # (the recon loop must apply it bit-exactly before we can enable it)
+        self.pps = PPS(init_qp=26, sign_data_hiding=0,
+                       deblocking_filter_control_present=1,
+                       deblocking_filter_disabled=1)
+        self.vps = VPS()
+        self.qp = params.qp
+        self.poc = 0
+
+    # -- stream headers ------------------------------------------------------
+
+    def headers(self) -> bytes:
+        return (wrap_nal(NAL_VPS, write_vps(self.vps))
+                + wrap_nal(NAL_SPS, write_sps(self.sps))
+                + wrap_nal(NAL_PPS, write_pps(self.pps)))
+
+    # -- pass A: batched mode decision --------------------------------------
+
+    def _decide_modes(self, orig):
+        """Open-loop best intra mode per fixed-size CU, batched on device.
+
+        Returns (cu_log2, modes[gh, gw] int array) with the CU grid at
+        ``cu_size``.  Uses jnp (MXU matmul over all 35 modes at once).
+        """
+        import jax.numpy as jnp
+
+        from ..ops.cost import satd
+        from ..ops.intra import predict_all_modes, substitute_references
+
+        g = self.geom
+        cu_size = min(16, 1 << g.log2_ctb)   # fixed analysis CU for v1
+        n = cu_size
+        y = orig[0]
+        gh = (g.ctbs_h << g.log2_ctb) // n
+        gw = (g.ctbs_w << g.log2_ctb) // n
+
+        # gather canonical reference vectors for every block (numpy; cheap)
+        from ..common.geometry import intra_neighbor_coords
+        refs = np.zeros((gh * gw, 4 * n + 1), np.int32)
+        avails = np.zeros((gh * gw, 4 * n + 1), bool)
+        H, W = y.shape
+        for by in range(gh):
+            for bx in range(gw):
+                x0, y0 = bx * n, by * n
+                xs, ys = intra_neighbor_coords(x0, y0, n)
+                avails[by * gw + bx] = g.avail_rows(x0, y0, xs, ys)
+                refs[by * gw + bx] = y[np.clip(ys, 0, H - 1),
+                                       np.clip(xs, 0, W - 1)]
+
+        refs_j = substitute_references(jnp.asarray(refs), jnp.asarray(avails),
+                                       self.bit_depth)
+        preds = predict_all_modes(refs_j, n, True, self.bit_depth)
+        blocks = jnp.asarray(
+            y.reshape(gh, n, gw, n).transpose(0, 2, 1, 3).reshape(
+                gh * gw, n, n).astype(np.int32))
+        costs = satd(blocks[:, None], preds)        # [B, 35]
+        modes = np.asarray(jnp.argmin(costs, axis=1)).reshape(gh, gw)
+        return cu_size, modes
+
+    # -- pass B: sequential reconstruction ----------------------------------
+
+    def _encode_tu(self, orig_pl, rec_pl, coeff_pl, ps, x0, y0, log2_size,
+                   mode, qp, *, is_luma, chroma_shift=0):
+        g = self.geom
+        n = 1 << log2_size
+        bd = self.bit_depth
+        ref = gather_reference(rec_pl, g, x0, y0, n, bd,
+                               chroma_shift=chroma_shift)
+        if filter_flag(mode, n, is_luma):
+            if self.sps.strong_intra_smoothing and n == 32:
+                ref = strong_smooth_reference(ref, n, bd)
+            else:
+                ref = filter_reference_np(ref)
+        pred = predict_intra_np(mode, ref, n, is_luma=is_luma, bit_depth=bd,
+                                already_filtered=True)
+        resi = orig_pl[y0:y0 + n, x0:x0 + n].astype(np.int32) - pred
+        dst = is_luma and n == 4
+        coef = forward_transform_np(resi, bd, dst=dst)
+        levels = quant_np(coef, qp, bd, intra=True)
+        if np.any(levels):
+            coeff_pl[y0:y0 + n, x0:x0 + n] = levels
+            dq = dequant_np(levels, qp, bd)
+            r = inverse_transform_np(dq, bd, dst=dst)
+            rec = np.clip(pred + r, 0, (1 << bd) - 1)
+        else:
+            rec = pred
+        rec_pl[y0:y0 + n, x0:x0 + n] = rec.astype(rec_pl.dtype)
+
+    # -- top level -----------------------------------------------------------
+
+    def encode_frame(self, planes):
+        """planes: (Y, Cb, Cr) uint8/uint16 source arrays.
+
+        Returns (annexb_bytes, recon_planes_cropped).
+        """
+        g = self.geom
+        p = self.params
+        ph = g.ctbs_h << g.log2_ctb
+        pw = g.ctbs_w << g.log2_ctb
+        orig = (pad_plane(np.asarray(planes[0]), ph, pw),
+                pad_plane(np.asarray(planes[1]), ph // 2, pw // 2),
+                pad_plane(np.asarray(planes[2]), ph // 2, pw // 2))
+
+        cu_size, modes = self._decide_modes(orig)
+        cu_log2 = cu_size.bit_length() - 1
+        cu_depth = g.log2_ctb - cu_log2
+
+        ps = PicSyntax(
+            g, max_tr_depth_intra=self.sps.max_transform_hierarchy_depth_intra,
+            sign_hiding=bool(self.pps.sign_data_hiding))
+        ps.depth[:] = cu_depth
+        ps.pred_mode[:] = MODE_INTRA
+        ps.tu_depth[:] = 0
+        # scatter modes to 4x4 granularity
+        s4 = cu_size // 4
+        ps.luma_mode[:] = np.kron(modes, np.ones((s4, s4), np.uint8))
+        ps.chroma_mode[:] = ps.luma_mode  # DM chroma
+
+        rec = (np.zeros((ph, pw), np.int16),
+               np.zeros((ph // 2, pw // 2), np.int16),
+               np.zeros((ph // 2, pw // 2), np.int16))
+
+        qp_y = self.qp
+        qp_cb = chroma_qp(qp_y, self.pps.cb_qp_offset)
+        qp_cr = chroma_qp(qp_y, self.pps.cr_qp_offset)
+
+        for ctu in range(g.n_ctbs):
+            for (cx, cy, log2_cb) in cu_leaves(ps, ctu):
+                for (tx, ty, log2_tb, _d) in tu_leaves(ps, cx, cy, log2_cb):
+                    mode = int(ps.luma_mode[ty >> 2, tx >> 2])
+                    self._encode_tu(orig[0], rec[0], ps.coeff_y, ps, tx, ty,
+                                    log2_tb, mode, qp_y, is_luma=True)
+                cmode = int(ps.chroma_mode[cy >> 2, cx >> 2])
+                for (tx, ty, clog2) in chroma_tu_leaves(ps, cx, cy, log2_cb):
+                    self._encode_tu(orig[1], rec[1], ps.coeff_cb, ps,
+                                    tx >> 1, ty >> 1, clog2, cmode, qp_cb,
+                                    is_luma=False, chroma_shift=1)
+                    self._encode_tu(orig[2], rec[2], ps.coeff_cr, ps,
+                                    tx >> 1, ty >> 1, clog2, cmode, qp_cr,
+                                    is_luma=False, chroma_shift=1)
+
+        au = self._entropy_encode(ps)
+
+        # crop recon to conformance window
+        cl, cr, ct, cb = self.sps.conf_win
+        wl = self.sps.pic_width - 2 * (cl + cr)
+        hl = self.sps.pic_height - 2 * (ct + cb)
+        rec_crop = (rec[0][2 * ct:2 * ct + hl, 2 * cl:2 * cl + wl],
+                    rec[1][ct:ct + hl // 2, cl:cl + wl // 2],
+                    rec[2][ct:ct + hl // 2, cl:cl + wl // 2])
+
+        if p.decoded_picture_hash:
+            # hash covers the full decoded picture (coded size, pre-crop)
+            dt = np.uint8 if self.bit_depth == 8 else np.uint16
+            cw, ch = self.sps.pic_width, self.sps.pic_height
+            coded = (rec[0][:ch, :cw], rec[1][:ch // 2, :cw // 2],
+                     rec[2][:ch // 2, :cw // 2])
+            payload = picture_hash_payload(
+                [pl.astype(dt) for pl in coded], self.bit_depth)
+            sei = write_sei_rbsp([(SEI_DECODED_PICTURE_HASH, payload)])
+            au += wrap_nal(NAL_SUFFIX_SEI, sei, long_start_code=False)
+
+        self.poc += 1
+        return au, rec_crop
+
+    def _entropy_encode(self, ps: PicSyntax) -> bytes:
+        g = self.geom
+        sh = SliceHeader(slice_type=SLICE_I, slice_qp=self.qp,
+                         pic_order_cnt_lsb=0)
+        nal_type = NAL_IDR_W_RADL
+        bw = write_slice_header(sh, self.sps, self.pps, nal_type)
+
+        ctx = init_context_states(0, self.qp)
+        enc = CabacEncoder(ctx=ctx)
+        coder = CtuCoder(ps, self.sps.log2_min_cb_size,
+                         self.sps.log2_min_tb_size, self.sps.log2_max_tb_size)
+        for ctu in range(g.n_ctbs):
+            coder.encode_ctu(enc, ctu)
+            enc.encode_terminate(1 if ctu == g.n_ctbs - 1 else 0)
+        # finishSlice semantics (entropy.h:153): terminate(1) flushed the
+        # engine; close the RBSP with stop bit + alignment zeros.
+        enc.bw.byte_alignment()
+        rbsp = bw.getvalue() + enc.bw.getvalue()
+        return wrap_nal(nal_type, rbsp)
+
+
+def encode_sequence(frames, params: Params) -> tuple[bytes, list]:
+    """Encode a list of (Y, Cb, Cr) frames; returns (annexb stream, recons)."""
+    enc = Encoder(params)
+    out = enc.headers()
+    recons = []
+    for fr in frames:
+        au, rec = enc.encode_frame(fr)
+        out += au
+        recons.append(rec)
+    return out, recons

@@ -1,0 +1,187 @@
+"""HEVC deblocking filter (ITU-T H.265 §8.7.2).
+
+Reference embodiments: x265_1.9/source/common/deblock.cpp (encoder side)
+and libde265/libde265/deblock.cc (decoder side).
+
+TPU-native design: HEVC's deblocking is explicitly parallel-by-direction —
+all vertical edges are independent (8-px spacing vs 4-px read / 3-px write
+reach), then all horizontal edges run on the vertically-filtered output.
+So the whole filter is two fully-vectorized passes over [n_edges, ...]
+segment tensors; this numpy implementation is the spec oracle, the jnp
+version (same math) is the device path.
+
+Intra-only for now: every TU/PU edge has boundary strength 2.  BS derivation
+for inter (MV/ref comparisons) lands with the inter path.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+# §8.7.2.5.3 Table 8-12: beta'(Q) and tc'(Q)
+BETA_TABLE = np.array(
+    [0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+     6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16, 17, 18, 20, 22, 24,
+     26, 28, 30, 32, 34, 36, 38, 40, 42, 44, 46, 48, 50, 52, 54, 56,
+     58, 60, 62, 64], dtype=np.int32)
+TC_TABLE = np.array(
+    [0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+     1, 1, 1, 1, 1, 1, 1, 1, 1, 2, 2, 2, 2, 3, 3, 3, 3, 4,
+     4, 4, 5, 5, 6, 6, 7, 8, 9, 10, 11, 13, 14, 16, 18, 20, 22, 24],
+    dtype=np.int32)
+
+
+def _clip3(lo, hi, v):
+    return np.clip(v, lo, hi)
+
+
+def luma_edge_filter(seg: np.ndarray, qp: int, bit_depth: int = 8,
+                     beta_off: int = 0, tc_off: int = 0, bs: int = 2):
+    """Filter a batch of 4-line luma edge segments.
+
+    seg: [E, 4, 8] int32 — 4 lines perpendicular to the edge;
+         columns 0..3 = p3..p0, 4..7 = q0..q3.
+    Returns filtered copy (only p2..q2, i.e. cols 1..6, may change).
+    """
+    e = seg.shape[0]
+    out = seg.copy()
+    if e == 0:
+        return out
+    shift = bit_depth - 8
+    qb = _clip3(0, 51, qp + beta_off * 2)
+    qt = _clip3(0, 53, qp + 2 * (bs - 1) + tc_off * 2)
+    beta = int(BETA_TABLE[qb]) << shift
+    tc = int(TC_TABLE[qt]) << shift
+    if tc == 0 and beta == 0:
+        return out
+    p3, p2, p1, p0 = (seg[:, :, i].astype(np.int32) for i in range(4))
+    q0, q1, q2, q3 = (seg[:, :, i].astype(np.int32) for i in range(4, 8))
+
+    dp0 = np.abs(p2[:, 0] - 2 * p1[:, 0] + p0[:, 0])
+    dp3 = np.abs(p2[:, 3] - 2 * p1[:, 3] + p0[:, 3])
+    dq0 = np.abs(q2[:, 0] - 2 * q1[:, 0] + q0[:, 0])
+    dq3 = np.abs(q2[:, 3] - 2 * q1[:, 3] + q0[:, 3])
+    dpq0 = dp0 + dq0
+    dpq3 = dp3 + dq3
+    dp = dp0 + dp3
+    dq = dq0 + dq3
+    d = dpq0 + dpq3
+    filter_on = d < beta                                    # [E]
+
+    # strong/weak decision (evaluated at lines 0 and 3)
+    def strong_cond(i):
+        return ((2 * (dpq0 if i == 0 else dpq3) < (beta >> 2))
+                & (np.abs(p3[:, i] - p0[:, i]) + np.abs(q0[:, i] - q3[:, i])
+                   < (beta >> 3))
+                & (np.abs(p0[:, i] - q0[:, i]) < ((5 * tc + 1) >> 1)))
+
+    strong = strong_cond(0) & strong_cond(3)                # [E]
+
+    # ---- strong filter (all 4 lines) ----
+    sp0 = _clip3(p0 - 2 * tc, p0 + 2 * tc,
+                 (p2 + 2 * p1 + 2 * p0 + 2 * q0 + q1 + 4) >> 3)
+    sp1 = _clip3(p1 - 2 * tc, p1 + 2 * tc, (p2 + p1 + p0 + q0 + 2) >> 2)
+    sp2 = _clip3(p2 - 2 * tc, p2 + 2 * tc,
+                 (2 * p3 + 3 * p2 + p1 + p0 + q0 + 4) >> 3)
+    sq0 = _clip3(q0 - 2 * tc, q0 + 2 * tc,
+                 (p1 + 2 * p0 + 2 * q0 + 2 * q1 + q2 + 4) >> 3)
+    sq1 = _clip3(q1 - 2 * tc, q1 + 2 * tc, (p0 + q0 + q1 + q2 + 2) >> 2)
+    sq2 = _clip3(q2 - 2 * tc, q2 + 2 * tc,
+                 (p0 + q0 + q1 + 3 * q2 + 2 * q3 + 4) >> 3)
+
+    # ---- weak filter ----
+    delta = (9 * (q0 - p0) - 3 * (q1 - p1) + 8) >> 4
+    w_on = np.abs(delta) < tc * 10                           # per line
+    dlt = _clip3(-tc, tc, delta)
+    maxval = (1 << bit_depth) - 1
+    wp0 = _clip3(0, maxval, p0 + dlt)
+    wq0 = _clip3(0, maxval, q0 - dlt)
+    side_thresh = (beta + (beta >> 1)) >> 3
+    dEp1 = (dp < side_thresh)[:, None]                       # [E,1]
+    dEq1 = (dq < side_thresh)[:, None]
+    tc2 = tc >> 1
+    dp1 = _clip3(-tc2, tc2, (((p2 + p0 + 1) >> 1) - p1 + dlt) >> 1)
+    dq1 = _clip3(-tc2, tc2, (((q2 + q0 + 1) >> 1) - q1 - dlt) >> 1)
+    wp1 = _clip3(0, maxval, p1 + dp1)
+    wq1 = _clip3(0, maxval, q1 + dq1)
+
+    on = filter_on[:, None]
+    st = strong[:, None] & on
+    wk = (~strong[:, None]) & on & w_on
+
+    out[:, :, 1] = np.where(st, sp2, p2)
+    out[:, :, 2] = np.where(st, sp1, np.where(wk & dEp1, wp1, p1))
+    out[:, :, 3] = np.where(st, sp0, np.where(wk, wp0, p0))
+    out[:, :, 4] = np.where(st, sq0, np.where(wk, wq0, q0))
+    out[:, :, 5] = np.where(st, sq1, np.where(wk & dEq1, wq1, q1))
+    out[:, :, 6] = np.where(st, sq2, q2)
+    return out
+
+
+def chroma_edge_filter(seg: np.ndarray, qp: int, bit_depth: int = 8,
+                       tc_off: int = 0):
+    """Filter a batch of 4-line chroma edge segments (BS=2 only).
+
+    seg: [E, 4, 4] int32 — columns 0..1 = p1..p0, 2..3 = q0..q1.
+    """
+    out = seg.copy()
+    if seg.shape[0] == 0:
+        return out
+    shift = bit_depth - 8
+    qt = _clip3(0, 53, qp + 2 + tc_off * 2)
+    tc = int(TC_TABLE[qt]) << shift
+    if tc == 0:
+        return out
+    p1, p0, q0, q1 = (seg[:, :, i].astype(np.int32) for i in range(4))
+    delta = _clip3(-tc, tc, ((((q0 - p0) << 2) + p1 - q1 + 4) >> 3))
+    maxval = (1 << bit_depth) - 1
+    out[:, :, 1] = _clip3(0, maxval, p0 + delta)
+    out[:, :, 2] = _clip3(0, maxval, q0 - delta)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# picture-level driver (numpy oracle)
+# ---------------------------------------------------------------------------
+
+def deblock_plane_np(plane: np.ndarray, edge_v: np.ndarray,
+                     edge_h: np.ndarray, qp: int, bit_depth: int = 8,
+                     beta_off: int = 0, tc_off: int = 0, *,
+                     chroma: bool = False) -> np.ndarray:
+    """Apply deblocking to one plane in place-safe fashion.
+
+    edge_v/edge_h: [h4, w4] bool at 4-sample granularity of THIS plane:
+    True = a (vertical/horizontal) boundary-strength-2 edge starts at the
+    left/top side of that 4x4 segment.  Grid restrictions (8-px luma,
+    8-px chroma) must already be applied by the caller.
+    """
+    h, w = plane.shape
+    out = plane.astype(np.int32).copy()
+    reach = 2 if chroma else 4
+
+    # vertical edges: all segments gathered at once
+    ys, xs = np.nonzero(edge_v)
+    keep = (xs * 4 >= reach) & (xs * 4 + reach <= w)
+    ys, xs = ys[keep], xs[keep]
+    if len(ys):
+        rows = (ys[:, None] * 4 + np.arange(4)[None, :])          # [E,4]
+        cols = (xs[:, None] * 4 - reach + np.arange(2 * reach)[None, :])
+        seg = out[rows[:, :, None], cols[:, None, :]]             # [E,4,2R]
+        f = (chroma_edge_filter(seg, qp, bit_depth, tc_off) if chroma
+             else luma_edge_filter(seg, qp, bit_depth, beta_off, tc_off))
+        out[rows[:, :, None], cols[:, None, :]] = f
+
+    # horizontal edges on the vertically-filtered samples
+    ys, xs = np.nonzero(edge_h)
+    keep = (ys * 4 >= reach) & (ys * 4 + reach <= h)
+    ys, xs = ys[keep], xs[keep]
+    if len(ys):
+        cols = (xs[:, None] * 4 + np.arange(4)[None, :])          # [E,4]
+        rows = (ys[:, None] * 4 - reach + np.arange(2 * reach)[None, :])
+        # seg[e, line, tap]: line = column along edge, tap = perpendicular
+        seg = out[rows[:, None, :], cols[:, :, None]]
+        f = (chroma_edge_filter(seg, qp, bit_depth, tc_off) if chroma
+             else luma_edge_filter(seg, qp, bit_depth, beta_off, tc_off))
+        out[rows[:, None, :], cols[:, :, None]] = f
+
+    return out.astype(plane.dtype)
