@@ -728,5 +728,9 @@ def parse_slice_header(br: BitReader, sps: SPS, pps: PPS,
         ext_len = br.read_ue()
         for _ in range(ext_len):
             br.read(8)
+    # byte_alignment() (§7.3.2.12): alignment_bit_equal_to_one is ALWAYS
+    # present (a full extra byte when already aligned), then zero bits.
+    bit = br.read(1)
+    assert bit == 1, "missing slice-header alignment bit"
     br.byte_align()
     return sh

@@ -28,6 +28,7 @@ from ..common.geometry import PictureGeometry
 from ..common.headers import (SLICE_I, parse_pps, parse_slice_header,
                               parse_sps, parse_vps)
 from ..common.recon import reconstruct_picture
+from ..ops.deblock import deblock_intra_picture_np
 from ..common.sei import (SEI_DECODED_PICTURE_HASH, parse_picture_hash,
                           parse_sei_rbsp, plane_md5)
 
@@ -134,6 +135,11 @@ class Decoder:
         cw, ch = sps.pic_width, sps.pic_height
         coded = (planes[0][:ch, :cw], planes[1][:ch // 2, :cw // 2],
                  planes[2][:ch // 2, :cw // 2])
+        if not sh.deblocking_filter_disabled:
+            coded = deblock_intra_picture_np(
+                ps, coded, sh.slice_qp, bd,
+                sh.beta_offset_div2, sh.tc_offset_div2,
+                pps.cb_qp_offset, pps.cr_qp_offset)
         cl, cr, ct, cb = sps.conf_win   # offsets in chroma units
         wl = cw - 2 * (cl + cr)
         hl = ch - 2 * (ct + cb)

@@ -36,6 +36,7 @@ from ..common.recon import (chroma_tu_leaves, cu_leaves, gather_reference,
                             strong_smooth_reference, tu_leaves)
 from ..common.sei import (SEI_DECODED_PICTURE_HASH, picture_hash_payload,
                           write_sei_rbsp)
+from ..ops.deblock import deblock_intra_picture_np
 from ..ops.intra import filter_flag, filter_reference_np, predict_intra_np
 from ..ops.quantize import dequant_np, quant_np
 from ..ops.transforms import forward_transform_np, inverse_transform_np
@@ -80,11 +81,17 @@ class Encoder:
             vui_timing_present=1, vui_present=1,
             fps_num=params.fps_num, fps_denom=params.fps_denom,
             max_dec_pic_buffering=1, num_reorder_pics=0)
-        # deblocking is signalled off until the loop-filter milestone lands
-        # (the recon loop must apply it bit-exactly before we can enable it)
-        self.pps = PPS(init_qp=26, sign_data_hiding=0,
-                       deblocking_filter_control_present=1,
-                       deblocking_filter_disabled=1)
+        if params.deblock:
+            self.pps = PPS(init_qp=26, sign_data_hiding=0,
+                           deblocking_filter_control_present=int(
+                               params.deblock_tc_offset
+                               or params.deblock_beta_offset),
+                           tc_offset_div2=params.deblock_tc_offset,
+                           beta_offset_div2=params.deblock_beta_offset)
+        else:
+            self.pps = PPS(init_qp=26, sign_data_hiding=0,
+                           deblocking_filter_control_present=1,
+                           deblocking_filter_disabled=1)
         self.vps = VPS()
         self.qp = params.qp
         self.poc = 0
@@ -222,6 +229,17 @@ class Encoder:
                                     is_luma=False, chroma_shift=1)
 
         au = self._entropy_encode(ps)
+
+        # in-loop filters run on the coded-size picture; intra prediction
+        # above used the unfiltered planes, so filter a copy (§8.4.4.2.1)
+        cw, ch_ = self.sps.pic_width, self.sps.pic_height
+        rec = (rec[0][:ch_, :cw], rec[1][:ch_ // 2, :cw // 2],
+               rec[2][:ch_ // 2, :cw // 2])
+        if p.deblock:
+            rec = deblock_intra_picture_np(
+                ps, rec, qp_y, self.bit_depth,
+                p.deblock_beta_offset, p.deblock_tc_offset,
+                self.pps.cb_qp_offset, self.pps.cr_qp_offset)
 
         # crop recon to conformance window
         cl, cr, ct, cb = self.sps.conf_win

@@ -185,3 +185,55 @@ def deblock_plane_np(plane: np.ndarray, edge_v: np.ndarray,
         out[rows[:, None, :], cols[:, :, None]] = f
 
     return out.astype(plane.dtype)
+
+
+def derive_intra_edge_flags(ps) -> tuple[np.ndarray, np.ndarray]:
+    """TU/CU boundary flags at 4x4 luma granularity (before grid
+    restriction): (edge_v, edge_h).  All-intra: every boundary is BS=2.
+
+    edge_v[y4, x4] = vertical edge along the LEFT side of that 4x4 block;
+    picture-boundary edges excluded (§8.7.2: not filtered).
+    """
+    from ..common.recon import cu_leaves, tu_leaves
+
+    g = ps.geom
+    ev = np.zeros((g.h4, g.w4), bool)
+    eh = np.zeros((g.h4, g.w4), bool)
+    for ctu in range(g.n_ctbs):
+        for (cx, cy, log2_cb) in cu_leaves(ps, ctu):
+            for (tx, ty, log2_tb, _d) in tu_leaves(ps, cx, cy, log2_cb):
+                n4 = 1 << (log2_tb - 2)
+                if tx > 0:
+                    ev[ty >> 2:(ty >> 2) + n4, tx >> 2] = True
+                if ty > 0:
+                    eh[ty >> 2, tx >> 2:(tx >> 2) + n4] = True
+    return ev, eh
+
+
+def deblock_intra_picture_np(ps, planes, qp_y: int, bit_depth: int = 8,
+                             beta_off: int = 0, tc_off: int = 0,
+                             cb_qp_offset: int = 0, cr_qp_offset: int = 0):
+    """Deblock a reconstructed intra picture.  ``planes`` are CODED-size
+    (Y, Cb, Cr) views; returns new filtered planes (inputs untouched —
+    intra prediction must keep using the unfiltered samples)."""
+    from ..cabac.ctu import chroma_qp
+
+    ev, eh = derive_intra_edge_flags(ps)
+    # luma: 8-px grid
+    lv = ev.copy(); lv[:, 1::2] = False
+    lh = eh.copy(); lh[1::2, :] = False
+    y = deblock_plane_np(planes[0], lv, lh, qp_y, bit_depth,
+                         beta_off, tc_off)
+    # chroma (4:2:0): 16-luma-px (8-chroma-px) grid
+    h4c, w4c = ev.shape[0] // 2, ev.shape[1] // 2
+    cv = np.zeros((h4c, w4c), bool)
+    ch = np.zeros((h4c, w4c), bool)
+    cv[:, 0::2] = ev[::2, 0::4]
+    ch[0::2, :] = eh[0::4, ::2]
+    qp_cb = chroma_qp(qp_y, cb_qp_offset)
+    qp_cr = chroma_qp(qp_y, cr_qp_offset)
+    cb = deblock_plane_np(planes[1], cv, ch, qp_cb, bit_depth,
+                          tc_off=tc_off, chroma=True)
+    cr = deblock_plane_np(planes[2], cv, ch, qp_cr, bit_depth,
+                          tc_off=tc_off, chroma=True)
+    return y, cb, cr
