@@ -95,6 +95,8 @@ class Encoder:
         self.vps = VPS()
         self.qp = params.qp
         self.poc = 0
+        self.force_host_recon = False   # tests can force the numpy oracle
+        self._wf = {}                   # cached WavefrontIntraRecon per plane
 
     # -- stream headers ------------------------------------------------------
 
@@ -175,6 +177,34 @@ class Encoder:
             rec = pred
         rec_pl[y0:y0 + n, x0:x0 + n] = rec.astype(rec_pl.dtype)
 
+    def _recon_wavefront(self, ps, orig, rec, modes, cu_size, qps):
+        """Device wavefront recon for the fixed-CU structure: one lax.scan
+        per plane (encoder/wavefront.py), bit-exact with the host loop."""
+        from .wavefront import WavefrontIntraRecon
+
+        g = self.geom
+        qp_y, qp_cb, qp_cr = qps
+        n = cu_size
+        modes_f = modes.reshape(-1).astype(np.int32)
+        jobs = (("y", n, True, 0, orig[0], rec[0], ps.coeff_y, qp_y),
+                ("cb", n // 2, False, 1, orig[1], rec[1], ps.coeff_cb, qp_cb),
+                ("cr", n // 2, False, 1, orig[2], rec[2], ps.coeff_cr, qp_cr))
+        for key, bn, is_luma, cs, opl, rpl, cpl, qp in jobs:
+            wf = self._wf.get((key, bn))
+            if wf is None:
+                wf = WavefrontIntraRecon(g.width, g.height, g.log2_ctb, bn,
+                                         is_luma=is_luma, chroma_shift=cs,
+                                         bit_depth=self.bit_depth)
+                self._wf[(key, bn)] = wf
+            gh, gw = wf.sched["grid"]
+            blocks = opl.astype(np.int32).reshape(
+                gh, bn, gw, bn).transpose(0, 2, 1, 3).reshape(-1, bn, bn)
+            plane, levels = wf.encode(blocks, modes_f, qp)
+            rpl[:] = np.asarray(plane).astype(rpl.dtype)
+            cpl[:] = np.asarray(levels).reshape(
+                gh, gw, bn, bn).transpose(0, 2, 1, 3).reshape(gh * bn,
+                                                              gw * bn)
+
     # -- top level -----------------------------------------------------------
 
     def encode_frame(self, planes):
@@ -213,20 +243,28 @@ class Encoder:
         qp_cb = chroma_qp(qp_y, self.pps.cb_qp_offset)
         qp_cr = chroma_qp(qp_y, self.pps.cr_qp_offset)
 
-        for ctu in range(g.n_ctbs):
-            for (cx, cy, log2_cb) in cu_leaves(ps, ctu):
-                for (tx, ty, log2_tb, _d) in tu_leaves(ps, cx, cy, log2_cb):
-                    mode = int(ps.luma_mode[ty >> 2, tx >> 2])
-                    self._encode_tu(orig[0], rec[0], ps.coeff_y, ps, tx, ty,
-                                    log2_tb, mode, qp_y, is_luma=True)
-                cmode = int(ps.chroma_mode[cy >> 2, cx >> 2])
-                for (tx, ty, clog2) in chroma_tu_leaves(ps, cx, cy, log2_cb):
-                    self._encode_tu(orig[1], rec[1], ps.coeff_cb, ps,
-                                    tx >> 1, ty >> 1, clog2, cmode, qp_cb,
-                                    is_luma=False, chroma_shift=1)
-                    self._encode_tu(orig[2], rec[2], ps.coeff_cr, ps,
-                                    tx >> 1, ty >> 1, clog2, cmode, qp_cr,
-                                    is_luma=False, chroma_shift=1)
+        fixed_grid = (g.width % cu_size == 0 and g.height % cu_size == 0)
+        if fixed_grid and not self.force_host_recon:
+            self._recon_wavefront(ps, orig, rec, modes, cu_size,
+                                  (qp_y, qp_cb, qp_cr))
+        else:
+            for ctu in range(g.n_ctbs):
+                for (cx, cy, log2_cb) in cu_leaves(ps, ctu):
+                    for (tx, ty, log2_tb, _d) in tu_leaves(ps, cx, cy,
+                                                           log2_cb):
+                        mode = int(ps.luma_mode[ty >> 2, tx >> 2])
+                        self._encode_tu(orig[0], rec[0], ps.coeff_y, ps,
+                                        tx, ty, log2_tb, mode, qp_y,
+                                        is_luma=True)
+                    cmode = int(ps.chroma_mode[cy >> 2, cx >> 2])
+                    for (tx, ty, clog2) in chroma_tu_leaves(ps, cx, cy,
+                                                            log2_cb):
+                        self._encode_tu(orig[1], rec[1], ps.coeff_cb, ps,
+                                        tx >> 1, ty >> 1, clog2, cmode,
+                                        qp_cb, is_luma=False, chroma_shift=1)
+                        self._encode_tu(orig[2], rec[2], ps.coeff_cr, ps,
+                                        tx >> 1, ty >> 1, clog2, cmode,
+                                        qp_cr, is_luma=False, chroma_shift=1)
 
         au = self._entropy_encode(ps)
 
