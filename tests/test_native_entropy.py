@@ -1,0 +1,60 @@
+"""The native C slice encoder must produce byte-identical output to the
+Python CABAC/syntax path (same contract as the reference testbench's
+asm-vs-C checks, SURVEY.md §4.1, applied to the entropy stage)."""
+
+import numpy as np
+import pytest
+
+import conftest  # noqa: F401
+from x265_tpu.common.params import Params
+from x265_tpu.decoder import decode_annexb
+from x265_tpu.encoder import Encoder
+from x265_tpu.native import get_lib
+
+pytestmark = pytest.mark.skipif(get_lib() is None,
+                                reason="no native toolchain")
+
+
+def frames_for(kind, w, h, seed=0):
+    rng = np.random.RandomState(seed)
+    if kind == "random":
+        y = rng.randint(0, 256, (h, w), np.uint8)
+        u = rng.randint(0, 256, (h // 2, w // 2), np.uint8)
+        v = rng.randint(0, 256, (h // 2, w // 2), np.uint8)
+    else:
+        yy, xx = np.mgrid[0:h, 0:w]
+        y = (128 + 90 * np.sin(xx / 13.0) * np.cos(yy / 7.0)
+             ).clip(0, 255).astype(np.uint8)
+        u = ((xx[::2, ::2] * 3) % 256).astype(np.uint8)
+        v = ((yy[::2, ::2] * 5) % 256).astype(np.uint8)
+    return y, u, v
+
+
+@pytest.mark.parametrize("kind", ["random", "structured"])
+@pytest.mark.parametrize("qp", [14, 30, 45])
+def test_native_matches_python(kind, qp):
+    w, h = 96, 64
+    frame = frames_for(kind, w, h, seed=qp)
+    p = Params(source_width=w, source_height=h, qp=qp,
+               decoded_picture_hash=1)
+
+    enc_n = Encoder(p)
+    au_n, _ = enc_n.encode_frame(frame)
+
+    enc_p = Encoder(p)
+    enc_p.force_python_entropy = True
+    au_p, _ = enc_p.encode_frame(frame)
+
+    assert au_n == au_p
+
+
+def test_native_stream_decodes():
+    w, h = 64, 64
+    frame = frames_for("random", w, h, seed=1)
+    p = Params(source_width=w, source_height=h, qp=26,
+               decoded_picture_hash=1)
+    enc = Encoder(p)
+    stream = enc.headers()
+    au, rec = enc.encode_frame(frame)
+    pics = decode_annexb(stream + au)
+    assert pics[0].hash_ok is True

@@ -62,9 +62,13 @@ class Encoder:
         self.params = params
         w, h = params.source_width, params.source_height
         assert w > 0 and h > 0
-        # coded size: round up to min CU (8); signal the rest via conf window
-        cw = (w + 7) & ~7
-        ch = (h + 7) & ~7
+        # coded size: round up to the analysis-CU grid (16) so the whole
+        # picture runs on the device wavefront (no edge-crossing CUs);
+        # the overshoot is hidden by the conformance window, mirroring the
+        # reference's min-CU padding (x265_1.9 PicYuv::copyFromPicture)
+        align = 16
+        cw = (w + align - 1) & ~(align - 1)
+        ch = (h + align - 1) & ~(align - 1)
         log2_ctb = params.ctu_size.bit_length() - 1
         self.geom = PictureGeometry(cw, ch, log2_ctb, 3)
         self.bit_depth = params.internal_bit_depth
@@ -96,7 +100,10 @@ class Encoder:
         self.qp = params.qp
         self.poc = 0
         self.force_host_recon = False   # tests can force the numpy oracle
+        self.force_python_entropy = False
         self._wf = {}                   # cached WavefrontIntraRecon per plane
+        self._mode_tables = {}          # cached mode-decision gather tables
+        self._fused_recon = None        # fused 3-plane device recon jit
 
     # -- stream headers ------------------------------------------------------
 
@@ -125,18 +132,11 @@ class Encoder:
         gh = (g.ctbs_h << g.log2_ctb) // n
         gw = (g.ctbs_w << g.log2_ctb) // n
 
-        # gather canonical reference vectors for every block (numpy; cheap)
-        from ..common.geometry import intra_neighbor_coords
-        refs = np.zeros((gh * gw, 4 * n + 1), np.int32)
-        avails = np.zeros((gh * gw, 4 * n + 1), bool)
+        # gather canonical reference vectors for every block (vectorized;
+        # index/availability tables are static per geometry and cached)
         H, W = y.shape
-        for by in range(gh):
-            for bx in range(gw):
-                x0, y0 = bx * n, by * n
-                xs, ys = intra_neighbor_coords(x0, y0, n)
-                avails[by * gw + bx] = g.avail_rows(x0, y0, xs, ys)
-                refs[by * gw + bx] = y[np.clip(ys, 0, H - 1),
-                                       np.clip(xs, 0, W - 1)]
+        ridx, avails = self._mode_gather_tables(n, gh, gw, H, W)
+        refs = y.reshape(-1)[ridx].astype(np.int32)
 
         refs_j = substitute_references(jnp.asarray(refs), jnp.asarray(avails),
                                        self.bit_depth)
@@ -147,6 +147,27 @@ class Encoder:
         costs = satd(blocks[:, None], preds)        # [B, 35]
         modes = np.asarray(jnp.argmin(costs, axis=1)).reshape(gh, gw)
         return cu_size, modes
+
+    def _mode_gather_tables(self, n, gh, gw, H, W):
+        """Cached [B, 4n+1] flat gather indices + availability for the
+        open-loop mode-decision reference vectors."""
+        key = (n, gh, gw, H, W)
+        t = self._mode_tables.get(key)
+        if t is not None:
+            return t
+        from ..common.geometry import intra_neighbor_coords
+        g = self.geom
+        ridx = np.zeros((gh * gw, 4 * n + 1), np.int64)
+        avails = np.zeros((gh * gw, 4 * n + 1), bool)
+        for by in range(gh):
+            for bx in range(gw):
+                x0, y0 = bx * n, by * n
+                xs, ys = intra_neighbor_coords(x0, y0, n)
+                avails[by * gw + bx] = g.avail_rows(x0, y0, xs, ys)
+                ridx[by * gw + bx] = (np.clip(ys, 0, H - 1) * W
+                                      + np.clip(xs, 0, W - 1))
+        self._mode_tables[key] = (ridx, avails)
+        return ridx, avails
 
     # -- pass B: sequential reconstruction ----------------------------------
 
@@ -189,21 +210,78 @@ class Encoder:
         jobs = (("y", n, True, 0, orig[0], rec[0], ps.coeff_y, qp_y),
                 ("cb", n // 2, False, 1, orig[1], rec[1], ps.coeff_cb, qp_cb),
                 ("cr", n // 2, False, 1, orig[2], rec[2], ps.coeff_cr, qp_cr))
-        for key, bn, is_luma, cs, opl, rpl, cpl, qp in jobs:
+        wfs = []
+        host_mask = None
+        for key, bn, is_luma, cs, _o, _r, _c, _q in jobs:
             wf = self._wf.get((key, bn))
             if wf is None:
                 wf = WavefrontIntraRecon(g.width, g.height, g.log2_ctb, bn,
                                          is_luma=is_luma, chroma_shift=cs,
                                          bit_depth=self.bit_depth)
                 self._wf[(key, bn)] = wf
-            gh, gw = wf.sched["grid"]
-            blocks = opl.astype(np.int32).reshape(
-                gh, bn, gw, bn).transpose(0, 2, 1, 3).reshape(-1, bn, bn)
-            plane, levels = wf.encode(blocks, modes_f, qp)
-            rpl[:] = np.asarray(plane).astype(rpl.dtype)
-            cpl[:] = np.asarray(levels).reshape(
-                gh, gw, bn, bn).transpose(0, 2, 1, 3).reshape(gh * bn,
-                                                              gw * bn)
+            if host_mask is None:
+                host_mask = wf.sched["host_mask"]
+            else:
+                # luma/chroma dependency structure is identical at CU level
+                assert np.array_equal(host_mask, wf.sched["host_mask"])
+            wfs.append(wf)
+
+        if any(wf.sched["n_levels"] > 0 for wf in wfs):
+            fused = self._fused_recon
+            if fused is None:
+                import jax
+
+                scans = [wf.scan_fn(encode=True) for wf in wfs]
+
+                def fused(by, bcb, bcr, modes, qpy, qpb, qpr):
+                    return (scans[0](by, modes, qpy),
+                            scans[1](bcb, modes, qpb),
+                            scans[2](bcr, modes, qpr))
+
+                fused = jax.jit(fused)
+                self._fused_recon = fused
+
+            def to_blocks(pl, bn, wf):
+                gh, gw = wf.sched["grid"]
+                return pl.reshape(gh, bn, gw, bn).transpose(
+                    0, 2, 1, 3).reshape(-1, bn, bn)
+
+            outs = fused(to_blocks(orig[0], cu_size, wfs[0]),
+                         to_blocks(orig[1], cu_size // 2, wfs[1]),
+                         to_blocks(orig[2], cu_size // 2, wfs[2]),
+                         modes_f, qp_y, qp_cb, qp_cr)
+            for (plane, levels), wf, (key, bn, _il, _cs, _o, rpl, cpl,
+                                      _q) in zip(outs, wfs, jobs):
+                gh, gw = wf.sched["grid"]
+                rpl[:] = np.asarray(plane).astype(rpl.dtype)
+                cpl[:] = np.asarray(levels).astype(np.int32).reshape(
+                    gh, gw, bn, bn).transpose(0, 2, 1, 3).reshape(
+                        gh * bn, gw * bn)
+
+        if host_mask is not None and host_mask.any():
+            self._recon_host_blocks(ps, orig, rec, host_mask, cu_size, qps)
+
+    def _recon_host_blocks(self, ps, orig, rec, host_mask, cu_size, qps):
+        """Spec-loop encode of the CUs the device schedule excluded (picture
+        edge strips + their z-scan dependents), in decode order."""
+        g = self.geom
+        qp_y, qp_cb, qp_cr = qps
+        for ctu in range(g.n_ctbs):
+            for (cx, cy, log2_cb) in cu_leaves(ps, ctu):
+                if not host_mask[cy // cu_size, cx // cu_size]:
+                    continue
+                for (tx, ty, log2_tb, _d) in tu_leaves(ps, cx, cy, log2_cb):
+                    mode = int(ps.luma_mode[ty >> 2, tx >> 2])
+                    self._encode_tu(orig[0], rec[0], ps.coeff_y, ps, tx, ty,
+                                    log2_tb, mode, qp_y, is_luma=True)
+                cmode = int(ps.chroma_mode[cy >> 2, cx >> 2])
+                for (tx, ty, clog2) in chroma_tu_leaves(ps, cx, cy, log2_cb):
+                    self._encode_tu(orig[1], rec[1], ps.coeff_cb, ps,
+                                    tx >> 1, ty >> 1, clog2, cmode, qp_cb,
+                                    is_luma=False, chroma_shift=1)
+                    self._encode_tu(orig[2], rec[2], ps.coeff_cr, ps,
+                                    tx >> 1, ty >> 1, clog2, cmode, qp_cr,
+                                    is_luma=False, chroma_shift=1)
 
     # -- top level -----------------------------------------------------------
 
@@ -243,8 +321,7 @@ class Encoder:
         qp_cb = chroma_qp(qp_y, self.pps.cb_qp_offset)
         qp_cr = chroma_qp(qp_y, self.pps.cr_qp_offset)
 
-        fixed_grid = (g.width % cu_size == 0 and g.height % cu_size == 0)
-        if fixed_grid and not self.force_host_recon:
+        if not self.force_host_recon:
             self._recon_wavefront(ps, orig, rec, modes, cu_size,
                                   (qp_y, qp_cb, qp_cr))
         else:
@@ -308,17 +385,27 @@ class Encoder:
         nal_type = NAL_IDR_W_RADL
         bw = write_slice_header(sh, self.sps, self.pps, nal_type)
 
-        ctx = init_context_states(0, self.qp)
-        enc = CabacEncoder(ctx=ctx)
-        coder = CtuCoder(ps, self.sps.log2_min_cb_size,
-                         self.sps.log2_min_tb_size, self.sps.log2_max_tb_size)
-        for ctu in range(g.n_ctbs):
-            coder.encode_ctu(enc, ctu)
-            enc.encode_terminate(1 if ctu == g.n_ctbs - 1 else 0)
-        # finishSlice semantics (entropy.h:153): terminate(1) flushed the
-        # engine; close the RBSP with stop bit + alignment zeros.
-        enc.bw.byte_alignment()
-        rbsp = bw.getvalue() + enc.bw.getvalue()
+        data = None
+        if not self.force_python_entropy:
+            from ..native import encode_slice_data_native
+            data = encode_slice_data_native(
+                ps, self.qp, log2_min_cb=self.sps.log2_min_cb_size,
+                log2_min_tb=self.sps.log2_min_tb_size,
+                log2_max_tb=self.sps.log2_max_tb_size)
+        if data is None:    # no native toolchain: Python CABAC fallback
+            ctx = init_context_states(0, self.qp)
+            enc = CabacEncoder(ctx=ctx)
+            coder = CtuCoder(ps, self.sps.log2_min_cb_size,
+                             self.sps.log2_min_tb_size,
+                             self.sps.log2_max_tb_size)
+            for ctu in range(g.n_ctbs):
+                coder.encode_ctu(enc, ctu)
+                enc.encode_terminate(1 if ctu == g.n_ctbs - 1 else 0)
+            # finishSlice semantics (entropy.h:153): terminate(1) flushed
+            # the engine; close the RBSP with stop bit + alignment zeros.
+            enc.bw.byte_alignment()
+            data = enc.bw.getvalue()
+        rbsp = bw.getvalue() + data
         return wrap_nal(nal_type, rbsp)
 
 

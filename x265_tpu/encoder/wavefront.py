@@ -65,9 +65,13 @@ def build_schedule(width: int, height: int, log2_ctb: int, n: int,
         ((by, bx) for by in range(gh) for bx in range(gw)),
         key=lambda p: int(g.zscan[((p[0] * n) << chroma_shift) >> 2,
                                   ((p[1] * n) << chroma_shift) >> 2]))
-    # blocks fully outside the picture (CTB padding area) are not coded:
-    # mark level -1 and omit from the schedule
+    # Blocks fully outside the picture (CTB padding) are not coded at all.
+    # Blocks CROSSING the picture edge are coded as smaller CUs — they go to
+    # the host strip pass, as does (transitively) any block whose available
+    # reference samples touch a host-pass block (fixpoint below).
     in_pic = np.zeros((gh, gw), bool)
+    crossing = np.zeros((gh, gw), bool)
+    dep_list = [[] for _ in range(gh * gw)]
     for (by, bx) in order:
             b = by * gw + bx
             x0, y0 = bx * n, by * n
@@ -75,6 +79,9 @@ def build_schedule(width: int, height: int, log2_ctb: int, n: int,
                (y0 << chroma_shift) >= g.height:
                 lvl[by, bx] = -1
                 continue
+            if ((x0 + n) << chroma_shift) > g.width or \
+               ((y0 + n) << chroma_shift) > g.height:
+                crossing[by, bx] = True
             in_pic[by, bx] = True
             xs, ys = intra_neighbor_coords(x0, y0, n)
             av = g.avail_rows(x0 << chroma_shift, y0 << chroma_shift,
@@ -87,6 +94,7 @@ def build_schedule(width: int, height: int, log2_ctb: int, n: int,
                 if a:
                     deps.add((int(Y) // n) * gw + int(X) // n)
             deps.discard(b)
+            dep_list[b] = sorted(deps)
             m = 0
             for d in deps:
                 dy, dx = d // gw, d % gw
@@ -94,8 +102,30 @@ def build_schedule(width: int, height: int, log2_ctb: int, n: int,
                     m = max(m, lvl[dy, dx] + 1)
             lvl[by, bx] = m
 
-    n_levels = int(lvl.max()) + 1
-    counts = np.bincount(lvl[in_pic].ravel(), minlength=n_levels)
+    # fixpoint: unschedule any block depending on an unscheduled in-picture
+    # block (edge-crossing blocks and their transitive dependents run in the
+    # host strip pass in z order, after the device scan)
+    scheduled = in_pic & ~crossing
+    changed = True
+    while changed:
+        changed = False
+        for (by, bx) in order:
+            b = by * gw + bx
+            if not scheduled[by, bx]:
+                continue
+            for d in dep_list[b]:
+                if in_pic[d // gw, d % gw] and not scheduled[d // gw, d % gw]:
+                    scheduled[by, bx] = False
+                    changed = True
+                    break
+
+    host_mask = in_pic & ~scheduled
+    if not scheduled.any():
+        return dict(n_levels=0, host_mask=host_mask, grid=(gh, gw),
+                    plane=(ph, pw), n=n, lmax=0)
+
+    n_levels = int(lvl[scheduled].max()) + 1
+    counts = np.bincount(lvl[scheduled].ravel(), minlength=n_levels)
     lmax = int(counts.max())
 
     lvl_blk = np.full((n_levels, lmax), nblocks, np.int32)     # dummy = B
@@ -106,7 +136,7 @@ def build_schedule(width: int, height: int, log2_ctb: int, n: int,
     oy, ox = np.mgrid[0:n, 0:n]
     for by in range(gh):
         for bx in range(gw):
-            if not in_pic[by, bx]:
+            if not scheduled[by, bx]:
                 continue
             b = by * gw + bx
             li = int(lvl[by, bx])
@@ -119,7 +149,7 @@ def build_schedule(width: int, height: int, log2_ctb: int, n: int,
 
     return dict(lvl_blk=lvl_blk, ref_idx=ref_idx, ref_avail=ref_avail,
                 sct_idx=sct_idx, n_levels=n_levels, lmax=lmax,
-                grid=(gh, gw), plane=(ph, pw), n=n)
+                grid=(gh, gw), plane=(ph, pw), n=n, host_mask=host_mask)
 
 
 def _substitute(samples, avail, bit_depth):
@@ -241,43 +271,56 @@ class WavefrontIntraRecon:
                 rec.reshape(-1), mode="drop")
             return (plane_flat, blocks, qp), (levels if encode else None)
 
+        out_dtype = jnp.uint8 if bd == 8 else jnp.uint16
+
         def run(data, modes, qp):
             # data: [B, n, n] orig (enc) or levels (dec); modes: [B]
             pad = jnp.zeros((1, n, n), jnp.int32)
-            blocks = dict(data=jnp.concatenate([data, pad]),
+            blocks = dict(data=jnp.concatenate([data.astype(jnp.int32),
+                                                pad]),
                           modes=jnp.concatenate(
                               [modes, jnp.zeros((1,), modes.dtype)]))
             plane_flat = jnp.zeros((ph * pw + 1,), jnp.int32)
             (plane_flat, _, _), levels = jax.lax.scan(
                 step, (plane_flat, blocks, qp), xs_all)
-            plane = plane_flat[:-1].reshape(ph, pw)
+            # compact dtypes: recon fits the bit depth, levels fit int16 —
+            # halves/quarters the device->host transfer (the tunnel is the
+            # bottleneck at ~30 MB/s)
+            plane = plane_flat[:-1].reshape(ph, pw).astype(out_dtype)
             if encode:
                 # levels: [L, Lmax, n, n] -> scatter back to block order
-                out = jnp.zeros((nblocks + 1, n, n), jnp.int32)
+                out = jnp.zeros((nblocks + 1, n, n), jnp.int16)
                 out = out.at[s["lvl_blk"].reshape(-1)].set(
-                    levels.reshape(-1, n, n), mode="drop")
+                    levels.reshape(-1, n, n).astype(jnp.int16), mode="drop")
                 return plane, out[:-1]
             return plane
 
-        return jax.jit(run)
+        return run
 
     # -- public --------------------------------------------------------------
 
+    def scan_fn(self, encode: bool):
+        """The raw (unjitted) scan callable, for fusing several planes'
+        scans into one device dispatch."""
+        return self._make_scan(encode=encode)
+
     def encode(self, orig_blocks, modes, qp):
-        """orig_blocks [B, n, n] int32, modes [B] int32, qp int ->
-        (recon plane [ph, pw] int32, levels [B, n, n] int32)."""
+        """orig_blocks [B, n, n], modes [B] int32, qp int ->
+        (recon plane [ph, pw] uint8/uint16, levels [B, n, n] int16)."""
+        import jax
         import jax.numpy as jnp
         if self._encode_jit is None:
-            self._encode_jit = self._make_scan(encode=True)
-        return self._encode_jit(jnp.asarray(orig_blocks, jnp.int32),
+            self._encode_jit = jax.jit(self._make_scan(encode=True))
+        return self._encode_jit(jnp.asarray(orig_blocks),
                                 jnp.asarray(modes, jnp.int32),
                                 jnp.int32(qp))
 
     def decode(self, levels, modes, qp):
-        """levels [B, n, n] int32, modes [B] -> recon plane."""
+        """levels [B, n, n], modes [B] -> recon plane."""
+        import jax
         import jax.numpy as jnp
         if self._decode_jit is None:
-            self._decode_jit = self._make_scan(encode=False)
-        return self._decode_jit(jnp.asarray(levels, jnp.int32),
+            self._decode_jit = jax.jit(self._make_scan(encode=False))
+        return self._decode_jit(jnp.asarray(levels),
                                 jnp.asarray(modes, jnp.int32),
                                 jnp.int32(qp))

@@ -1,0 +1,98 @@
+"""Native (C) host-side runtime components, loaded via ctypes.
+
+The sequential entropy-coding pass runs as native code on the host while
+pixel work runs on the TPU (SURVEY.md §7: CABAC is the one irreducibly
+serial component).  Build model: the C sources ship in-tree and are
+compiled on demand with the system toolchain into a cached shared object —
+no packaging dependencies.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import hashlib
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_BUILD = os.path.join(_DIR, "_build")
+_LOCK = threading.Lock()
+_LIB = None
+_LIB_ERR = None
+
+
+def _build_lib() -> str:
+    src = os.path.join(_DIR, "slice_enc.c")
+    with open(src, "rb") as f:
+        digest = hashlib.sha256(f.read()).hexdigest()[:16]
+    so = os.path.join(_BUILD, f"slice_enc_{digest}.so")
+    if os.path.exists(so):
+        return so
+    os.makedirs(_BUILD, exist_ok=True)
+    tmp = so + ".tmp.%d" % os.getpid()
+    subprocess.run(
+        ["cc", "-O2", "-shared", "-fPIC", "-o", tmp, src],
+        check=True, capture_output=True)
+    os.replace(tmp, so)
+    return so
+
+
+def get_lib():
+    """Returns the loaded native library, or None if the toolchain is
+    unavailable (callers fall back to the Python implementation)."""
+    global _LIB, _LIB_ERR
+    with _LOCK:
+        if _LIB is not None or _LIB_ERR is not None:
+            return _LIB
+        try:
+            lib = ctypes.CDLL(_build_lib())
+        except (OSError, subprocess.CalledProcessError) as exc:  # no cc, etc.
+            _LIB_ERR = exc
+            return None
+        fn = lib.encode_slice_data
+        fn.restype = ctypes.c_long
+        u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+        i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+        i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+        fn.argtypes = [u8p] * 5 + [i32p] * 3 + [i64p] + [ctypes.c_int] * 10 \
+            + [u8p, ctypes.c_int, u8p, ctypes.c_long]
+        _LIB = lib
+        return _LIB
+
+
+def encode_slice_data_native(ps, qp: int, *, log2_min_cb=3, log2_min_tb=2,
+                             log2_max_tb=5, init_type=0) -> bytes | None:
+    """Encode a full I-slice's CTU data natively.  Returns the CABAC byte
+    payload (terminated + aligned), or None if native is unavailable.
+
+    ``ps`` is a cabac.ctu.PicSyntax; output is byte-identical to the Python
+    CtuCoder/CabacEncoder path.
+    """
+    lib = get_lib()
+    if lib is None:
+        return None
+    from ..cabac.tables import NUM_CTX, init_context_states
+
+    g = ps.geom
+    ctx = np.ascontiguousarray(init_context_states(init_type, qp), np.uint8)
+    cap = ps.coeff_y.size * 8 + (1 << 16)
+    out = np.empty(cap, np.uint8)
+    arrs = [np.ascontiguousarray(a, np.uint8)
+            for a in (ps.depth, ps.part, ps.luma_mode, ps.chroma_mode,
+                      ps.tu_depth)]
+    n = lib.encode_slice_data(
+        *arrs,
+        np.ascontiguousarray(ps.coeff_y, np.int32),
+        np.ascontiguousarray(ps.coeff_cb, np.int32),
+        np.ascontiguousarray(ps.coeff_cr, np.int32),
+        np.ascontiguousarray(g.zscan, np.int64),
+        g.width, g.height, g.w4, g.h4,
+        g.log2_ctb, log2_min_cb, log2_min_tb, log2_max_tb,
+        ps.max_tr_depth_intra, int(ps.sign_hiding),
+        ctx, NUM_CTX, out, cap)
+    if n < 0:
+        raise RuntimeError(f"native slice encode failed: {n}")
+    return out[:n].tobytes()

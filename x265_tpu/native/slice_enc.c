@@ -1,0 +1,647 @@
+/* Native CABAC slice-data encoder for the x265_tpu framework.
+ *
+ * Role: the sequential entropy-coding pass (the one irreducibly serial
+ * component of HEVC — SURVEY.md §7 design stance) runs as native code on
+ * the host while all pixel work runs on the TPU.  Mirrors the Python
+ * reference implementation (x265_tpu/cabac/{engine,syntax,ctu}.py) exactly:
+ * output bytes must be identical (asserted by tests/test_native_entropy.py).
+ *
+ * Spec: ITU-T H.265 §7.3.8 (syntax), §9.3 (CABAC).  Reference embodiment
+ * of the role: x265_1.9/source/encoder/entropy.cpp (encodeCTU).
+ *
+ * Intra toolset (I-slices).  Inter syntax lands with the P/B path.
+ */
+
+#include <stdint.h>
+#include <stdlib.h>
+#include <string.h>
+
+/* ---- context layout: must match x265_tpu/cabac/tables.py CTX_OFFSET ---- */
+enum {
+    CTX_SAO_MERGE = 0,
+    CTX_SAO_TYPE_IDX = 1,
+    CTX_SPLIT_CU = 2,
+    CTX_CU_TRANSQUANT_BYPASS = 5,
+    CTX_CU_SKIP = 6,
+    CTX_PRED_MODE = 9,
+    CTX_PART_MODE = 10,
+    CTX_PREV_INTRA_LUMA = 14,
+    CTX_INTRA_CHROMA = 15,
+    CTX_CBF_LUMA = 16,
+    CTX_CBF_CHROMA = 18,
+    CTX_SPLIT_TRANSFORM = 22,
+    CTX_LAST_X_PREFIX = 25,
+    CTX_LAST_Y_PREFIX = 43,
+    CTX_CODED_SUB_BLOCK = 61,
+    CTX_SIG_COEFF = 65,
+    CTX_GREATER1 = 107,
+    CTX_GREATER2 = 131,
+    NUM_CTX_EXPECT = 154,
+};
+
+/* Table 9-46 rangeTabLps */
+static const uint8_t LPS_TABLE[64][4] = {
+    {128,176,208,240},{128,167,197,227},{128,158,187,216},{123,150,178,205},
+    {116,142,169,195},{111,135,160,185},{105,128,152,175},{100,122,144,166},
+    {95,116,137,158},{90,110,130,150},{85,104,123,142},{81,99,117,135},
+    {77,94,111,128},{73,89,105,122},{69,85,100,116},{66,80,95,110},
+    {62,76,90,104},{59,72,86,99},{56,69,81,94},{53,65,77,89},
+    {51,62,73,85},{48,59,69,80},{46,56,66,76},{43,53,63,72},
+    {41,50,59,69},{39,48,56,65},{37,45,54,62},{35,43,51,59},
+    {33,41,48,56},{32,39,46,53},{30,37,43,50},{29,35,41,48},
+    {27,33,39,45},{26,31,37,43},{24,30,35,41},{23,28,33,39},
+    {22,27,32,37},{21,26,30,35},{20,24,29,33},{19,23,27,31},
+    {18,22,26,30},{17,21,25,28},{16,20,23,27},{15,19,22,25},
+    {14,18,21,24},{14,17,20,23},{13,16,19,22},{12,15,18,21},
+    {12,14,17,20},{11,14,16,19},{11,13,15,18},{10,12,15,17},
+    {10,12,14,16},{9,11,13,15},{9,11,12,14},{8,10,12,14},
+    {8,9,11,13},{7,9,11,12},{7,9,10,12},{7,8,10,11},
+    {6,8,9,11},{6,7,9,10},{6,7,8,9},{2,2,2,2},
+};
+static const uint8_t NEXT_MPS[64] = {
+    1,2,3,4,5,6,7,8,9,10,11,12,13,14,15,16,17,18,19,20,21,22,23,24,25,26,
+    27,28,29,30,31,32,33,34,35,36,37,38,39,40,41,42,43,44,45,46,47,48,49,
+    50,51,52,53,54,55,56,57,58,59,60,61,62,62,63};
+static const uint8_t NEXT_LPS[64] = {
+    0,0,1,2,2,4,4,5,6,7,8,9,9,11,11,12,13,13,15,15,16,16,18,18,19,19,21,
+    21,22,22,23,24,24,25,26,26,27,27,28,29,29,30,30,30,31,32,32,33,33,33,
+    34,34,35,35,35,36,36,36,37,37,37,38,38,63};
+
+static const uint8_t CTX_IDX_MAP_4x4[16] =
+    {0,1,4,5,2,3,4,5,6,6,8,8,7,7,8,8};
+static const uint8_t MIN_IN_GROUP[10] = {0,1,2,3,4,6,8,12,16,24};
+static const uint8_t GROUP_IDX[32] =
+    {0,1,2,3,4,4,5,5,6,6,6,6,7,7,7,7,8,8,8,8,8,8,8,8,9,9,9,9,9,9,9,9};
+
+#define SCAN_DIAG 0
+#define SCAN_HORIZ 1
+#define SCAN_VERT 2
+#define MODE_PLANAR 0
+#define MODE_DC 1
+#define MODE_HOR 10
+#define MODE_VER 26
+
+/* ---- scan tables (built once) ---- */
+/* scan_xy[scan][log2-1][i] packs (x | y<<8) for a size=2^log2.. we need
+ * scan orders for group grids (1,2,4,8) and the inner 4x4. */
+static int scan_built = 0;
+static uint16_t scan_tab[3][4][64];   /* [scan][log2 of size 1/2/4/8][64] */
+
+static void build_scan_for(int scan, int size, uint16_t *out) {
+    int i = 0, x, y, s;
+    if (scan == SCAN_DIAG) {
+        for (s = 0; s <= 2 * (size - 1); s++)
+            for (x = 0; x <= s; x++) {
+                y = s - x;
+                if (x < size && y < size) out[i++] = (uint16_t)(x | (y << 8));
+            }
+    } else if (scan == SCAN_HORIZ) {
+        for (y = 0; y < size; y++) for (x = 0; x < size; x++)
+            out[i++] = (uint16_t)(x | (y << 8));
+    } else {
+        for (x = 0; x < size; x++) for (y = 0; y < size; y++)
+            out[i++] = (uint16_t)(x | (y << 8));
+    }
+}
+
+static void build_scans(void) {
+    int sc, l;
+    if (scan_built) return;
+    for (sc = 0; sc < 3; sc++)
+        for (l = 0; l < 4; l++)
+            build_scan_for(sc, 1 << l, scan_tab[sc][l]);
+    scan_built = 1;
+}
+
+/* ---- encoder state ---- */
+typedef struct {
+    /* bit writer */
+    uint8_t *out;
+    long cap, pos;          /* byte position */
+    uint32_t cur;           /* partial byte bits (MSB-aligned count=bitpos) */
+    int bitpos;
+    int overflow;
+    /* cabac */
+    uint32_t low, range, bits_outstanding;
+    int first_bit;
+    uint8_t ctx[NUM_CTX_EXPECT];
+    /* picture */
+    const uint8_t *depth, *part, *luma_mode, *chroma_mode, *tu_depth;
+    const int32_t *cy, *ccb, *ccr;
+    const int64_t *zscan;
+    int w, h, w4, h4, ystride, cstride;
+    int log2_ctb, min_cb, min_tb, max_tb, max_tr_intra, sign_hide;
+} Enc;
+
+/* ---- bit output ---- */
+static void put_bits(Enc *e, uint32_t val, int n) {
+    if (n == 0) return;
+    uint64_t acc = ((uint64_t)e->cur << n) | val;
+    int total = e->bitpos + n;
+    while (total >= 8) {
+        total -= 8;
+        if (e->pos >= e->cap) { e->overflow = 1; return; }
+        e->out[e->pos++] = (uint8_t)((acc >> total) & 0xFF);
+    }
+    e->cur = (uint32_t)(acc & ((1u << total) - 1));
+    e->bitpos = total;
+}
+
+static void put_bit_cabac(Enc *e, int b) {
+    if (e->first_bit) e->first_bit = 0;
+    else put_bits(e, (uint32_t)b, 1);
+    if (e->bits_outstanding) {
+        uint32_t inv = (uint32_t)(1 - b);
+        while (e->bits_outstanding) { put_bits(e, inv, 1); e->bits_outstanding--; }
+    }
+}
+
+static void renorm(Enc *e) {
+    while (e->range < 256) {
+        if (e->low >= 0x200) { put_bit_cabac(e, 1); e->low -= 0x200; }
+        else if (e->low < 0x100) put_bit_cabac(e, 0);
+        else { e->low -= 0x100; e->bits_outstanding++; }
+        e->range <<= 1;
+        e->low <<= 1;
+    }
+}
+
+static void encode_bin(Enc *e, int ctx_idx, int binval) {
+    uint8_t packed = e->ctx[ctx_idx];
+    int state = packed >> 1, mps = packed & 1;
+    uint32_t lps = LPS_TABLE[state][(e->range >> 6) & 3];
+    e->range -= lps;
+    if (binval != mps) {
+        e->low += e->range;
+        e->range = lps;
+        if (state == 0) mps = 1 - mps;
+        state = NEXT_LPS[state];
+    } else {
+        state = NEXT_MPS[state];
+    }
+    e->ctx[ctx_idx] = (uint8_t)((state << 1) | mps);
+    renorm(e);
+}
+
+static void encode_bypass(Enc *e, int binval) {
+    e->low <<= 1;
+    if (binval) e->low += e->range;
+    if (e->low >= 0x400) { put_bit_cabac(e, 1); e->low -= 0x400; }
+    else if (e->low < 0x200) put_bit_cabac(e, 0);
+    else { e->low -= 0x200; e->bits_outstanding++; }
+}
+
+static void encode_bypass_bins(Enc *e, uint32_t value, int n) {
+    int i;
+    for (i = n - 1; i >= 0; i--) encode_bypass(e, (value >> i) & 1);
+}
+
+static void cabac_flush(Enc *e) {
+    e->range = 2;
+    renorm(e);
+    put_bit_cabac(e, (e->low >> 9) & 1);
+    put_bits(e, ((e->low >> 7) & 3) | 1, 2);
+}
+
+static void encode_terminate(Enc *e, int binval) {
+    e->range -= 2;
+    if (binval) { e->low += e->range; cabac_flush(e); }
+    else renorm(e);
+}
+
+/* ---- availability / MPM ---- */
+static int avail(const Enc *e, int xc, int yc, int xn, int yn) {
+    if (xn < 0 || yn < 0 || xn >= e->w || yn >= e->h) return 0;
+    return e->zscan[(yn >> 2) * e->w4 + (xn >> 2)]
+         < e->zscan[(yc >> 2) * e->w4 + (xc >> 2)];
+}
+
+static void luma_mpm(const Enc *e, int x0, int y0, int mpm[3]) {
+    int cand[2], i;
+    for (i = 0; i < 2; i++) {
+        int xn = i == 0 ? x0 - 1 : x0;
+        int yn = i == 0 ? y0 : y0 - 1;
+        int mode = MODE_DC;
+        if (avail(e, x0, y0, xn, yn)) {
+            /* above neighbor outside current CTB row -> DC (pred_mode is
+             * always intra in I slices) */
+            if (!(i == 1 && (yn >> e->log2_ctb) != (y0 >> e->log2_ctb)))
+                mode = e->luma_mode[(yn >> 2) * e->w4 + (xn >> 2)];
+        }
+        cand[i] = mode;
+    }
+    if (cand[0] == cand[1]) {
+        if (cand[0] < 2) { mpm[0] = MODE_PLANAR; mpm[1] = MODE_DC; mpm[2] = MODE_VER; }
+        else {
+            mpm[0] = cand[0];
+            mpm[1] = 2 + ((cand[0] + 29) % 32);
+            mpm[2] = 2 + ((cand[0] - 2 + 1) % 32);
+        }
+    } else {
+        mpm[0] = cand[0]; mpm[1] = cand[1];
+        if (cand[0] != MODE_PLANAR && cand[1] != MODE_PLANAR) mpm[2] = MODE_PLANAR;
+        else if (cand[0] != MODE_DC && cand[1] != MODE_DC) mpm[2] = MODE_DC;
+        else mpm[2] = MODE_VER;
+    }
+}
+
+static int scan_for_intra(int log2_size, int c_idx, int mode) {
+    if (log2_size == 2 || (log2_size == 3 && c_idx == 0)) {
+        if (mode >= 6 && mode <= 14) return SCAN_VERT;
+        if (mode >= 22 && mode <= 30) return SCAN_HORIZ;
+    }
+    return SCAN_DIAG;
+}
+
+/* ---- residual coding ---- */
+static int sig_ctx(int x, int y, int log2_size, int c_idx, int scan_idx,
+                   int csbf_right, int csbf_below) {
+    int sig;
+    if (log2_size == 2) sig = CTX_IDX_MAP_4x4[(y << 2) + x];
+    else if (x + y == 0) sig = 0;
+    else {
+        int prev = csbf_right + 2 * csbf_below;
+        int xp = x & 3, yp = y & 3;
+        if (prev == 0) sig = (xp + yp == 0) ? 2 : (xp + yp < 3 ? 1 : 0);
+        else if (prev == 1) sig = (yp == 0) ? 2 : (yp == 1 ? 1 : 0);
+        else if (prev == 2) sig = (xp == 0) ? 2 : (xp == 1 ? 1 : 0);
+        else sig = 2;
+        if (c_idx == 0) {
+            if ((x >> 2) + (y >> 2) > 0) sig += 3;
+            sig += (log2_size == 3) ? (scan_idx == SCAN_DIAG ? 9 : 15) : 21;
+        } else sig += (log2_size == 3) ? 9 : 12;
+    }
+    return c_idx == 0 ? sig : 27 + sig;
+}
+
+static void encode_last_xy(Enc *e, int last_x, int last_y, int log2_size,
+                           int c_idx) {
+    int offset, shift, cmax, gx, gy, i;
+    if (c_idx == 0) {
+        offset = 3 * (log2_size - 2) + ((log2_size - 1) >> 2);
+        shift = (log2_size + 1) >> 2;
+    } else { offset = 15; shift = log2_size - 2; }
+    cmax = (log2_size << 1) - 1;
+    gx = GROUP_IDX[last_x]; gy = GROUP_IDX[last_y];
+    for (i = 0; i < gx; i++)
+        encode_bin(e, CTX_LAST_X_PREFIX + offset + (i >> shift), 1);
+    if (gx < cmax) encode_bin(e, CTX_LAST_X_PREFIX + offset + (gx >> shift), 0);
+    for (i = 0; i < gy; i++)
+        encode_bin(e, CTX_LAST_Y_PREFIX + offset + (i >> shift), 1);
+    if (gy < cmax) encode_bin(e, CTX_LAST_Y_PREFIX + offset + (gy >> shift), 0);
+    if (gx > 3) encode_bypass_bins(e, (uint32_t)(last_x - MIN_IN_GROUP[gx]), (gx >> 1) - 1);
+    if (gy > 3) encode_bypass_bins(e, (uint32_t)(last_y - MIN_IN_GROUP[gy]), (gy >> 1) - 1);
+}
+
+static void encode_remaining(Enc *e, int value, int rice) {
+    if ((value >> rice) < 4) {
+        int prefix = value >> rice, i;
+        for (i = 0; i < prefix; i++) encode_bypass(e, 1);
+        encode_bypass(e, 0);
+        if (rice) encode_bypass_bins(e, (uint32_t)(value & ((1 << rice) - 1)), rice);
+    } else {
+        int m = 1, i;
+        while (value >= (((1 << (m + 1)) + 2) << rice)) m++;
+        for (i = 0; i < 3 + m; i++) encode_bypass(e, 1);
+        encode_bypass(e, 0);
+        encode_bypass_bins(e, (uint32_t)(value - (((1 << m) + 2) << rice)), m + rice);
+    }
+}
+
+/* coeffs: pointer to top-left of TB in its plane, with given stride */
+static void encode_residual(Enc *e, const int32_t *coeffs, int stride,
+                            int log2_size, int c_idx, int scan_idx) {
+    int size = 1 << log2_size;
+    int ngd = size >> 2; if (ngd < 1) ngd = 1;
+    const uint16_t *sb_scan = scan_tab[scan_idx][log2_size - 2];
+    const uint16_t *coef_scan = scan_tab[scan_idx][2];
+
+    /* last position in hierarchical scan */
+    int last_scan_idx = -1, i, n;
+    int nsb = ngd * ngd;
+    for (i = nsb - 1; i >= 0 && last_scan_idx < 0; i--) {
+        int xs = sb_scan[i] & 0xFF, ys = sb_scan[i] >> 8;
+        for (n = 15; n >= 0; n--) {
+            int xc = xs * 4 + (coef_scan[n] & 0xFF);
+            int yc = ys * 4 + (coef_scan[n] >> 8);
+            if (coeffs[yc * stride + xc]) { last_scan_idx = i * 16 + n; break; }
+        }
+    }
+    if (last_scan_idx < 0) return;   /* caller guarantees nonzero */
+
+    {
+    int last_sb = last_scan_idx >> 4;
+    int last_pos_in_sb = last_scan_idx & 15;
+    int lx = sb_scan[last_sb] & 0xFF, ly = sb_scan[last_sb] >> 8;
+    int last_x = lx * 4 + (coef_scan[last_pos_in_sb] & 0xFF);
+    int last_y = ly * 4 + (coef_scan[last_pos_in_sb] >> 8);
+    uint8_t csbf[8][8];
+    int xs, ys, prev_c1 = 1;
+
+    memset(csbf, 0, sizeof(csbf));
+    for (ys = 0; ys < ngd; ys++)
+        for (xs = 0; xs < ngd; xs++) {
+            int yy, xx, nz = 0;
+            for (yy = 0; yy < 4 && !nz; yy++)
+                for (xx = 0; xx < 4; xx++)
+                    if (coeffs[(ys * 4 + yy) * stride + xs * 4 + xx]) { nz = 1; break; }
+            csbf[ys][xs] = (uint8_t)nz;
+        }
+    csbf[sb_scan[0] >> 8][sb_scan[0] & 0xFF] = 1;
+
+    if (scan_idx == SCAN_VERT) { int t = last_x; last_x = last_y; last_y = t; }
+    encode_last_xy(e, last_x, last_y, log2_size, c_idx);
+
+    for (i = last_sb; i >= 0; i--) {
+        int xg = sb_scan[i] & 0xFF, yg = sb_scan[i] >> 8;
+        int infer_dc_sig = 0;
+        int csbf_right = (xg + 1 < ngd) ? csbf[yg][xg + 1] : 0;
+        int csbf_below = (yg + 1 < ngd) ? csbf[yg + 1][xg] : 0;
+        int sig_pos[16], nsig = 0;
+        int start;
+
+        if (i < last_sb && i > 0) {
+            int ctx = CTX_CODED_SUB_BLOCK + (c_idx ? 2 : 0)
+                    + ((csbf_right || csbf_below) ? 1 : 0);
+            encode_bin(e, ctx, csbf[yg][xg]);
+            infer_dc_sig = 1;
+        }
+        if (!csbf[yg][xg]) continue;
+
+        start = (i == last_sb) ? last_pos_in_sb - 1 : 15;
+        if (i == last_sb) sig_pos[nsig++] = last_pos_in_sb;
+        for (n = start; n >= 0; n--) {
+            int xc = xg * 4 + (coef_scan[n] & 0xFF);
+            int yc = yg * 4 + (coef_scan[n] >> 8);
+            int sig = coeffs[yc * stride + xc] != 0;
+            if (n > 0 || !infer_dc_sig) {
+                int ctx = CTX_SIG_COEFF + sig_ctx(xc, yc, log2_size, c_idx,
+                                                  scan_idx, csbf_right, csbf_below);
+                encode_bin(e, ctx, sig);
+                if (sig) infer_dc_sig = 0;
+            }
+            if (sig) sig_pos[nsig++] = n;
+        }
+        if (!nsig) continue;
+
+        {
+        int levels[16], abs_levels[16], k;
+        int ctx_set, c1 = 1, first_g2 = -1, hidden, rice = 0;
+        int first_sig_scan, last_sig_scan;
+
+        for (k = 0; k < nsig; k++) {
+            int xc = xg * 4 + (coef_scan[sig_pos[k]] & 0xFF);
+            int yc = yg * 4 + (coef_scan[sig_pos[k]] >> 8);
+            levels[k] = coeffs[yc * stride + xc];
+            abs_levels[k] = levels[k] < 0 ? -levels[k] : levels[k];
+        }
+        ctx_set = (i > 0 && c_idx == 0) ? 2 : 0;
+        if (prev_c1 == 0) ctx_set += 1;
+        for (k = 0; k < nsig && k < 8; k++) {
+            int g1 = abs_levels[k] > 1;
+            int ctx = CTX_GREATER1 + (c_idx ? 16 : 0) + ctx_set * 4 + c1;
+            encode_bin(e, ctx, g1);
+            if (g1) { c1 = 0; if (first_g2 < 0) first_g2 = k; }
+            else if (c1 > 0 && c1 < 3) c1++;
+        }
+        if (first_g2 >= 0)
+            encode_bin(e, CTX_GREATER2 + (c_idx ? 4 : 0) + ctx_set,
+                       abs_levels[first_g2] > 2);
+        prev_c1 = c1;
+
+        first_sig_scan = sig_pos[nsig - 1];
+        last_sig_scan = sig_pos[0];
+        hidden = e->sign_hide && (last_sig_scan - first_sig_scan > 3);
+        for (k = 0; k < nsig; k++) {
+            if (hidden && k == nsig - 1) continue;
+            encode_bypass(e, levels[k] < 0);
+        }
+        for (k = 0; k < nsig; k++) {
+            int base = (k < 8) ? (2 + (k == first_g2)) : 1;
+            if (abs_levels[k] >= base) {
+                encode_remaining(e, abs_levels[k] - base, rice);
+                if (abs_levels[k] > (3 << rice) && rice < 4) rice++;
+            }
+        }
+        }
+    }
+    }
+}
+
+/* ---- cbf helpers: any-nonzero over a square region ---- */
+static int region_nz(const int32_t *plane, int stride, int x, int y, int sz) {
+    int yy, xx;
+    for (yy = 0; yy < sz; yy++)
+        for (xx = 0; xx < sz; xx++)
+            if (plane[(y + yy) * stride + x + xx]) return 1;
+    return 0;
+}
+
+/* ---- transform tree ---- */
+static void enc_transform_unit(Enc *e, int x0, int y0, int xb, int yb,
+                               int log2_size, int blk_idx, int cbf_luma,
+                               int cbf_cb, int cbf_cr) {
+    int size = 1 << log2_size;
+    int cx, cy, clog2, csz, cmode, cscan;
+    if (!(cbf_luma || cbf_cb || cbf_cr)) return;
+    if (cbf_luma) {
+        int mode = e->luma_mode[(y0 >> 2) * e->w4 + (x0 >> 2)];
+        int scan = scan_for_intra(log2_size, 0, mode);
+        encode_residual(e, e->cy + y0 * e->ystride + x0, e->ystride,
+                        log2_size, 0, scan);
+    }
+    (void)size;
+    if (log2_size > 2) { cx = x0 >> 1; cy = y0 >> 1; clog2 = log2_size - 1; }
+    else if (blk_idx == 3) { cx = xb >> 1; cy = yb >> 1; clog2 = 2; }
+    else return;
+    csz = 1 << clog2; (void)csz;
+    cmode = e->chroma_mode[((cy * 2) >> 2) * e->w4 + ((cx * 2) >> 2)];
+    cscan = scan_for_intra(clog2, 1, cmode);
+    if (cbf_cb)
+        encode_residual(e, e->ccb + cy * e->cstride + cx, e->cstride,
+                        clog2, 1, cscan);
+    if (cbf_cr)
+        encode_residual(e, e->ccr + cy * e->cstride + cx, e->cstride,
+                        clog2, 2, cscan);
+}
+
+static void enc_transform_tree(Enc *e, int x0, int y0, int xb, int yb,
+                               int log2_size, int depth, int blk_idx,
+                               int intra_split) {
+    int tu_depth_here = e->tu_depth[(y0 >> 2) * e->w4 + (x0 >> 2)];
+    int split = tu_depth_here > depth;
+    int max_depth = e->max_tr_intra + (intra_split ? 1 : 0);
+    int size = 1 << log2_size;
+    int csize = size >> 1;
+    int cbf_cb, cbf_cr;
+
+    if (log2_size <= e->max_tb && log2_size > e->min_tb
+        && depth < max_depth && !(intra_split && depth == 0))
+        encode_bin(e, CTX_SPLIT_TRANSFORM + 5 - log2_size, split);
+
+    if (log2_size > 2) {
+        int parent_cb = depth == 0
+            || region_nz(e->ccb, e->cstride, xb >> 1, yb >> 1, size);
+        int parent_cr = depth == 0
+            || region_nz(e->ccr, e->cstride, xb >> 1, yb >> 1, size);
+        cbf_cb = region_nz(e->ccb, e->cstride, x0 >> 1, y0 >> 1, csize);
+        cbf_cr = region_nz(e->ccr, e->cstride, x0 >> 1, y0 >> 1, csize);
+        if (parent_cb) encode_bin(e, CTX_CBF_CHROMA + depth, cbf_cb);
+        if (parent_cr) encode_bin(e, CTX_CBF_CHROMA + depth, cbf_cr);
+    } else {
+        cbf_cb = region_nz(e->ccb, e->cstride, xb >> 1, yb >> 1, size);
+        cbf_cr = region_nz(e->ccr, e->cstride, xb >> 1, yb >> 1, size);
+    }
+
+    if (split) {
+        int half = size >> 1, i;
+        for (i = 0; i < 4; i++)
+            enc_transform_tree(e, x0 + (i & 1) * half, y0 + (i >> 1) * half,
+                               x0, y0, log2_size - 1, depth + 1, i, intra_split);
+        return;
+    }
+    {
+    int cbf_luma = region_nz(e->cy, e->ystride, x0, y0, size);
+    encode_bin(e, CTX_CBF_LUMA + (depth == 0 ? 1 : 0), cbf_luma);
+    enc_transform_unit(e, x0, y0, xb, yb, log2_size, blk_idx,
+                       cbf_luma, cbf_cb, cbf_cr);
+    }
+}
+
+/* ---- CU / quadtree ---- */
+static void enc_cu(Enc *e, int x0, int y0, int log2_size) {
+    int nxn = e->part[(y0 >> 2) * e->w4 + (x0 >> 2)] != 0;
+    int size = 1 << log2_size;
+    int pb = nxn ? size >> 1 : size;
+    int pus[4][2];
+    int npu = nxn ? 4 : 1;
+    int infos_mode[4], infos_mpm[4][3], infos_in[4];
+    int i, j;
+
+    if (log2_size == e->min_cb)
+        encode_bin(e, CTX_PART_MODE, nxn ? 0 : 1);
+
+    pus[0][0] = x0; pus[0][1] = y0;
+    if (nxn) {
+        pus[1][0] = x0 + pb; pus[1][1] = y0;
+        pus[2][0] = x0;      pus[2][1] = y0 + pb;
+        pus[3][0] = x0 + pb; pus[3][1] = y0 + pb;
+    }
+    for (i = 0; i < npu; i++) {
+        int mode = e->luma_mode[(pus[i][1] >> 2) * e->w4 + (pus[i][0] >> 2)];
+        int in_mpm = 0;
+        luma_mpm(e, pus[i][0], pus[i][1], infos_mpm[i]);
+        for (j = 0; j < 3; j++) if (infos_mpm[i][j] == mode) in_mpm = 1;
+        infos_mode[i] = mode;
+        infos_in[i] = in_mpm;
+        encode_bin(e, CTX_PREV_INTRA_LUMA, in_mpm);
+    }
+    for (i = 0; i < npu; i++) {
+        if (infos_in[i]) {
+            int idx = 0;
+            for (j = 0; j < 3; j++) if (infos_mpm[i][j] == infos_mode[i]) { idx = j; break; }
+            encode_bypass(e, idx > 0);
+            if (idx) encode_bypass(e, idx - 1);
+        } else {
+            int rem = infos_mode[i];
+            int srt[3];
+            for (j = 0; j < 3; j++) srt[j] = infos_mpm[i][j];
+            /* sort descending, subtract */
+            for (j = 0; j < 2; j++) {
+                int k2;
+                for (k2 = j + 1; k2 < 3; k2++)
+                    if (srt[k2] > srt[j]) { int t = srt[j]; srt[j] = srt[k2]; srt[k2] = t; }
+            }
+            for (j = 0; j < 3; j++) if (infos_mode[i] > srt[j]) rem -= 1;
+            encode_bypass_bins(e, (uint32_t)rem, 5);
+        }
+    }
+    {
+    int luma0 = e->luma_mode[(y0 >> 2) * e->w4 + (x0 >> 2)];
+    int cmode = e->chroma_mode[(y0 >> 2) * e->w4 + (x0 >> 2)];
+    int cidx, lst[4];
+    static const int base_list[4] = {MODE_PLANAR, MODE_VER, MODE_HOR, MODE_DC};
+    if (cmode == luma0) cidx = 4;
+    else {
+        for (i = 0; i < 4; i++)
+            lst[i] = (base_list[i] == luma0) ? 34 : base_list[i];
+        cidx = 0;
+        for (i = 0; i < 4; i++) if (lst[i] == cmode) { cidx = i; break; }
+    }
+    if (cidx == 4) encode_bin(e, CTX_INTRA_CHROMA, 0);
+    else { encode_bin(e, CTX_INTRA_CHROMA, 1); encode_bypass_bins(e, (uint32_t)cidx, 2); }
+    }
+    enc_transform_tree(e, x0, y0, x0, y0, log2_size, 0, 0, nxn);
+}
+
+static void enc_quadtree(Enc *e, int x0, int y0, int log2_size, int depth) {
+    int size = 1 << log2_size;
+    int fits = (x0 + size <= e->w) && (y0 + size <= e->h);
+    int split = (e->depth[(y0 >> 2) * e->w4 + (x0 >> 2)] > depth) || !fits;
+    if (fits && log2_size > e->min_cb) {
+        int ctx = 0;
+        if (avail(e, x0, y0, x0 - 1, y0)
+            && e->depth[(y0 >> 2) * e->w4 + ((x0 - 1) >> 2)] > depth) ctx++;
+        if (avail(e, x0, y0, x0, y0 - 1)
+            && e->depth[((y0 - 1) >> 2) * e->w4 + (x0 >> 2)] > depth) ctx++;
+        encode_bin(e, CTX_SPLIT_CU + ctx, split);
+    }
+    if (split) {
+        int half = size >> 1, i;
+        for (i = 0; i < 4; i++) {
+            int x1 = x0 + (i & 1) * half, y1 = y0 + (i >> 1) * half;
+            if (x1 < e->w && y1 < e->h)
+                enc_quadtree(e, x1, y1, log2_size - 1, depth + 1);
+        }
+    } else enc_cu(e, x0, y0, log2_size);
+}
+
+/* ---- entry point ---- */
+long encode_slice_data(
+    const uint8_t *depth, const uint8_t *part, const uint8_t *luma_mode,
+    const uint8_t *chroma_mode, const uint8_t *tu_depth,
+    const int32_t *coeff_y, const int32_t *coeff_cb, const int32_t *coeff_cr,
+    const int64_t *zscan,
+    int width, int height, int w4, int h4,
+    int log2_ctb, int log2_min_cb, int log2_min_tb, int log2_max_tb,
+    int max_tr_depth_intra, int sign_hiding,
+    const uint8_t *ctx_init, int num_ctx,
+    uint8_t *out, long out_cap)
+{
+    Enc e;
+    int ctb_size, ctbs_w, ctbs_h, n_ctbs, ctu;
+
+    if (num_ctx != NUM_CTX_EXPECT) return -2;
+    build_scans();
+    memset(&e, 0, sizeof(e));
+    e.out = out; e.cap = out_cap;
+    e.low = 0; e.range = 510; e.first_bit = 1;
+    memcpy(e.ctx, ctx_init, NUM_CTX_EXPECT);
+    e.depth = depth; e.part = part; e.luma_mode = luma_mode;
+    e.chroma_mode = chroma_mode; e.tu_depth = tu_depth;
+    e.cy = coeff_y; e.ccb = coeff_cb; e.ccr = coeff_cr;
+    e.zscan = zscan;
+    e.w = width; e.h = height; e.w4 = w4; e.h4 = h4;
+    e.ystride = w4 * 4; e.cstride = w4 * 2;
+    e.log2_ctb = log2_ctb; e.min_cb = log2_min_cb; e.min_tb = log2_min_tb;
+    e.max_tb = log2_max_tb; e.max_tr_intra = max_tr_depth_intra;
+    e.sign_hide = sign_hiding;
+
+    ctb_size = 1 << log2_ctb;
+    ctbs_w = (width + ctb_size - 1) >> log2_ctb;
+    ctbs_h = (height + ctb_size - 1) >> log2_ctb;
+    n_ctbs = ctbs_w * ctbs_h;
+
+    for (ctu = 0; ctu < n_ctbs; ctu++) {
+        int x0 = (ctu % ctbs_w) << log2_ctb;
+        int y0 = (ctu / ctbs_w) << log2_ctb;
+        enc_quadtree(&e, x0, y0, log2_ctb, 0);
+        encode_terminate(&e, ctu == n_ctbs - 1 ? 1 : 0);
+        if (e.overflow) return -1;
+    }
+    /* finishSlice: stop bit + align (entropy.h:153 semantics) */
+    put_bits(&e, 1, 1);
+    if (e.bitpos) put_bits(&e, 0, 8 - e.bitpos);
+    if (e.overflow) return -1;
+    return e.pos;
+}
