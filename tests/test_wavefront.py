@@ -30,7 +30,7 @@ def run_both(w, h, qp, seed, n=16):
     pw = g.ctbs_w << g.log2_ctb
     orig = pad_plane(y.astype(np.int16), ph, pw)
 
-    cu_size, modes = enc._decide_modes(
+    cu_size, modes, _costs = enc._decide_modes(
         (orig, pad_plane(u.astype(np.int16), ph // 2, pw // 2),
          pad_plane(v.astype(np.int16), ph // 2, pw // 2)))
     assert cu_size == n

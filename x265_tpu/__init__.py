@@ -27,3 +27,26 @@ Architecture (TPU-first, not a port):
 __version__ = "0.1.0"
 
 X265_TPU_BUILD = 1
+
+
+def _enable_compile_cache():
+    """Persistent XLA compilation cache: the wavefront scans are expensive
+    to compile (minutes on a small host), and the JAX_COMPILATION_CACHE_DIR
+    env var is not honored on this JAX version — set it via jax.config.
+    Opt out with X265_TPU_NO_COMPILE_CACHE=1."""
+    import os
+    if os.environ.get("X265_TPU_NO_COMPILE_CACHE"):
+        return
+    cache = os.environ.get("X265_TPU_COMPILE_CACHE",
+                           os.path.join(os.path.expanduser("~"), ".cache",
+                                        "x265_tpu", "jax"))
+    try:
+        import jax
+        os.makedirs(cache, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:   # pragma: no cover - cache is best-effort
+        pass
+
+
+_enable_compile_cache()

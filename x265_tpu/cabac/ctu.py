@@ -65,13 +65,28 @@ class PicSyntax:
     coeff_cb: np.ndarray = field(default=None)     # [H/2, W/2]
     coeff_cr: np.ndarray = field(default=None)
 
+    # inter fields (P/B slices): per-4x4 motion + decision state
+    mv0: np.ndarray = field(default=None)          # [h4, w4, 2] int16 qpel
+    skip: np.ndarray = field(default=None)         # cu_skip_flag
+    merge_flag: np.ndarray = field(default=None)
+    merge_idx: np.ndarray = field(default=None)
+    mvp_flag: np.ndarray = field(default=None)
+    mvd: np.ndarray = field(default=None)          # [h4, w4, 2] int16
+    max_tr_depth_inter: int = 0
+    max_merge_cand: int = 5
+
     def __post_init__(self):
         g = self.geom
         h4, w4 = g.h4, g.w4
         for name in ("depth", "part", "pred_mode", "luma_mode",
-                     "chroma_mode", "tu_depth"):
+                     "chroma_mode", "tu_depth", "skip", "merge_flag",
+                     "merge_idx", "mvp_flag"):
             if getattr(self, name) is None:
                 setattr(self, name, np.zeros((h4, w4), dtype=np.uint8))
+        if self.mv0 is None:
+            self.mv0 = np.zeros((h4, w4, 2), dtype=np.int16)
+        if self.mvd is None:
+            self.mvd = np.zeros((h4, w4, 2), dtype=np.int16)
         h, w = h4 * 4, w4 * 4
         if self.coeff_y is None:
             self.coeff_y = np.zeros((h, w), dtype=np.int32)
@@ -137,16 +152,21 @@ def chroma_index_from_mode(mode: int, luma_mode: int) -> int:
 # encode
 # ---------------------------------------------------------------------------
 
+SLICE_B, SLICE_P, SLICE_I = 0, 1, 2
+
+
 class CtuCoder:
     """Encodes / decodes CTUs against a PicSyntax structure."""
 
     def __init__(self, ps: PicSyntax, log2_min_cb: int = 3,
-                 log2_min_tb: int = 2, log2_max_tb: int = 5):
+                 log2_min_tb: int = 2, log2_max_tb: int = 5,
+                 slice_type: int = SLICE_I):
         self.ps = ps
         self.g = ps.geom
         self.log2_min_cb = log2_min_cb
         self.log2_min_tb = log2_min_tb
         self.log2_max_tb = log2_max_tb
+        self.slice_type = slice_type
 
     # -- shared context helpers ---------------------------------------------
 
@@ -190,8 +210,114 @@ class CtuCoder:
         else:
             self._enc_cu(enc, x0, y0, log2_size)
 
+    # -- inter helpers -------------------------------------------------------
+
+    def _skip_ctx(self, x0: int, y0: int) -> int:
+        g, ps = self.g, self.ps
+        ctx = 0
+        if g.available(x0, y0, x0 - 1, y0) and ps.skip[y0 >> 2, (x0 - 1) >> 2]:
+            ctx += 1
+        if g.available(x0, y0, x0, y0 - 1) and ps.skip[(y0 - 1) >> 2, x0 >> 2]:
+            ctx += 1
+        return CTX_OFFSET["CU_SKIP"] + ctx
+
+    def _enc_merge_idx(self, enc: CabacEncoder, idx: int) -> None:
+        cmax = self.ps.max_merge_cand - 1
+        if cmax == 0:
+            return
+        enc.encode_bin(CTX_OFFSET["MERGE_IDX"], 1 if idx > 0 else 0)
+        if idx > 0:
+            for k in range(1, idx):
+                enc.encode_bypass(1)
+            if idx < cmax:
+                enc.encode_bypass(0)
+
+    def _dec_merge_idx(self, dec: CabacDecoder) -> int:
+        cmax = self.ps.max_merge_cand - 1
+        if cmax == 0:
+            return 0
+        if not dec.decode_bin(CTX_OFFSET["MERGE_IDX"]):
+            return 0
+        idx = 1
+        while idx < cmax and dec.decode_bypass():
+            idx += 1
+        return idx
+
+    def _enc_mvd(self, enc: CabacEncoder, mvd_x: int, mvd_y: int) -> None:
+        base = CTX_OFFSET["MVD_GREATER"]
+        ax, ay = abs(mvd_x), abs(mvd_y)
+        enc.encode_bin(base, 1 if ax > 0 else 0)
+        enc.encode_bin(base, 1 if ay > 0 else 0)
+        if ax > 0:
+            enc.encode_bin(base + 1, 1 if ax > 1 else 0)
+        if ay > 0:
+            enc.encode_bin(base + 1, 1 if ay > 1 else 0)
+        for a, v in ((ax, mvd_x), (ay, mvd_y)):
+            if a > 0:
+                if a > 1:
+                    enc.encode_eg_k(a - 2, 1)
+                enc.encode_bypass(1 if v < 0 else 0)
+
+    def _dec_mvd(self, dec: CabacDecoder) -> tuple[int, int]:
+        base = CTX_OFFSET["MVD_GREATER"]
+        gx0 = dec.decode_bin(base)
+        gy0 = dec.decode_bin(base)
+        gx1 = dec.decode_bin(base + 1) if gx0 else 0
+        gy1 = dec.decode_bin(base + 1) if gy0 else 0
+        out = []
+        for g0, g1 in ((gx0, gx1), (gy0, gy1)):
+            if not g0:
+                out.append(0)
+                continue
+            a = 1
+            if g1:
+                a = 2 + dec.decode_eg_k(1)
+            out.append(-a if dec.decode_bypass() else a)
+        return out[0], out[1]
+
     def _enc_cu(self, enc: CabacEncoder, x0: int, y0: int,
                 log2_size: int) -> None:
+        ps = self.ps
+        size = 1 << log2_size
+        y4, x4 = y0 >> 2, x0 >> 2
+        if self.slice_type != SLICE_I:
+            skip = int(ps.skip[y4, x4])
+            enc.encode_bin(self._skip_ctx(x0, y0), skip)
+            if skip:
+                self._enc_merge_idx(enc, int(ps.merge_idx[y4, x4]))
+                return
+            is_intra = ps.pred_mode[y4, x4] == MODE_INTRA
+            enc.encode_bin(CTX_OFFSET["PRED_MODE"], 1 if is_intra else 0)
+            if not is_intra:
+                # part_mode: 2Nx2N for every inter CU so far
+                enc.encode_bin(CTX_OFFSET["PART_MODE"], 1)
+                merge = int(ps.merge_flag[y4, x4])
+                enc.encode_bin(CTX_OFFSET["MERGE_FLAG"], merge)
+                if merge:
+                    self._enc_merge_idx(enc, int(ps.merge_idx[y4, x4]))
+                else:
+                    # P slice: inter_pred_idc not coded; 1 ref: no ref_idx
+                    self._enc_mvd(enc, int(ps.mvd[y4, x4, 0]),
+                                  int(ps.mvd[y4, x4, 1]))
+                    enc.encode_bin(CTX_OFFSET["MVP_FLAG"],
+                                   int(ps.mvp_flag[y4, x4]))
+                root_cbf = (
+                    self._cbf_region_nz(ps.coeff_y, x0, y0, size)
+                    or self._cbf_region_nz(ps.coeff_cb, x0 >> 1, y0 >> 1,
+                                           size >> 1)
+                    or self._cbf_region_nz(ps.coeff_cr, x0 >> 1, y0 >> 1,
+                                           size >> 1))
+                if not merge:
+                    enc.encode_bin(CTX_OFFSET["RQT_ROOT_CBF"], int(root_cbf))
+                if root_cbf:
+                    self._enc_transform_tree(enc, x0, y0, x0, y0, log2_size,
+                                             0, 0, intra_split=False,
+                                             is_intra=False)
+                return
+        self._enc_intra_cu(enc, x0, y0, log2_size)
+
+    def _enc_intra_cu(self, enc: CabacEncoder, x0: int, y0: int,
+                      log2_size: int) -> None:
         ps = self.ps
         nxn = bool(ps.part[y0 >> 2, x0 >> 2])
         if log2_size == self.log2_min_cb:
@@ -236,17 +362,17 @@ class CtuCoder:
             enc.encode_bypass_bins(cidx, 2)
 
         self._enc_transform_tree(enc, x0, y0, x0, y0, log2_size, 0, 0,
-                                 intra_split=nxn)
+                                 intra_split=nxn, is_intra=True)
 
     def _enc_transform_tree(self, enc: CabacEncoder, x0: int, y0: int,
                             xbase: int, ybase: int, log2_size: int,
                             depth: int, blk_idx: int, *,
-                            intra_split: bool) -> None:
+                            intra_split: bool, is_intra: bool = True) -> None:
         ps = self.ps
-        cu_depth = int(ps.depth[y0 >> 2, x0 >> 2])
         tu_depth_here = int(ps.tu_depth[y0 >> 2, x0 >> 2])
         split = tu_depth_here > depth
-        max_depth = ps.max_tr_depth_intra + (1 if intra_split else 0)
+        max_depth = (ps.max_tr_depth_intra if is_intra
+                     else ps.max_tr_depth_inter) + (1 if intra_split else 0)
         size = 1 << log2_size
 
         can_code_split = (log2_size <= self.log2_max_tb
@@ -281,25 +407,34 @@ class CtuCoder:
                 x1 = x0 + (i & 1) * half
                 y1 = y0 + (i >> 1) * half
                 self._enc_transform_tree(enc, x1, y1, x0, y0, log2_size - 1,
-                                         depth + 1, i, intra_split=intra_split)
+                                         depth + 1, i,
+                                         intra_split=intra_split,
+                                         is_intra=is_intra)
             return
 
         cbf_luma = self._cbf_region_nz(ps.coeff_y, x0, y0, size)
-        # intra: cbf_luma always coded
-        enc.encode_bin(CTX_OFFSET["CBF_LUMA"] + (1 if depth == 0 else 0),
-                       cbf_luma)
+        if is_intra or depth != 0 or cbf_cb or cbf_cr:
+            enc.encode_bin(CTX_OFFSET["CBF_LUMA"] + (1 if depth == 0 else 0),
+                           cbf_luma)
+        else:
+            # inter root TU with no chroma cbf: cbf_luma inferred 1 —
+            # the encoder must have used rqt_root_cbf=0 / skip otherwise
+            assert cbf_luma, "inter TU with inferred cbf_luma=1 but no coeffs"
         self._enc_transform_unit(enc, x0, y0, xbase, ybase, log2_size,
-                                 blk_idx, cbf_luma, cbf_cb, cbf_cr)
+                                 blk_idx, cbf_luma, cbf_cb, cbf_cr,
+                                 is_intra=is_intra)
 
     def _enc_transform_unit(self, enc, x0, y0, xbase, ybase, log2_size,
-                            blk_idx, cbf_luma, cbf_cb, cbf_cr) -> None:
+                            blk_idx, cbf_luma, cbf_cb, cbf_cr, *,
+                            is_intra=True) -> None:
         ps = self.ps
         if not (cbf_luma or cbf_cb or cbf_cr):
             return
         size = 1 << log2_size
         if cbf_luma:
             mode = int(ps.luma_mode[y0 >> 2, x0 >> 2])
-            scan = scan_for_intra(log2_size, 0, mode)
+            scan = (scan_for_intra(log2_size, 0, mode) if is_intra
+                    else SCAN_DIAG)
             block = ps.coeff_y[y0:y0 + size, x0:x0 + size]
             encode_residual(enc, block, log2_size, 0, scan,
                             sign_hiding=ps.sign_hiding)
@@ -310,7 +445,7 @@ class CtuCoder:
         else:
             return
         cmode = int(ps.chroma_mode[cy * 2 >> 2, cx * 2 >> 2])
-        cscan = scan_for_intra(clog2, 1, cmode)
+        cscan = (scan_for_intra(clog2, 1, cmode) if is_intra else SCAN_DIAG)
         csz = 1 << clog2
         if cbf_cb:
             encode_residual(enc, ps.coeff_cb[cy:cy + csz, cx:cx + csz],
@@ -348,6 +483,56 @@ class CtuCoder:
 
     def _dec_cu(self, dec: CabacDecoder, x0: int, y0: int,
                 log2_size: int) -> None:
+        ps = self.ps
+        size = 1 << log2_size
+        if self.slice_type != SLICE_I:
+            from ..common.motion import amvp_candidates, merge_candidates
+            skip = dec.decode_bin(self._skip_ctx(x0, y0))
+            if skip:
+                idx = self._dec_merge_idx(dec)
+                mv = merge_candidates(ps, x0, y0, size, size,
+                                      ps.max_merge_cand)[idx]
+                ps.set_region(ps.skip, x0, y0, size, 1)
+                ps.set_region(ps.pred_mode, x0, y0, size, MODE_INTER)
+                ps.set_region(ps.merge_idx, x0, y0, size, idx)
+                ps.mv0[y0 >> 2:(y0 + size) >> 2,
+                       x0 >> 2:(x0 + size) >> 2] = mv
+                return
+            is_intra = dec.decode_bin(CTX_OFFSET["PRED_MODE"])
+            if not is_intra:
+                part_bin = dec.decode_bin(CTX_OFFSET["PART_MODE"])
+                assert part_bin == 1, "only 2Nx2N inter PUs supported"
+                merge = dec.decode_bin(CTX_OFFSET["MERGE_FLAG"])
+                if merge:
+                    idx = self._dec_merge_idx(dec)
+                    mv = merge_candidates(ps, x0, y0, size, size,
+                                          ps.max_merge_cand)[idx]
+                    ps.set_region(ps.merge_flag, x0, y0, size, 1)
+                    ps.set_region(ps.merge_idx, x0, y0, size, idx)
+                else:
+                    mvd = self._dec_mvd(dec)
+                    mvp = dec.decode_bin(CTX_OFFSET["MVP_FLAG"])
+                    cand = amvp_candidates(ps, x0, y0, size, size)[mvp]
+                    mv = (cand[0] + mvd[0], cand[1] + mvd[1])
+                    ps.set_region(ps.mvp_flag, x0, y0, size, mvp)
+                    ps.mvd[y0 >> 2:(y0 + size) >> 2,
+                           x0 >> 2:(x0 + size) >> 2] = mvd
+                ps.set_region(ps.pred_mode, x0, y0, size, MODE_INTER)
+                ps.mv0[y0 >> 2:(y0 + size) >> 2,
+                       x0 >> 2:(x0 + size) >> 2] = mv
+                ps.set_region(ps.tu_depth, x0, y0, size, 0)
+                root_cbf = 1 if merge else dec.decode_bin(
+                    CTX_OFFSET["RQT_ROOT_CBF"])
+                if root_cbf:
+                    self._dec_transform_tree(dec, x0, y0, x0, y0, log2_size,
+                                             0, 0, intra_split=False,
+                                             parent_cbf_cb=1,
+                                             parent_cbf_cr=1, is_intra=False)
+                return
+        self._dec_intra_cu(dec, x0, y0, log2_size)
+
+    def _dec_intra_cu(self, dec: CabacDecoder, x0: int, y0: int,
+                      log2_size: int) -> None:
         ps = self.ps
         size = 1 << log2_size
         nxn = False
@@ -390,10 +575,12 @@ class CtuCoder:
 
     def _dec_transform_tree(self, dec: CabacDecoder, x0, y0, xbase, ybase,
                             log2_size, depth, blk_idx, *, intra_split,
-                            parent_cbf_cb, parent_cbf_cr) -> None:
+                            parent_cbf_cb, parent_cbf_cr,
+                            is_intra=True) -> None:
         ps = self.ps
         size = 1 << log2_size
-        max_depth = ps.max_tr_depth_intra + (1 if intra_split else 0)
+        max_depth = (ps.max_tr_depth_intra if is_intra
+                     else ps.max_tr_depth_inter) + (1 if intra_split else 0)
         if (log2_size <= self.log2_max_tb and log2_size > self.log2_min_tb
                 and depth < max_depth
                 and not (intra_split and depth == 0)):
@@ -418,24 +605,30 @@ class CtuCoder:
                 self._dec_transform_tree(
                     dec, x1, y1, x0, y0, log2_size - 1, depth + 1, i,
                     intra_split=intra_split, parent_cbf_cb=cbf_cb,
-                    parent_cbf_cr=cbf_cr)
+                    parent_cbf_cr=cbf_cr, is_intra=is_intra)
             return
 
         ps.set_region(ps.tu_depth, x0, y0, size, depth)
-        cbf_luma = dec.decode_bin(
-            CTX_OFFSET["CBF_LUMA"] + (1 if depth == 0 else 0))
+        if is_intra or depth != 0 or cbf_cb or cbf_cr:
+            cbf_luma = dec.decode_bin(
+                CTX_OFFSET["CBF_LUMA"] + (1 if depth == 0 else 0))
+        else:
+            cbf_luma = 1    # inter root TU: inferred
         self._dec_transform_unit(dec, x0, y0, xbase, ybase, log2_size,
-                                 blk_idx, cbf_luma, cbf_cb, cbf_cr)
+                                 blk_idx, cbf_luma, cbf_cb, cbf_cr,
+                                 is_intra=is_intra)
 
     def _dec_transform_unit(self, dec, x0, y0, xbase, ybase, log2_size,
-                            blk_idx, cbf_luma, cbf_cb, cbf_cr) -> None:
+                            blk_idx, cbf_luma, cbf_cb, cbf_cr, *,
+                            is_intra=True) -> None:
         ps = self.ps
         if not (cbf_luma or cbf_cb or cbf_cr):
             return
         size = 1 << log2_size
         if cbf_luma:
             mode = int(ps.luma_mode[y0 >> 2, x0 >> 2])
-            scan = scan_for_intra(log2_size, 0, mode)
+            scan = (scan_for_intra(log2_size, 0, mode) if is_intra
+                    else SCAN_DIAG)
             block = decode_residual(dec, log2_size, 0, scan,
                                     sign_hiding=ps.sign_hiding)
             ps.coeff_y[y0:y0 + size, x0:x0 + size] = block
@@ -448,7 +641,7 @@ class CtuCoder:
         # for blk_idx==3 TUs, chroma cbf was decoded at the parent node and
         # passed down; only the last (blk 3) child codes the residual.
         cmode = int(ps.chroma_mode[cy * 2 >> 2, cx * 2 >> 2])
-        cscan = scan_for_intra(clog2, 1, cmode)
+        cscan = (scan_for_intra(clog2, 1, cmode) if is_intra else SCAN_DIAG)
         csz = 1 << clog2
         if cbf_cb:
             ps.coeff_cb[cy:cy + csz, cx:cx + csz] = decode_residual(

@@ -163,19 +163,64 @@ def reconstruct_tu(plane: np.ndarray, coeff: np.ndarray,
     plane[y0:y0 + n, x0:x0 + n] = rec.astype(plane.dtype)
 
 
+def add_residual(plane, coeff, pred, x0, y0, n, qp, bit_depth, *, dst=False):
+    """recon = clip(pred + IT(dequant(coeff block))), written into plane."""
+    block = coeff[y0:y0 + n, x0:x0 + n]
+    if np.any(block):
+        dq = dequant_np(block, qp, bit_depth)
+        resi = inverse_transform_np(dq, bit_depth, dst=dst)
+        rec = np.clip(pred + resi, 0, (1 << bit_depth) - 1)
+    else:
+        rec = pred
+    plane[y0:y0 + n, x0:x0 + n] = rec.astype(plane.dtype)
+
+
+def reconstruct_inter_cu(ps: PicSyntax, planes, ref_planes, cx: int, cy: int,
+                         log2_cb: int, qps, bit_depth: int = 8) -> None:
+    """MC prediction + residual for one 2Nx2N inter CU (single ref L0)."""
+    from ..ops.interp import mc_chroma_np, mc_luma_np
+
+    qp_y, qp_cb, qp_cr = qps
+    size = 1 << log2_cb
+    mv = ps.mv0[cy >> 2, cx >> 2]
+    mvx, mvy = int(mv[0]), int(mv[1])
+    pred_y = mc_luma_np(ref_planes[0], cx, cy, size, size, mvx, mvy,
+                        bit_depth)
+    add_residual(planes[0], ps.coeff_y, pred_y, cx, cy, size, qp_y,
+                 bit_depth)
+    csz = size >> 1
+    pred_cb = mc_chroma_np(ref_planes[1], cx >> 1, cy >> 1, csz, csz,
+                           mvx, mvy, bit_depth)
+    add_residual(planes[1], ps.coeff_cb, pred_cb, cx >> 1, cy >> 1, csz,
+                 qp_cb, bit_depth)
+    pred_cr = mc_chroma_np(ref_planes[2], cx >> 1, cy >> 1, csz, csz,
+                           mvx, mvy, bit_depth)
+    add_residual(planes[2], ps.coeff_cr, pred_cr, cx >> 1, cy >> 1, csz,
+                 qp_cr, bit_depth)
+
+
 def reconstruct_picture(ps: PicSyntax, planes, qp_y: int, bit_depth: int = 8,
                         cb_qp_offset: int = 0, cr_qp_offset: int = 0,
-                        strong_smoothing: bool = False) -> None:
-    """Full decoder-side reconstruction of an intra picture, in place.
+                        strong_smoothing: bool = False,
+                        ref_planes=None) -> None:
+    """Full decoder-side reconstruction of a picture, in place.
 
-    ``planes`` = (Y, Cb, Cr) int16 numpy arrays at coded (padded) size.
+    ``planes`` = (Y, Cb, Cr) int16 numpy arrays at coded (padded) size;
+    ``ref_planes`` = same for the L0[0] reference (P slices).
     """
+    from ..cabac.ctu import MODE_INTRA as _INTRA
+
     g = ps.geom
     y_pl, cb_pl, cr_pl = planes
     qp_cb = chroma_qp(qp_y, cb_qp_offset)
     qp_cr = chroma_qp(qp_y, cr_qp_offset)
     for ctu in range(g.n_ctbs):
         for (cx, cy, log2_cb) in cu_leaves(ps, ctu):
+            if ps.pred_mode[cy >> 2, cx >> 2] != _INTRA:
+                reconstruct_inter_cu(ps, planes, ref_planes, cx, cy,
+                                     log2_cb, (qp_y, qp_cb, qp_cr),
+                                     bit_depth)
+                continue
             for (tx, ty, log2_tb, _d) in tu_leaves(ps, cx, cy, log2_cb):
                 mode = int(ps.luma_mode[ty >> 2, tx >> 2])
                 reconstruct_tu(y_pl, ps.coeff_y, g, ps, tx, ty, log2_tb,

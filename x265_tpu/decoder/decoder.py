@@ -25,8 +25,8 @@ from ..common.bitstream import (NAL_PPS, NAL_PREFIX_SEI, NAL_SPS,
                                 NAL_SUFFIX_SEI, NAL_VPS, BitReader,
                                 split_annexb)
 from ..common.geometry import PictureGeometry
-from ..common.headers import (SLICE_I, parse_pps, parse_slice_header,
-                              parse_sps, parse_vps)
+from ..common.headers import (SLICE_I, SLICE_P, parse_pps,
+                              parse_slice_header, parse_sps, parse_vps)
 from ..common.recon import reconstruct_picture
 from ..ops.deblock import deblock_intra_picture_np
 from ..common.sei import (SEI_DECODED_PICTURE_HASH, parse_picture_hash,
@@ -55,6 +55,7 @@ class Decoder:
         self.check_hashes = check_hashes
         self._pending_hash = None
         self._cur: DecodedPicture | None = None
+        self._last_ref = None   # coded-size planes of the last picture
 
     def push_bytes(self, data: bytes) -> None:
         for nal_type, _tid, rbsp in split_annexb(data):
@@ -99,18 +100,22 @@ class Decoder:
 
         br = BitReader(rbsp)
         sh = parse_slice_header(br, sps, pps, nal_type)
-        assert sh.slice_type == SLICE_I, "inter slices not yet implemented"
+        assert sh.slice_type in (SLICE_I, SLICE_P), "B slices not yet"
 
         geom = PictureGeometry(sps.pic_width, sps.pic_height,
                                sps.log2_ctb_size, sps.log2_min_cb_size)
         ps = PicSyntax(
             geom,
             max_tr_depth_intra=sps.max_transform_hierarchy_depth_intra,
+            max_tr_depth_inter=sps.max_transform_hierarchy_depth_inter,
             sign_hiding=bool(pps.sign_data_hiding))
+        ps.max_merge_cand = sh.max_num_merge_cand
         coder = CtuCoder(ps, sps.log2_min_cb_size, sps.log2_min_tb_size,
-                         sps.log2_max_tb_size)
+                         sps.log2_max_tb_size, slice_type=sh.slice_type)
 
-        ctx = init_context_states(0, sh.slice_qp)   # I-slice: initType 0
+        # CABAC init (§9.3.2.2): I -> initType 0; P -> 1 (cabac_init_flag 0)
+        init_type = 0 if sh.slice_type == SLICE_I else 1
+        ctx = init_context_states(init_type, sh.slice_qp)
         data = rbsp[br.bit_pos >> 3:]  # slice data starts byte-aligned
         dec = CabacDecoder(BitReader(data), ctx)
         for ctu in range(geom.n_ctbs):
@@ -127,9 +132,14 @@ class Decoder:
         planes = (np.zeros((h, w), np.int16),
                   np.zeros((h // 2, w // 2), np.int16),
                   np.zeros((h // 2, w // 2), np.int16))
+        ref = None
+        if sh.slice_type == SLICE_P:
+            assert self._last_ref is not None, "P slice without reference"
+            ref = self._last_ref
         reconstruct_picture(ps, planes, sh.slice_qp, bd,
                             pps.cb_qp_offset, pps.cr_qp_offset,
-                            strong_smoothing=bool(sps.strong_intra_smoothing))
+                            strong_smoothing=bool(sps.strong_intra_smoothing),
+                            ref_planes=ref)
 
         # decoded picture = coded size; output view = conformance-cropped
         cw, ch = sps.pic_width, sps.pic_height
@@ -163,6 +173,7 @@ class Decoder:
                 plane_md5(p.astype(dt), pic.bit_depth) == d
                 for p, d in zip(pic.coded_planes, digests))
         self._pending_hash = None
+        self._last_ref = pic.coded_planes   # post-filter picture = reference
         self.pictures.append(pic)
 
 

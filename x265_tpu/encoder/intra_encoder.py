@@ -22,13 +22,14 @@ from __future__ import annotations
 
 import numpy as np
 
-from ..cabac.ctu import (MODE_INTRA, CtuCoder, PicSyntax, chroma_qp)
+from ..cabac.ctu import (MODE_INTER, MODE_INTRA, CtuCoder, PicSyntax,
+                         chroma_qp)
 from ..cabac.engine import CabacEncoder
 from ..cabac.tables import init_context_states
-from ..common.bitstream import (NAL_IDR_W_RADL, NAL_PPS, NAL_SPS,
+from ..common.bitstream import (NAL_IDR_W_RADL, NAL_PPS, NAL_SPS, NAL_TRAIL_R,
                                 NAL_SUFFIX_SEI, NAL_VPS, wrap_nal)
 from ..common.geometry import PictureGeometry
-from ..common.headers import (PPS, SPS, VPS, SLICE_I, SliceHeader,
+from ..common.headers import (PPS, SPS, VPS, SLICE_I, SLICE_P, SliceHeader,
                               write_pps, write_slice_header, write_sps,
                               write_vps)
 from ..common.params import Params
@@ -84,7 +85,7 @@ class Encoder:
             strong_intra_smoothing=int(params.strong_intra_smoothing),
             vui_timing_present=1, vui_present=1,
             fps_num=params.fps_num, fps_denom=params.fps_denom,
-            max_dec_pic_buffering=1, num_reorder_pics=0)
+            max_dec_pic_buffering=2, num_reorder_pics=0)
         if params.deblock:
             self.pps = PPS(init_qp=26, sign_data_hiding=0,
                            deblocking_filter_control_present=int(
@@ -104,6 +105,12 @@ class Encoder:
         self._wf = {}                   # cached WavefrontIntraRecon per plane
         self._mode_tables = {}          # cached mode-decision gather tables
         self._fused_recon = None        # fused 3-plane device recon jit
+        self._fused_recon_p = None      # ... inter-capable variant
+        self._me_jit = None             # batched full-search ME
+        self._cpred_jit = None          # batched chroma MC
+        self.ref = None                 # (Y, Cb, Cr) coded-size ref planes
+        self.force_all_intra = False
+        self.me_range = min(8, params.me_range)  # full-search reach (v1)
 
     # -- stream headers ------------------------------------------------------
 
@@ -146,7 +153,8 @@ class Encoder:
                 gh * gw, n, n).astype(np.int32))
         costs = satd(blocks[:, None], preds)        # [B, 35]
         modes = np.asarray(jnp.argmin(costs, axis=1)).reshape(gh, gw)
-        return cu_size, modes
+        best = np.asarray(jnp.min(costs, axis=1)).reshape(gh, gw)
+        return cu_size, modes, best
 
     def _mode_gather_tables(self, n, gh, gw, H, W):
         """Cached [B, 4n+1] flat gather indices + availability for the
@@ -298,12 +306,17 @@ class Encoder:
                 pad_plane(np.asarray(planes[1]), ph // 2, pw // 2),
                 pad_plane(np.asarray(planes[2]), ph // 2, pw // 2))
 
-        cu_size, modes = self._decide_modes(orig)
+        keyint = max(1, p.keyint_max)
+        is_p = (self.ref is not None and self.poc % keyint != 0
+                and not self.force_all_intra)
+
+        cu_size, modes, intra_cost = self._decide_modes(orig)
         cu_log2 = cu_size.bit_length() - 1
         cu_depth = g.log2_ctb - cu_log2
 
         ps = PicSyntax(
             g, max_tr_depth_intra=self.sps.max_transform_hierarchy_depth_intra,
+            max_tr_depth_inter=self.sps.max_transform_hierarchy_depth_inter,
             sign_hiding=bool(self.pps.sign_data_hiding))
         ps.depth[:] = cu_depth
         ps.pred_mode[:] = MODE_INTRA
@@ -321,7 +334,12 @@ class Encoder:
         qp_cb = chroma_qp(qp_y, self.pps.cb_qp_offset)
         qp_cr = chroma_qp(qp_y, self.pps.cr_qp_offset)
 
-        if not self.force_host_recon:
+        inter_mask = None
+        if is_p:
+            inter_mask = self._encode_p_frame(
+                ps, orig, rec, modes, intra_cost, cu_size,
+                (qp_y, qp_cb, qp_cr))
+        elif not self.force_host_recon:
             self._recon_wavefront(ps, orig, rec, modes, cu_size,
                                   (qp_y, qp_cb, qp_cr))
         else:
@@ -343,7 +361,8 @@ class Encoder:
                                         tx >> 1, ty >> 1, clog2, cmode,
                                         qp_cr, is_luma=False, chroma_shift=1)
 
-        au = self._entropy_encode(ps)
+        au = self._entropy_encode(ps, SLICE_P if is_p else SLICE_I,
+                                  self.poc % keyint)
 
         # in-loop filters run on the coded-size picture; intra prediction
         # above used the unfiltered planes, so filter a copy (§8.4.4.2.1)
@@ -355,6 +374,8 @@ class Encoder:
                 ps, rec, qp_y, self.bit_depth,
                 p.deblock_beta_offset, p.deblock_tc_offset,
                 self.pps.cb_qp_offset, self.pps.cr_qp_offset)
+        # the filtered picture is the reference for the next frame
+        self.ref = tuple(pl.astype(np.int16) for pl in rec)
 
         # crop recon to conformance window
         cl, cr, ct, cb = self.sps.conf_win
@@ -378,26 +399,279 @@ class Encoder:
         self.poc += 1
         return au, rec_crop
 
-    def _entropy_encode(self, ps: PicSyntax) -> bytes:
+    # -- P frames ------------------------------------------------------------
+
+    def _me_search(self, orig_y, ref_y_coded, cu_size):
+        """Batched full-pel full-search ME + SATD of the winner, on device.
+
+        Returns (mv [gh, gw, 2] full-pel, satd_best [gh, gw],
+        pred_y [B, n, n]) — the winner's prediction comes free.
+        """
+        import jax
+        import jax.numpy as jnp
+
         g = self.geom
-        sh = SliceHeader(slice_type=SLICE_I, slice_qp=self.qp,
-                         pic_order_cnt_lsb=0)
-        nal_type = NAL_IDR_W_RADL
+        n = cu_size
+        R = self.me_range
+        ph = g.ctbs_h << g.log2_ctb
+        pw = g.ctbs_w << g.log2_ctb
+        gh, gw = ph // n, pw // n
+
+        if self._me_jit is None:
+            from ..ops.cost import satd as satd_fn
+
+            offs = np.array([(dy, dx) for dy in range(-R, R + 1)
+                             for dx in range(-R, R + 1)], np.int32)
+
+            def me(orig, ref_ext):
+                # orig [ph, pw]; ref_ext [ph+2R, pw+2R] (edge padded)
+                def body(carry, off):
+                    best_c, best_i, i = carry
+                    shifted = jax.lax.dynamic_slice(
+                        ref_ext, (off[0] + R, off[1] + R), (ph, pw))
+                    d = jnp.abs(orig - shifted)
+                    c = d.reshape(gh, n, gw, n).sum(axis=(1, 3))
+                    better = c < best_c
+                    return (jnp.where(better, c, best_c),
+                            jnp.where(better, i, best_i), i + 1), None
+
+                init = (jnp.full((gh, gw), 2 ** 30, jnp.int32),
+                        jnp.zeros((gh, gw), jnp.int32), jnp.int32(0))
+                (cost, idx, _), _ = jax.lax.scan(
+                    body, init, jnp.asarray(offs))
+                mv = jnp.asarray(offs)[idx]              # [gh, gw, 2] (dy,dx)
+                # gather the winning full-pel prediction per block + satd
+                oy, ox = np.mgrid[0:n, 0:n]
+                by = jnp.arange(gh)[:, None] * n
+                bx = jnp.arange(gw)[None, :] * n
+                rows = (by + R)[:, :, None, None] + mv[..., 0:1, None] + oy
+                cols = (bx + R)[:, :, None, None] + mv[..., 1:2, None] + ox
+                pred = ref_ext[rows, cols]               # [gh, gw, n, n]
+                ob = orig.reshape(gh, n, gw, n).transpose(0, 2, 1, 3)
+                sc = satd_fn(ob, pred)                   # [gh, gw]
+                return (mv[..., ::-1],                   # -> (dx, dy)->(x,y)
+                        sc, pred.reshape(gh * gw, n, n))
+
+            self._me_jit = jax.jit(me)
+
+        ref_pad = np.pad(
+            ref_y_coded, ((0, ph - ref_y_coded.shape[0]),
+                          (0, pw - ref_y_coded.shape[1])), mode="edge")
+        ref_ext = np.pad(ref_pad, R, mode="edge").astype(np.int32)
+        mv, sc, pred = self._me_jit(
+            jnp.asarray(orig_y, jnp.int32), jnp.asarray(ref_ext))
+        return np.asarray(mv), np.asarray(sc), np.asarray(pred)
+
+    def _derive_inter_syntax(self, ps, inter_mask, cu_size):
+        """Per inter CU: choose merge (mv equals a candidate) or AMVP+MVD.
+        Reads only final neighbor state (z-scan availability guarantees
+        identical derivation at decode time)."""
+        from ..common.motion import amvp_candidates, merge_candidates
+
+        g = self.geom
+        n = cu_size
+        gh, gw = inter_mask.shape
+        for by in range(gh):
+            for bx in range(gw):
+                if not inter_mask[by, bx]:
+                    continue
+                x0, y0 = bx * n, by * n
+                if x0 >= g.width or y0 >= g.height:
+                    continue
+                y4, x4 = y0 >> 2, x0 >> 2
+                mv = (int(ps.mv0[y4, x4, 0]), int(ps.mv0[y4, x4, 1]))
+                cands = merge_candidates(ps, x0, y0, n, n, ps.max_merge_cand)
+                if mv in cands:
+                    idx = cands.index(mv)
+                    ps.set_region(ps.merge_flag, x0, y0, n, 1)
+                    ps.set_region(ps.merge_idx, x0, y0, n, idx)
+                else:
+                    amvp = amvp_candidates(ps, x0, y0, n, n)
+                    costs = [abs(mv[0] - c[0]) + abs(mv[1] - c[1])
+                             for c in amvp]
+                    mvp = int(np.argmin(costs))
+                    ps.set_region(ps.mvp_flag, x0, y0, n, mvp)
+                    ps.mvd[y4:(y0 + n) >> 2, x4:(x0 + n) >> 2] = (
+                        mv[0] - amvp[mvp][0], mv[1] - amvp[mvp][1])
+
+    def _chroma_inter_pred(self, ps, inter_mask, cu_size, plane_idx):
+        """Batched half-sample chroma MC for all inter CUs (device)."""
+        import jax.numpy as jnp
+
+        from ..ops.interp import mc_chroma_batch
+
+        g = self.geom
+        n = cu_size // 2                  # chroma block size
+        ph = (g.ctbs_h << g.log2_ctb) // 2
+        pw = (g.ctbs_w << g.log2_ctb) // 2
+        gh, gw = inter_mask.shape
+        ref = self.ref[plane_idx]
+        M = self.me_range // 2 + 4        # margin: mv reach + filter taps
+        ref_pad = np.pad(ref, ((0, ph - ref.shape[0]),
+                               (0, pw - ref.shape[1])), mode="edge")
+        ref_ext = np.pad(ref_pad, M, mode="edge").astype(np.int32)
+
+        mv = ps.mv0[::cu_size // 4, ::cu_size // 4]   # [gh, gw, 2] qpel
+        mvx = mv[..., 0].astype(np.int32)
+        mvy = mv[..., 1].astype(np.int32)
+        icx = mvx >> 3                    # eighth-chroma integer part
+        icy = mvy >> 3
+        fx = (mvx & 7).reshape(-1)
+        fy = (mvy & 7).reshape(-1)
+        # windows [B, n+3, n+3] at (ix-1, iy-1)
+        oy = np.arange(n + 3)
+        ox = np.arange(n + 3)
+        by = (np.arange(gh)[:, None] * n + M - 1)
+        bx = (np.arange(gw)[None, :] * n + M - 1)
+        rows = by[:, :, None, None] + icy[..., None, None] + oy[:, None]
+        cols = bx[:, :, None, None] + icx[..., None, None] + ox[None, :]
+        wins = ref_ext[rows, cols].reshape(-1, n + 3, n + 3)
+        pred = mc_chroma_batch(jnp.asarray(wins), jnp.asarray(fx),
+                               jnp.asarray(fy), n, n, self.bit_depth)
+        return np.asarray(pred)           # [B, n, n]
+
+    def _encode_p_frame(self, ps, orig, rec, modes, intra_cost, cu_size,
+                        qps):
+        """Decision + recon pipeline for a P frame.  Returns inter_mask."""
+        g = self.geom
+        n = cu_size
+        qp_y, qp_cb, qp_cr = qps
+
+        mv_full, satd_inter, pred_y = self._me_search(
+            orig[0].astype(np.int32), self.ref[0], n)
+
+        # CU decision: inter wins on SATD (+small intra bias, x265-style
+        # intra mode cost handicap)
+        inter_mask = satd_inter <= intra_cost
+        gh, gw = inter_mask.shape
+        s4 = n // 4
+        pm = np.where(inter_mask, MODE_INTER, MODE_INTRA).astype(np.uint8)
+        ps.pred_mode[:] = np.kron(pm, np.ones((s4, s4), np.uint8))
+        mv_qpel = (mv_full.astype(np.int16) * 4)
+        ps.mv0[:] = np.kron(
+            mv_qpel.transpose(2, 0, 1),
+            np.ones((1, s4, s4), np.int16)).transpose(1, 2, 0)
+
+        self._derive_inter_syntax(ps, inter_mask, n)
+
+        # inter predictions (luma came free from ME; chroma batched MC)
+        pred_cb = self._chroma_inter_pred(ps, inter_mask, n, 1)
+        pred_cr = self._chroma_inter_pred(ps, inter_mask, n, 2)
+
+        self._recon_wavefront_p(ps, orig, rec, modes, n, qps,
+                                (pred_y, pred_cb, pred_cr),
+                                inter_mask.reshape(-1))
+
+        # skip derivation: merge CUs with no residual in any plane
+        self._derive_skip(ps, inter_mask, n)
+        return inter_mask
+
+    def _derive_skip(self, ps, inter_mask, cu_size):
+        g = self.geom
+        n = cu_size
+        gh, gw = inter_mask.shape
+        cy = ps.coeff_y.reshape(gh, n, gw, n).any(axis=(1, 3))
+        cb = ps.coeff_cb.reshape(gh, n // 2, gw, n // 2).any(axis=(1, 3))
+        cr = ps.coeff_cr.reshape(gh, n // 2, gw, n // 2).any(axis=(1, 3))
+        merge = ps.merge_flag[::n // 4, ::n // 4] != 0
+        skip = inter_mask & merge & ~(cy | cb | cr)
+        s4 = n // 4
+        ps.skip[:] = np.kron(skip.astype(np.uint8), np.ones((s4, s4),
+                                                            np.uint8))
+
+    def _recon_wavefront_p(self, ps, orig, rec, modes, cu_size, qps,
+                           ipreds, is_inter_flat):
+        """Device wavefront recon with per-lane intra/inter prediction."""
+        from .wavefront import WavefrontIntraRecon
+
+        g = self.geom
+        qp_y, qp_cb, qp_cr = qps
+        modes_f = modes.reshape(-1).astype(np.int32)
+        jobs = (("y", cu_size, True, 0, orig[0], rec[0], ps.coeff_y, qp_y),
+                ("cb", cu_size // 2, False, 1, orig[1], rec[1], ps.coeff_cb,
+                 qp_cb),
+                ("cr", cu_size // 2, False, 1, orig[2], rec[2], ps.coeff_cr,
+                 qp_cr))
+        wfs = []
+        host_mask = None
+        for key, bn, is_luma, cs, *_ in jobs:
+            wf = self._wf.get((key, bn))
+            if wf is None:
+                wf = WavefrontIntraRecon(g.width, g.height, g.log2_ctb, bn,
+                                         is_luma=is_luma, chroma_shift=cs,
+                                         bit_depth=self.bit_depth)
+                self._wf[(key, bn)] = wf
+            if host_mask is None:
+                host_mask = wf.sched["host_mask"]
+            wfs.append(wf)
+        assert not host_mask.any(), \
+            "P frames require the fully-aligned device schedule"
+
+        if self._fused_recon_p is None:
+            import jax
+
+            scans = [wf.scan_fn(encode=True, inter=True) for wf in wfs]
+
+            def fused(by, bcb, bcr, modes_, qpy, qpb, qpr, ipy, ipcb, ipcr,
+                      is_inter):
+                return (scans[0](by, modes_, qpy, ipy, is_inter),
+                        scans[1](bcb, modes_, qpb, ipcb, is_inter),
+                        scans[2](bcr, modes_, qpr, ipcr, is_inter))
+
+            self._fused_recon_p = jax.jit(fused)
+
+        def to_blocks(pl, bn, wf):
+            gh, gw = wf.sched["grid"]
+            return pl.reshape(gh, bn, gw, bn).transpose(
+                0, 2, 1, 3).reshape(-1, bn, bn)
+
+        outs = self._fused_recon_p(
+            to_blocks(orig[0], cu_size, wfs[0]),
+            to_blocks(orig[1], cu_size // 2, wfs[1]),
+            to_blocks(orig[2], cu_size // 2, wfs[2]),
+            modes_f, qp_y, qp_cb, qp_cr,
+            ipreds[0], ipreds[1], ipreds[2], is_inter_flat)
+        for (plane, levels), wf, (key, bn, _il, _cs, _o, rpl, cpl,
+                                  _q) in zip(outs, wfs, jobs):
+            gh, gw = wf.sched["grid"]
+            rpl[:] = np.asarray(plane).astype(rpl.dtype)
+            cpl[:] = np.asarray(levels).astype(np.int32).reshape(
+                gh, gw, bn, bn).transpose(0, 2, 1, 3).reshape(gh * bn,
+                                                              gw * bn)
+
+    def _entropy_encode(self, ps: PicSyntax, slice_type: int = SLICE_I,
+                        poc: int = 0) -> bytes:
+        from ..common.headers import ShortTermRPS
+
+        g = self.geom
+        if slice_type == SLICE_I:
+            sh = SliceHeader(slice_type=SLICE_I, slice_qp=self.qp)
+            nal_type = NAL_IDR_W_RADL
+            init_type = 0
+        else:
+            sh = SliceHeader(
+                slice_type=SLICE_P, slice_qp=self.qp,
+                pic_order_cnt_lsb=poc % (1 << self.sps.log2_max_poc_lsb),
+                rps=ShortTermRPS(delta_pocs_s0=[-1], used_s0=[1]),
+                max_num_merge_cand=ps.max_merge_cand)
+            nal_type = NAL_TRAIL_R
+            init_type = 1
         bw = write_slice_header(sh, self.sps, self.pps, nal_type)
 
         data = None
-        if not self.force_python_entropy:
+        if slice_type == SLICE_I and not self.force_python_entropy:
             from ..native import encode_slice_data_native
             data = encode_slice_data_native(
                 ps, self.qp, log2_min_cb=self.sps.log2_min_cb_size,
                 log2_min_tb=self.sps.log2_min_tb_size,
                 log2_max_tb=self.sps.log2_max_tb_size)
-        if data is None:    # no native toolchain: Python CABAC fallback
-            ctx = init_context_states(0, self.qp)
+        if data is None:    # P slices / no native toolchain: Python CABAC
+            ctx = init_context_states(init_type, self.qp)
             enc = CabacEncoder(ctx=ctx)
             coder = CtuCoder(ps, self.sps.log2_min_cb_size,
                              self.sps.log2_min_tb_size,
-                             self.sps.log2_max_tb_size)
+                             self.sps.log2_max_tb_size,
+                             slice_type=slice_type)
             for ctu in range(g.n_ctbs):
                 coder.encode_ctu(enc, ctu)
                 enc.encode_terminate(1 if ctu == g.n_ctbs - 1 else 0)

@@ -232,11 +232,11 @@ class WavefrontIntraRecon:
 
     # -- device step ---------------------------------------------------------
 
-    def _make_scan(self, encode: bool):
+    def _make_scan(self, encode: bool, inter: bool = False):
         import jax
         import jax.numpy as jnp
 
-        from ..ops.quantize import dequant, quant
+        from ..ops.quantize import dequant, quant, quant_masked
         from ..ops.transforms import forward_transform, inverse_transform
 
         s = self.sched
@@ -255,11 +255,18 @@ class WavefrontIntraRecon:
             ref = _substitute(samples, ravail, bd)
             modes = blocks["modes"][blk]                       # dummy-safe
             pred = _predict_lanes(ref, modes, n, is_luma, bd)
+            if inter:
+                use_ov = blocks["is_inter"][blk]               # [Lx] bool
+                pred = jnp.where(use_ov[:, None, None],
+                                 blocks["ipred"][blk], pred)
             if encode:
                 orig = blocks["data"][blk]                     # [Lx, n, n]
                 resi = orig - pred
                 coef = forward_transform(resi, bd, dst=use_dst)
-                levels = quant(coef, qp, bd, intra=True)
+                if inter:
+                    levels = quant_masked(coef, qp, ~use_ov, bd)
+                else:
+                    levels = quant(coef, qp, bd, intra=True)
             else:
                 levels = blocks["data"][blk]
             dq = dequant(levels, qp, bd)
@@ -273,13 +280,18 @@ class WavefrontIntraRecon:
 
         out_dtype = jnp.uint8 if bd == 8 else jnp.uint16
 
-        def run(data, modes, qp):
+        def run(data, modes, qp, inter_pred=None, is_inter=None):
             # data: [B, n, n] orig (enc) or levels (dec); modes: [B]
             pad = jnp.zeros((1, n, n), jnp.int32)
             blocks = dict(data=jnp.concatenate([data.astype(jnp.int32),
                                                 pad]),
                           modes=jnp.concatenate(
                               [modes, jnp.zeros((1,), modes.dtype)]))
+            if inter:
+                blocks["ipred"] = jnp.concatenate(
+                    [inter_pred.astype(jnp.int32), pad])
+                blocks["is_inter"] = jnp.concatenate(
+                    [jnp.asarray(is_inter, bool), jnp.zeros((1,), bool)])
             plane_flat = jnp.zeros((ph * pw + 1,), jnp.int32)
             (plane_flat, _, _), levels = jax.lax.scan(
                 step, (plane_flat, blocks, qp), xs_all)
@@ -299,10 +311,10 @@ class WavefrontIntraRecon:
 
     # -- public --------------------------------------------------------------
 
-    def scan_fn(self, encode: bool):
+    def scan_fn(self, encode: bool, inter: bool = False):
         """The raw (unjitted) scan callable, for fusing several planes'
         scans into one device dispatch."""
-        return self._make_scan(encode=encode)
+        return self._make_scan(encode=encode, inter=inter)
 
     def encode(self, orig_blocks, modes, qp):
         """orig_blocks [B, n, n], modes [B] int32, qp int ->

@@ -144,92 +144,126 @@ def chroma_edge_filter(seg: np.ndarray, qp: int, bit_depth: int = 8,
 # picture-level driver (numpy oracle)
 # ---------------------------------------------------------------------------
 
-def deblock_plane_np(plane: np.ndarray, edge_v: np.ndarray,
-                     edge_h: np.ndarray, qp: int, bit_depth: int = 8,
+def deblock_plane_np(plane: np.ndarray, bs_v: np.ndarray,
+                     bs_h: np.ndarray, qp: int, bit_depth: int = 8,
                      beta_off: int = 0, tc_off: int = 0, *,
                      chroma: bool = False) -> np.ndarray:
-    """Apply deblocking to one plane in place-safe fashion.
+    """Apply deblocking to one plane.
 
-    edge_v/edge_h: [h4, w4] bool at 4-sample granularity of THIS plane:
-    True = a (vertical/horizontal) boundary-strength-2 edge starts at the
-    left/top side of that 4x4 segment.  Grid restrictions (8-px luma,
-    8-px chroma) must already be applied by the caller.
+    bs_v/bs_h: [h4, w4] uint8 boundary strength (0 = no edge) at 4-sample
+    granularity of THIS plane, at the left/top side of each 4x4 segment.
+    Grid restrictions (8-px) must already be applied by the caller.
+    All vertical edges are filtered first (any BS), then all horizontal
+    edges on the vertically-filtered output (§8.7.2 order).
     """
     h, w = plane.shape
     out = plane.astype(np.int32).copy()
     reach = 2 if chroma else 4
 
-    # vertical edges: all segments gathered at once
-    ys, xs = np.nonzero(edge_v)
-    keep = (xs * 4 >= reach) & (xs * 4 + reach <= w)
-    ys, xs = ys[keep], xs[keep]
-    if len(ys):
-        rows = (ys[:, None] * 4 + np.arange(4)[None, :])          # [E,4]
-        cols = (xs[:, None] * 4 - reach + np.arange(2 * reach)[None, :])
-        seg = out[rows[:, :, None], cols[:, None, :]]             # [E,4,2R]
+    def run(mask, bs, horizontal):
+        ys, xs = np.nonzero(mask)
+        if horizontal:
+            keep = (ys * 4 >= reach) & (ys * 4 + reach <= h)
+        else:
+            keep = (xs * 4 >= reach) & (xs * 4 + reach <= w)
+        ys, xs = ys[keep], xs[keep]
+        if not len(ys):
+            return
+        if horizontal:
+            cols = (xs[:, None] * 4 + np.arange(4)[None, :])
+            rows = (ys[:, None] * 4 - reach + np.arange(2 * reach)[None, :])
+            idx = (rows[:, None, :], cols[:, :, None])
+        else:
+            rows = (ys[:, None] * 4 + np.arange(4)[None, :])
+            cols = (xs[:, None] * 4 - reach + np.arange(2 * reach)[None, :])
+            idx = (rows[:, :, None], cols[:, None, :])
+        seg = out[idx]                                       # [E, 4, 2R]
         f = (chroma_edge_filter(seg, qp, bit_depth, tc_off) if chroma
-             else luma_edge_filter(seg, qp, bit_depth, beta_off, tc_off))
-        out[rows[:, :, None], cols[:, None, :]] = f
+             else luma_edge_filter(seg, qp, bit_depth, beta_off, tc_off,
+                                   bs=bs))
+        out[idx] = f
 
-    # horizontal edges on the vertically-filtered samples
-    ys, xs = np.nonzero(edge_h)
-    keep = (ys * 4 >= reach) & (ys * 4 + reach <= h)
-    ys, xs = ys[keep], xs[keep]
-    if len(ys):
-        cols = (xs[:, None] * 4 + np.arange(4)[None, :])          # [E,4]
-        rows = (ys[:, None] * 4 - reach + np.arange(2 * reach)[None, :])
-        # seg[e, line, tap]: line = column along edge, tap = perpendicular
-        seg = out[rows[:, None, :], cols[:, :, None]]
-        f = (chroma_edge_filter(seg, qp, bit_depth, tc_off) if chroma
-             else luma_edge_filter(seg, qp, bit_depth, beta_off, tc_off))
-        out[rows[:, None, :], cols[:, :, None]] = f
-
+    for bs in (1, 2):
+        run(bs_v == bs, bs, horizontal=False)
+    for bs in (1, 2):
+        run(bs_h == bs, bs, horizontal=True)
     return out.astype(plane.dtype)
 
 
-def derive_intra_edge_flags(ps) -> tuple[np.ndarray, np.ndarray]:
-    """TU/CU boundary flags at 4x4 luma granularity (before grid
-    restriction): (edge_v, edge_h).  All-intra: every boundary is BS=2.
+def derive_edge_flags(ps):
+    """TU/CU boundary flags + per-4x4 luma-cbf map at 4x4 luma granularity.
 
     edge_v[y4, x4] = vertical edge along the LEFT side of that 4x4 block;
-    picture-boundary edges excluded (§8.7.2: not filtered).
+    picture-boundary edges excluded (§8.7.2: not filtered).  cbf4 marks
+    4x4 blocks whose containing luma TU has nonzero coefficients (used by
+    the BS=1 derivation).  2Nx2N PUs: PU edges coincide with CU edges.
     """
     from ..common.recon import cu_leaves, tu_leaves
 
     g = ps.geom
     ev = np.zeros((g.h4, g.w4), bool)
     eh = np.zeros((g.h4, g.w4), bool)
+    cbf4 = np.zeros((g.h4, g.w4), bool)
     for ctu in range(g.n_ctbs):
         for (cx, cy, log2_cb) in cu_leaves(ps, ctu):
             for (tx, ty, log2_tb, _d) in tu_leaves(ps, cx, cy, log2_cb):
                 n4 = 1 << (log2_tb - 2)
+                ty4, tx4 = ty >> 2, tx >> 2
                 if tx > 0:
-                    ev[ty >> 2:(ty >> 2) + n4, tx >> 2] = True
+                    ev[ty4:ty4 + n4, tx4] = True
                 if ty > 0:
-                    eh[ty >> 2, tx >> 2:(tx >> 2) + n4] = True
-    return ev, eh
+                    eh[ty4, tx4:tx4 + n4] = True
+                sz = 1 << log2_tb
+                if np.any(ps.coeff_y[ty:ty + sz, tx:tx + sz]):
+                    cbf4[ty4:ty4 + n4, tx4:tx4 + n4] = True
+    return ev, eh, cbf4
 
 
-def deblock_intra_picture_np(ps, planes, qp_y: int, bit_depth: int = 8,
-                             beta_off: int = 0, tc_off: int = 0,
-                             cb_qp_offset: int = 0, cr_qp_offset: int = 0):
-    """Deblock a reconstructed intra picture.  ``planes`` are CODED-size
-    (Y, Cb, Cr) views; returns new filtered planes (inputs untouched —
-    intra prediction must keep using the unfiltered samples)."""
+def derive_bs(ps, ev, eh, cbf4):
+    """Boundary strength per edge (§8.7.2.4): (bs_v, bs_h) uint8 arrays.
+
+    2 = either side intra; 1 = nonzero luma coeffs in either TU, or MV delta
+    >= 1 luma sample (4 qpel); 0 = no filtering.  Single-ref L0 only.
+    """
+    from ..cabac.ctu import MODE_INTRA as _INTRA
+
+    intra4 = ps.pred_mode == _INTRA
+    mv = ps.mv0.astype(np.int32)
+
+    def bs_dir(edge, axis):
+        p_intra = np.roll(intra4, 1, axis=axis)
+        p_cbf = np.roll(cbf4, 1, axis=axis)
+        p_mv = np.roll(mv, 1, axis=axis)
+        mv_big = np.any(np.abs(mv - p_mv) >= 4, axis=-1)
+        bs = np.where(intra4 | p_intra, 2,
+                      np.where(cbf4 | p_cbf | mv_big, 1, 0)).astype(np.uint8)
+        return np.where(edge, bs, 0).astype(np.uint8)
+
+    return bs_dir(ev, axis=1), bs_dir(eh, axis=0)
+
+
+def deblock_picture_np(ps, planes, qp_y: int, bit_depth: int = 8,
+                       beta_off: int = 0, tc_off: int = 0,
+                       cb_qp_offset: int = 0, cr_qp_offset: int = 0):
+    """Deblock a reconstructed picture (any slice type).  ``planes`` are
+    CODED-size (Y, Cb, Cr) views; returns new filtered planes (inputs
+    untouched — intra prediction uses the unfiltered samples)."""
     from ..cabac.ctu import chroma_qp
 
-    ev, eh = derive_intra_edge_flags(ps)
+    ev, eh, cbf4 = derive_edge_flags(ps)
+    bs_v, bs_h = derive_bs(ps, ev, eh, cbf4)
     # luma: 8-px grid
-    lv = ev.copy(); lv[:, 1::2] = False
-    lh = eh.copy(); lh[1::2, :] = False
-    y = deblock_plane_np(planes[0], lv, lh, qp_y, bit_depth,
-                         beta_off, tc_off)
-    # chroma (4:2:0): 16-luma-px (8-chroma-px) grid
+    lv, lh = bs_v.copy(), bs_h.copy()
+    lv[:, 1::2] = 0
+    lh[1::2, :] = 0
+    y = deblock_plane_np(planes[0], lv, lh, qp_y, bit_depth, beta_off,
+                         tc_off)
+    # chroma (4:2:0): 16-luma-px (8-chroma-px) grid, BS==2 only
     h4c, w4c = ev.shape[0] // 2, ev.shape[1] // 2
-    cv = np.zeros((h4c, w4c), bool)
-    ch = np.zeros((h4c, w4c), bool)
-    cv[:, 0::2] = ev[::2, 0::4]
-    ch[0::2, :] = eh[0::4, ::2]
+    cv = np.zeros((h4c, w4c), np.uint8)
+    ch = np.zeros((h4c, w4c), np.uint8)
+    cv[:, 0::2] = np.where(bs_v[::2, 0::4] == 2, 2, 0)
+    ch[0::2, :] = np.where(bs_h[0::4, ::2] == 2, 2, 0)
     qp_cb = chroma_qp(qp_y, cb_qp_offset)
     qp_cr = chroma_qp(qp_y, cr_qp_offset)
     cb = deblock_plane_np(planes[1], cv, ch, qp_cb, bit_depth,
@@ -237,3 +271,7 @@ def deblock_intra_picture_np(ps, planes, qp_y: int, bit_depth: int = 8,
     cr = deblock_plane_np(planes[2], cv, ch, qp_cr, bit_depth,
                           tc_off=tc_off, chroma=True)
     return y, cb, cr
+
+
+# backward-compatible name (I-slice pictures derive BS=2 automatically)
+deblock_intra_picture_np = deblock_picture_np

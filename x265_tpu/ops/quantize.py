@@ -110,3 +110,25 @@ def dequant(level: jax.Array, qp: jax.Array, bit_depth: int = 8) -> jax.Array:
     lvl = jnp.clip(level, -lmax, lmax)
     d = (lvl * scale_eff + (1 << (bd_shift - 1))) >> bd_shift
     return jnp.clip(d, -32768, 32767)
+
+
+@functools.partial(jax.jit, static_argnames=("bit_depth",))
+def quant_masked(coef: jax.Array, qp: jax.Array, intra_mask: jax.Array,
+                 bit_depth: int = 8) -> jax.Array:
+    """Like ``quant`` but with a per-block intra/inter rounding-offset
+    selector: intra_mask [B] bool (True -> intra offset 171, else 85)."""
+    n = coef.shape[-1]
+    log2n = n.bit_length() - 1
+    qp = jnp.asarray(qp, jnp.int32)
+    transform_shift = 15 - bit_depth - log2n
+    qbits = QUANT_SHIFT + qp // 6 + transform_shift
+    scale = jnp.asarray(QUANT_SCALES, jnp.int32)[qp % 6]
+    offset_num = jnp.where(intra_mask, 171, 85).astype(jnp.int32)[:, None,
+                                                                  None]
+    absc = jnp.abs(coef)
+    hi = absc * (scale >> 7)
+    lo = absc * (scale & 127)
+    offset = offset_num << (qbits - 9)
+    level = (hi + ((lo + offset) >> 7)) >> (qbits - 7)
+    level = jnp.clip(level, 0, 32767)
+    return jnp.sign(coef) * level
