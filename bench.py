@@ -35,14 +35,19 @@ def main():
     from x265_tpu.encoder import Encoder
 
     w, h = 1920, 1080
-    n_frames = int(os.environ.get("BENCH_FRAMES", "2"))
-    frames = [synthetic_frame(w, h, s) for s in range(n_frames)]
+    n_frames = int(os.environ.get("BENCH_FRAMES", "4"))
+    base = synthetic_frame(w, h, 0)
+    # panning content: a realistic IPPP workload (I + P frames)
+    frames = [(np.roll(base[0], 3 * t, axis=1), base[1], base[2])
+              for t in range(n_frames)]
 
     p = Params(source_width=w, source_height=h, qp=32, decoded_picture_hash=1)
     enc = Encoder(p)
-    # warmup: compile device kernels on a single frame encode
+    # warmup: compile both the I and P device pipelines
     enc.headers()
     enc.encode_frame(frames[0])
+    if n_frames > 1:
+        enc.encode_frame(frames[1])
 
     t0 = time.time()
     total_bytes = 0
@@ -53,7 +58,7 @@ def main():
     fps = n_frames / dt
 
     print(json.dumps({
-        "metric": "1080p_intra_encode_fps",
+        "metric": "1080p_encode_fps",
         "value": round(fps, 4),
         "unit": "fps",
         "vs_baseline": round(fps / 30.0, 4),

@@ -58,3 +58,17 @@ def test_native_stream_decodes():
     au, rec = enc.encode_frame(frame)
     pics = decode_annexb(stream + au)
     assert pics[0].hash_ok is True
+
+
+def test_native_matches_python_p_slices():
+    from test_inter import make_clip
+    w, h = 96, 64
+    frames = make_clip("mixed", w, h, 3, seed=4)
+    p = Params(source_width=w, source_height=h, qp=27,
+               decoded_picture_hash=1)
+    enc_n = Encoder(p)
+    aus_n = [enc_n.encode_frame(fr)[0] for fr in frames]
+    enc_p = Encoder(p)
+    enc_p.force_python_entropy = True
+    aus_p = [enc_p.encode_frame(fr)[0] for fr in frames]
+    assert aus_n == aus_p

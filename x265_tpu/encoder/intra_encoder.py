@@ -397,15 +397,18 @@ class Encoder:
             au += wrap_nal(NAL_SUFFIX_SEI, sei, long_start_code=False)
 
         self.poc += 1
+        self.last_ps = ps      # exposed for tests / debugging
         return au, rec_crop
 
     # -- P frames ------------------------------------------------------------
 
     def _me_search(self, orig_y, ref_y_coded, cu_size):
-        """Batched full-pel full-search ME + SATD of the winner, on device.
+        """Batched ME on device: full-pel full search, then half- and
+        quarter-pel 3x3 refinement (SATD), mirroring the reference's
+        subpel ladder (x265_1.9 motion.cpp:1174 subpelCompare).
 
-        Returns (mv [gh, gw, 2] full-pel, satd_best [gh, gw],
-        pred_y [B, n, n]) — the winner's prediction comes free.
+        Returns (mv [gh, gw, 2] in QPEL units, satd_best [gh, gw],
+        pred_y [B, n, n]) — the winner's interpolated prediction.
         """
         import jax
         import jax.numpy as jnp
@@ -413,22 +416,26 @@ class Encoder:
         g = self.geom
         n = cu_size
         R = self.me_range
+        M = R + 8                        # margin: search + subpel window
         ph = g.ctbs_h << g.log2_ctb
         pw = g.ctbs_w << g.log2_ctb
         gh, gw = ph // n, pw // n
 
         if self._me_jit is None:
             from ..ops.cost import satd as satd_fn
+            from ..ops.interp import mc_luma_batch
 
             offs = np.array([(dy, dx) for dy in range(-R, R + 1)
                              for dx in range(-R, R + 1)], np.int32)
+            deltas = np.array([(dy, dx) for dy in (-1, 0, 1)
+                               for dx in (-1, 0, 1)], np.int32)
 
             def me(orig, ref_ext):
-                # orig [ph, pw]; ref_ext [ph+2R, pw+2R] (edge padded)
+                # orig [ph, pw]; ref_ext [ph+2M, pw+2M] (edge padded)
                 def body(carry, off):
                     best_c, best_i, i = carry
                     shifted = jax.lax.dynamic_slice(
-                        ref_ext, (off[0] + R, off[1] + R), (ph, pw))
+                        ref_ext, (off[0] + M, off[1] + M), (ph, pw))
                     d = jnp.abs(orig - shifted)
                     c = d.reshape(gh, n, gw, n).sum(axis=(1, 3))
                     better = c < best_c
@@ -437,27 +444,65 @@ class Encoder:
 
                 init = (jnp.full((gh, gw), 2 ** 30, jnp.int32),
                         jnp.zeros((gh, gw), jnp.int32), jnp.int32(0))
-                (cost, idx, _), _ = jax.lax.scan(
-                    body, init, jnp.asarray(offs))
-                mv = jnp.asarray(offs)[idx]              # [gh, gw, 2] (dy,dx)
-                # gather the winning full-pel prediction per block + satd
-                oy, ox = np.mgrid[0:n, 0:n]
-                by = jnp.arange(gh)[:, None] * n
-                bx = jnp.arange(gw)[None, :] * n
-                rows = (by + R)[:, :, None, None] + mv[..., 0:1, None] + oy
-                cols = (bx + R)[:, :, None, None] + mv[..., 1:2, None] + ox
-                pred = ref_ext[rows, cols]               # [gh, gw, n, n]
-                ob = orig.reshape(gh, n, gw, n).transpose(0, 2, 1, 3)
-                sc = satd_fn(ob, pred)                   # [gh, gw]
-                return (mv[..., ::-1],                   # -> (dx, dy)->(x,y)
-                        sc, pred.reshape(gh * gw, n, n))
+                (_, idx, _), _ = jax.lax.scan(body, init, jnp.asarray(offs))
+                mvi = jnp.asarray(offs)[idx].reshape(-1, 2)  # [B] (dy,dx)
+
+                # per-block window around the full-pel winner:
+                # rows base-4 .. base+n+4 (n+9) covers all subpel phases
+                oy = np.arange(n + 9)
+                by = (np.repeat(np.arange(gh), gw) * n + M - 4)
+                bx = (np.tile(np.arange(gw), gh) * n + M - 4)
+                rows = (by + mvi[:, 0])[:, None] + oy[None, :]   # [B, n+9]
+                cols = (bx + mvi[:, 1])[:, None] + oy[None, :]
+                W = ref_ext[rows[:, :, None], cols[:, None, :]]  # [B,n+9,n+9]
+
+                ob = orig.reshape(gh, n, gw, n).transpose(
+                    0, 2, 1, 3).reshape(-1, n, n)
+
+                def eval_q(q):
+                    # q: [B, 2] qpel offsets relative to the window center
+                    iy = (q[:, 0] >> 2) + 4      # integer row in W (-3 tap)
+                    ix = (q[:, 1] >> 2) + 4
+                    fy = q[:, 0] & 3
+                    fx = q[:, 1] & 3
+                    win = jax.vmap(
+                        lambda w, y, x: jax.lax.dynamic_slice(
+                            w, (y - 3, x - 3), (n + 7, n + 7)))(W, iy, ix)
+                    pred = mc_luma_batch(win, fx, fy, n, n, self.bit_depth)
+                    return pred, satd_fn(ob, pred)
+
+                def refine(center, best_pred, best_c, step):
+                    # all 8 neighbors of a FIXED center (no greedy drift —
+                    # it could walk q outside the gathered window)
+                    best_q = center
+                    for k in range(9):
+                        d = deltas[k]
+                        if d[0] == 0 and d[1] == 0:
+                            continue
+                        q = center + jnp.asarray(d) * step
+                        pred, c = eval_q(q)
+                        better = c < best_c
+                        best_c = jnp.where(better, c, best_c)
+                        bb = better[:, None, None]
+                        best_pred = jnp.where(bb, pred, best_pred)
+                        best_q = jnp.where(better[:, None], q, best_q)
+                    return best_q, best_pred, best_c
+
+                q0 = jnp.zeros_like(mvi)
+                pred0, c0 = eval_q(q0)
+                q0, pred, cost = refine(q0, pred0, c0, 2)
+                q0, pred, cost = refine(q0, pred, cost, 1)
+
+                mvq = mvi * 4 + q0                        # [B, 2] (y, x) qpel
+                mv = mvq[:, ::-1].reshape(gh, gw, 2)      # -> (x, y)
+                return mv, cost.reshape(gh, gw), pred
 
             self._me_jit = jax.jit(me)
 
         ref_pad = np.pad(
             ref_y_coded, ((0, ph - ref_y_coded.shape[0]),
                           (0, pw - ref_y_coded.shape[1])), mode="edge")
-        ref_ext = np.pad(ref_pad, R, mode="edge").astype(np.int32)
+        ref_ext = np.pad(ref_pad, M, mode="edge").astype(np.int32)
         mv, sc, pred = self._me_jit(
             jnp.asarray(orig_y, jnp.int32), jnp.asarray(ref_ext))
         return np.asarray(mv), np.asarray(sc), np.asarray(pred)
@@ -537,7 +582,7 @@ class Encoder:
         n = cu_size
         qp_y, qp_cb, qp_cr = qps
 
-        mv_full, satd_inter, pred_y = self._me_search(
+        mv_q, satd_inter, pred_y = self._me_search(
             orig[0].astype(np.int32), self.ref[0], n)
 
         # CU decision: inter wins on SATD (+small intra bias, x265-style
@@ -547,7 +592,7 @@ class Encoder:
         s4 = n // 4
         pm = np.where(inter_mask, MODE_INTER, MODE_INTRA).astype(np.uint8)
         ps.pred_mode[:] = np.kron(pm, np.ones((s4, s4), np.uint8))
-        mv_qpel = (mv_full.astype(np.int16) * 4)
+        mv_qpel = mv_q.astype(np.int16)          # already quarter-pel
         ps.mv0[:] = np.kron(
             mv_qpel.transpose(2, 0, 1),
             np.ones((1, s4, s4), np.int16)).transpose(1, 2, 0)
@@ -659,12 +704,13 @@ class Encoder:
         bw = write_slice_header(sh, self.sps, self.pps, nal_type)
 
         data = None
-        if slice_type == SLICE_I and not self.force_python_entropy:
+        if not self.force_python_entropy:
             from ..native import encode_slice_data_native
             data = encode_slice_data_native(
                 ps, self.qp, log2_min_cb=self.sps.log2_min_cb_size,
                 log2_min_tb=self.sps.log2_min_tb_size,
-                log2_max_tb=self.sps.log2_max_tb_size)
+                log2_max_tb=self.sps.log2_max_tb_size,
+                slice_type=2 if slice_type == SLICE_I else 1)
         if data is None:    # P slices / no native toolchain: Python CABAC
             ctx = init_context_states(init_type, self.qp)
             enc = CabacEncoder(ctx=ctx)

@@ -55,18 +55,24 @@ def get_lib():
         fn = lib.encode_slice_data
         fn.restype = ctypes.c_long
         u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+        i16p = np.ctypeslib.ndpointer(np.int16, flags="C_CONTIGUOUS")
         i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
         i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
-        fn.argtypes = [u8p] * 5 + [i32p] * 3 + [i64p] + [ctypes.c_int] * 10 \
+        fn.argtypes = [u8p] * 10 + [i16p] + [i32p] * 3 + [i64p] \
+            + [ctypes.c_int] * 13 \
             + [u8p, ctypes.c_int, u8p, ctypes.c_long]
         _LIB = lib
         return _LIB
 
 
+SLICE_TYPE_I, SLICE_TYPE_P = 2, 1
+
+
 def encode_slice_data_native(ps, qp: int, *, log2_min_cb=3, log2_min_tb=2,
-                             log2_max_tb=5, init_type=0) -> bytes | None:
-    """Encode a full I-slice's CTU data natively.  Returns the CABAC byte
-    payload (terminated + aligned), or None if native is unavailable.
+                             log2_max_tb=5, slice_type=SLICE_TYPE_I
+                             ) -> bytes | None:
+    """Encode a full slice's CTU data natively (I or P).  Returns the CABAC
+    byte payload (terminated + aligned), or None if native is unavailable.
 
     ``ps`` is a cabac.ctu.PicSyntax; output is byte-identical to the Python
     CtuCoder/CabacEncoder path.
@@ -77,21 +83,25 @@ def encode_slice_data_native(ps, qp: int, *, log2_min_cb=3, log2_min_tb=2,
     from ..cabac.tables import NUM_CTX, init_context_states
 
     g = ps.geom
+    init_type = 0 if slice_type == SLICE_TYPE_I else 1
     ctx = np.ascontiguousarray(init_context_states(init_type, qp), np.uint8)
     cap = ps.coeff_y.size * 8 + (1 << 16)
     out = np.empty(cap, np.uint8)
     arrs = [np.ascontiguousarray(a, np.uint8)
             for a in (ps.depth, ps.part, ps.luma_mode, ps.chroma_mode,
-                      ps.tu_depth)]
+                      ps.tu_depth, ps.pred_mode, ps.skip, ps.merge_flag,
+                      ps.merge_idx, ps.mvp_flag)]
     n = lib.encode_slice_data(
         *arrs,
+        np.ascontiguousarray(ps.mvd, np.int16),
         np.ascontiguousarray(ps.coeff_y, np.int32),
         np.ascontiguousarray(ps.coeff_cb, np.int32),
         np.ascontiguousarray(ps.coeff_cr, np.int32),
         np.ascontiguousarray(g.zscan, np.int64),
         g.width, g.height, g.w4, g.h4,
         g.log2_ctb, log2_min_cb, log2_min_tb, log2_max_tb,
-        ps.max_tr_depth_intra, int(ps.sign_hiding),
+        ps.max_tr_depth_intra, ps.max_tr_depth_inter, int(ps.sign_hiding),
+        slice_type, ps.max_merge_cand,
         ctx, NUM_CTX, out, cap)
     if n < 0:
         raise RuntimeError(f"native slice encode failed: {n}")

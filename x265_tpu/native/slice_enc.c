@@ -9,7 +9,7 @@
  * Spec: ITU-T H.265 §7.3.8 (syntax), §9.3 (CABAC).  Reference embodiment
  * of the role: x265_1.9/source/encoder/entropy.cpp (encodeCTU).
  *
- * Intra toolset (I-slices).  Inter syntax lands with the P/B path.
+ * Toolset: I and P slices (2Nx2N inter PUs, single ref L0).
  */
 
 #include <stdint.h>
@@ -36,6 +36,11 @@ enum {
     CTX_SIG_COEFF = 65,
     CTX_GREATER1 = 107,
     CTX_GREATER2 = 131,
+    CTX_MERGE_FLAG = 137,
+    CTX_MERGE_IDX = 138,
+    CTX_MVD_GREATER = 146,
+    CTX_MVP_FLAG = 148,
+    CTX_RQT_ROOT_CBF = 149,
     NUM_CTX_EXPECT = 154,
 };
 
@@ -127,10 +132,14 @@ typedef struct {
     uint8_t ctx[NUM_CTX_EXPECT];
     /* picture */
     const uint8_t *depth, *part, *luma_mode, *chroma_mode, *tu_depth;
+    const uint8_t *skip, *merge_flag, *merge_idx, *mvp_flag;
+    const uint8_t *pred_mode_arr;
+    const int16_t *mvd;
     const int32_t *cy, *ccb, *ccr;
     const int64_t *zscan;
     int w, h, w4, h4, ystride, cstride;
-    int log2_ctb, min_cb, min_tb, max_tb, max_tr_intra, sign_hide;
+    int log2_ctb, min_cb, min_tb, max_tb, max_tr_intra, max_tr_inter;
+    int sign_hide, slice_type, max_merge;  /* slice_type: 2 = I, 1 = P */
 } Enc;
 
 /* ---- bit output ---- */
@@ -222,9 +231,9 @@ static void luma_mpm(const Enc *e, int x0, int y0, int mpm[3]) {
         int xn = i == 0 ? x0 - 1 : x0;
         int yn = i == 0 ? y0 : y0 - 1;
         int mode = MODE_DC;
-        if (avail(e, x0, y0, xn, yn)) {
-            /* above neighbor outside current CTB row -> DC (pred_mode is
-             * always intra in I slices) */
+        if (avail(e, x0, y0, xn, yn)
+            && e->pred_mode_arr[(yn >> 2) * e->w4 + (xn >> 2)] == 1) {
+            /* above neighbor outside the current CTB row -> DC */
             if (!(i == 1 && (yn >> e->log2_ctb) != (y0 >> e->log2_ctb)))
                 mode = e->luma_mode[(yn >> 2) * e->w4 + (xn >> 2)];
         }
@@ -440,13 +449,13 @@ static int region_nz(const int32_t *plane, int stride, int x, int y, int sz) {
 /* ---- transform tree ---- */
 static void enc_transform_unit(Enc *e, int x0, int y0, int xb, int yb,
                                int log2_size, int blk_idx, int cbf_luma,
-                               int cbf_cb, int cbf_cr) {
+                               int cbf_cb, int cbf_cr, int is_intra) {
     int size = 1 << log2_size;
     int cx, cy, clog2, csz, cmode, cscan;
     if (!(cbf_luma || cbf_cb || cbf_cr)) return;
     if (cbf_luma) {
         int mode = e->luma_mode[(y0 >> 2) * e->w4 + (x0 >> 2)];
-        int scan = scan_for_intra(log2_size, 0, mode);
+        int scan = is_intra ? scan_for_intra(log2_size, 0, mode) : SCAN_DIAG;
         encode_residual(e, e->cy + y0 * e->ystride + x0, e->ystride,
                         log2_size, 0, scan);
     }
@@ -456,7 +465,7 @@ static void enc_transform_unit(Enc *e, int x0, int y0, int xb, int yb,
     else return;
     csz = 1 << clog2; (void)csz;
     cmode = e->chroma_mode[((cy * 2) >> 2) * e->w4 + ((cx * 2) >> 2)];
-    cscan = scan_for_intra(clog2, 1, cmode);
+    cscan = is_intra ? scan_for_intra(clog2, 1, cmode) : SCAN_DIAG;
     if (cbf_cb)
         encode_residual(e, e->ccb + cy * e->cstride + cx, e->cstride,
                         clog2, 1, cscan);
@@ -467,10 +476,11 @@ static void enc_transform_unit(Enc *e, int x0, int y0, int xb, int yb,
 
 static void enc_transform_tree(Enc *e, int x0, int y0, int xb, int yb,
                                int log2_size, int depth, int blk_idx,
-                               int intra_split) {
+                               int intra_split, int is_intra) {
     int tu_depth_here = e->tu_depth[(y0 >> 2) * e->w4 + (x0 >> 2)];
     int split = tu_depth_here > depth;
-    int max_depth = e->max_tr_intra + (intra_split ? 1 : 0);
+    int max_depth = (is_intra ? e->max_tr_intra : e->max_tr_inter)
+                    + (intra_split ? 1 : 0);
     int size = 1 << log2_size;
     int csize = size >> 1;
     int cbf_cb, cbf_cr;
@@ -497,19 +507,108 @@ static void enc_transform_tree(Enc *e, int x0, int y0, int xb, int yb,
         int half = size >> 1, i;
         for (i = 0; i < 4; i++)
             enc_transform_tree(e, x0 + (i & 1) * half, y0 + (i >> 1) * half,
-                               x0, y0, log2_size - 1, depth + 1, i, intra_split);
+                               x0, y0, log2_size - 1, depth + 1, i,
+                               intra_split, is_intra);
         return;
     }
     {
     int cbf_luma = region_nz(e->cy, e->ystride, x0, y0, size);
-    encode_bin(e, CTX_CBF_LUMA + (depth == 0 ? 1 : 0), cbf_luma);
+    if (is_intra || depth != 0 || cbf_cb || cbf_cr)
+        encode_bin(e, CTX_CBF_LUMA + (depth == 0 ? 1 : 0), cbf_luma);
     enc_transform_unit(e, x0, y0, xb, yb, log2_size, blk_idx,
-                       cbf_luma, cbf_cb, cbf_cr);
+                       cbf_luma, cbf_cb, cbf_cr, is_intra);
     }
 }
 
+/* ---- inter syntax helpers ---- */
+static int skip_ctx(const Enc *e, int x0, int y0) {
+    int ctx = 0;
+    if (avail(e, x0, y0, x0 - 1, y0)
+        && e->skip[(y0 >> 2) * e->w4 + ((x0 - 1) >> 2)]) ctx++;
+    if (avail(e, x0, y0, x0, y0 - 1)
+        && e->skip[((y0 - 1) >> 2) * e->w4 + (x0 >> 2)]) ctx++;
+    return CTX_CU_SKIP + ctx;
+}
+
+static void enc_merge_idx(Enc *e, int idx) {
+    int cmax = e->max_merge - 1, k;
+    if (cmax == 0) return;
+    encode_bin(e, CTX_MERGE_IDX, idx > 0 ? 1 : 0);
+    if (idx > 0) {
+        for (k = 1; k < idx; k++) encode_bypass(e, 1);
+        if (idx < cmax) encode_bypass(e, 0);
+    }
+}
+
+static void enc_eg_k(Enc *e, int value, int k) {
+    while (value >= (1 << k)) {
+        encode_bypass(e, 1);
+        value -= 1 << k;
+        k += 1;
+    }
+    encode_bypass(e, 0);
+    encode_bypass_bins(e, (uint32_t)value, k);
+}
+
+static void enc_mvd(Enc *e, int mvd_x, int mvd_y) {
+    int ax = mvd_x < 0 ? -mvd_x : mvd_x;
+    int ay = mvd_y < 0 ? -mvd_y : mvd_y;
+    encode_bin(e, CTX_MVD_GREATER, ax > 0);
+    encode_bin(e, CTX_MVD_GREATER, ay > 0);
+    if (ax > 0) encode_bin(e, CTX_MVD_GREATER + 1, ax > 1);
+    if (ay > 0) encode_bin(e, CTX_MVD_GREATER + 1, ay > 1);
+    if (ax > 0) {
+        if (ax > 1) enc_eg_k(e, ax - 2, 1);
+        encode_bypass(e, mvd_x < 0);
+    }
+    if (ay > 0) {
+        if (ay > 1) enc_eg_k(e, ay - 2, 1);
+        encode_bypass(e, mvd_y < 0);
+    }
+}
+
+static void enc_intra_cu(Enc *e, int x0, int y0, int log2_size);
+
 /* ---- CU / quadtree ---- */
 static void enc_cu(Enc *e, int x0, int y0, int log2_size) {
+    int y4 = y0 >> 2, x4 = x0 >> 2;
+    int size = 1 << log2_size;
+    if (e->slice_type != 2) {       /* P slice */
+        int skip = e->skip[y4 * e->w4 + x4];
+        encode_bin(e, skip_ctx(e, x0, y0), skip);
+        if (skip) {
+            enc_merge_idx(e, e->merge_idx[y4 * e->w4 + x4]);
+            return;
+        }
+        {
+        int isintra = e->pred_mode_arr[y4 * e->w4 + x4] == 1;
+        encode_bin(e, CTX_PRED_MODE, isintra);
+        if (!isintra) {
+            int merge = e->merge_flag[y4 * e->w4 + x4];
+            int root_cbf;
+            encode_bin(e, CTX_PART_MODE, 1);   /* 2Nx2N */
+            encode_bin(e, CTX_MERGE_FLAG, merge);
+            if (merge) {
+                enc_merge_idx(e, e->merge_idx[y4 * e->w4 + x4]);
+            } else {
+                enc_mvd(e, e->mvd[(y4 * e->w4 + x4) * 2],
+                        e->mvd[(y4 * e->w4 + x4) * 2 + 1]);
+                encode_bin(e, CTX_MVP_FLAG, e->mvp_flag[y4 * e->w4 + x4]);
+            }
+            root_cbf = region_nz(e->cy, e->ystride, x0, y0, size)
+                || region_nz(e->ccb, e->cstride, x0 >> 1, y0 >> 1, size >> 1)
+                || region_nz(e->ccr, e->cstride, x0 >> 1, y0 >> 1, size >> 1);
+            if (!merge) encode_bin(e, CTX_RQT_ROOT_CBF, root_cbf);
+            if (root_cbf)
+                enc_transform_tree(e, x0, y0, x0, y0, log2_size, 0, 0, 0, 0);
+            return;
+        }
+        }
+    }
+    enc_intra_cu(e, x0, y0, log2_size);
+}
+
+static void enc_intra_cu(Enc *e, int x0, int y0, int log2_size) {
     int nxn = e->part[(y0 >> 2) * e->w4 + (x0 >> 2)] != 0;
     int size = 1 << log2_size;
     int pb = nxn ? size >> 1 : size;
@@ -571,7 +670,7 @@ static void enc_cu(Enc *e, int x0, int y0, int log2_size) {
     if (cidx == 4) encode_bin(e, CTX_INTRA_CHROMA, 0);
     else { encode_bin(e, CTX_INTRA_CHROMA, 1); encode_bypass_bins(e, (uint32_t)cidx, 2); }
     }
-    enc_transform_tree(e, x0, y0, x0, y0, log2_size, 0, 0, nxn);
+    enc_transform_tree(e, x0, y0, x0, y0, log2_size, 0, 0, nxn, 1);
 }
 
 static void enc_quadtree(Enc *e, int x0, int y0, int log2_size, int depth) {
@@ -600,11 +699,14 @@ static void enc_quadtree(Enc *e, int x0, int y0, int log2_size, int depth) {
 long encode_slice_data(
     const uint8_t *depth, const uint8_t *part, const uint8_t *luma_mode,
     const uint8_t *chroma_mode, const uint8_t *tu_depth,
+    const uint8_t *pred_mode, const uint8_t *skip, const uint8_t *merge_flag,
+    const uint8_t *merge_idx, const uint8_t *mvp_flag, const int16_t *mvd,
     const int32_t *coeff_y, const int32_t *coeff_cb, const int32_t *coeff_cr,
     const int64_t *zscan,
     int width, int height, int w4, int h4,
     int log2_ctb, int log2_min_cb, int log2_min_tb, int log2_max_tb,
-    int max_tr_depth_intra, int sign_hiding,
+    int max_tr_depth_intra, int max_tr_depth_inter, int sign_hiding,
+    int slice_type, int max_merge,
     const uint8_t *ctx_init, int num_ctx,
     uint8_t *out, long out_cap)
 {
@@ -619,13 +721,17 @@ long encode_slice_data(
     memcpy(e.ctx, ctx_init, NUM_CTX_EXPECT);
     e.depth = depth; e.part = part; e.luma_mode = luma_mode;
     e.chroma_mode = chroma_mode; e.tu_depth = tu_depth;
+    e.pred_mode_arr = pred_mode; e.skip = skip; e.merge_flag = merge_flag;
+    e.merge_idx = merge_idx; e.mvp_flag = mvp_flag; e.mvd = mvd;
     e.cy = coeff_y; e.ccb = coeff_cb; e.ccr = coeff_cr;
     e.zscan = zscan;
     e.w = width; e.h = height; e.w4 = w4; e.h4 = h4;
     e.ystride = w4 * 4; e.cstride = w4 * 2;
     e.log2_ctb = log2_ctb; e.min_cb = log2_min_cb; e.min_tb = log2_min_tb;
     e.max_tb = log2_max_tb; e.max_tr_intra = max_tr_depth_intra;
-    e.sign_hide = sign_hiding;
+    e.max_tr_inter = max_tr_depth_inter;
+    e.sign_hide = sign_hiding; e.slice_type = slice_type;
+    e.max_merge = max_merge;
 
     ctb_size = 1 << log2_ctb;
     ctbs_w = (width + ctb_size - 1) >> log2_ctb;
