@@ -1,0 +1,191 @@
+"""Fused per-frame device pipelines.
+
+The encoder's device work for one frame — intra mode analysis, motion
+estimation with subpel refinement, chroma MC, and the three wavefront
+reconstruction scans — is compiled as ONE XLA program per frame type.
+Intermediates (predictions, costs) never leave the device; the host only
+receives the recon planes, quantized levels and decisions.  This matters
+doubly here: every dispatch costs a device-link roundtrip (~45 ms through
+the axon tunnel) and transfers run at ~30 MB/s.
+
+Replaces the reference's per-kernel primitives calls with whole-frame
+compiled programs (SURVEY.md §7 design stance).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def build_i_pipeline(enc):
+    """I-frame device program: intra analysis + 3-plane wavefront recon.
+
+    Returns fn(orig_y, orig_cb, orig_cr [padded planes], qp_y, qp_cb,
+    qp_cr) -> (modes [B], intra_cost [B], (plane, levels) x3).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from ..ops.cost import satd
+    from ..ops.intra import predict_all_modes, substitute_references
+
+    g = enc.geom
+    n = 16
+    ph = g.ctbs_h << g.log2_ctb
+    pw = g.ctbs_w << g.log2_ctb
+    gh, gw = ph // n, pw // n
+    ridx, avails = enc._mode_gather_tables(n, gh, gw, ph, pw)
+    wfs = enc._get_wavefronts(n)
+    scans = [wf.scan_fn(encode=True) for wf in wfs]
+
+    def to_blocks(pl, bn):
+        return pl.reshape(gh, bn, gw, bn).transpose(
+            0, 2, 1, 3).reshape(-1, bn, bn)
+
+    def analyse(y):
+        refs = y.reshape(-1)[jnp.asarray(ridx)].astype(jnp.int32)
+        refs = substitute_references(refs, jnp.asarray(avails),
+                                     enc.bit_depth)
+        preds = predict_all_modes(refs, n, True, enc.bit_depth)
+        blocks = to_blocks(y.astype(jnp.int32), n)
+        costs = satd(blocks[:, None], preds)
+        return (jnp.argmin(costs, axis=1).astype(jnp.int32),
+                jnp.min(costs, axis=1))
+
+    def run(oy, ocb, ocr, qpy, qpb, qpr):
+        modes, cost = analyse(oy)
+        ry = scans[0](to_blocks(oy, n), modes, qpy)
+        rcb = scans[1](to_blocks(ocb, n // 2), modes, qpb)
+        rcr = scans[2](to_blocks(ocr, n // 2), modes, qpr)
+        return modes, cost, ry, rcb, rcr
+
+    return jax.jit(run)
+
+
+def build_p_pipeline(enc):
+    """P-frame device program: intra analysis + full+subpel ME + chroma MC
+    + inter/intra decision + 3-plane wavefront recon.
+
+    fn(orig x3, ref_y_ext, ref_cb_ext, ref_cr_ext, qps) ->
+       (modes, mv_qpel [B, 2] (x, y), inter_mask [B],
+        (plane, levels) x3).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from ..ops.cost import satd as satd_fn
+    from ..ops.interp import mc_chroma_batch, mc_luma_batch
+    from ..ops.intra import predict_all_modes, substitute_references
+
+    g = enc.geom
+    n = 16
+    R = enc.me_range
+    M = R + 8
+    CM = R // 2 + 4
+    ph = g.ctbs_h << g.log2_ctb
+    pw = g.ctbs_w << g.log2_ctb
+    gh, gw = ph // n, pw // n
+    nb = gh * gw
+    cn = n // 2
+    cph, cpw = ph // 2, pw // 2
+    ridx, avails = enc._mode_gather_tables(n, gh, gw, ph, pw)
+    wfs = enc._get_wavefronts(n)
+    scans = [wf.scan_fn(encode=True, inter=True) for wf in wfs]
+
+    offs = np.array([(dy, dx) for dy in range(-R, R + 1)
+                     for dx in range(-R, R + 1)], np.int32)
+    deltas = [(dy, dx) for dy in (-1, 0, 1) for dx in (-1, 0, 1)
+              if (dy, dx) != (0, 0)]
+
+    def to_blocks(pl, bn):
+        return pl.reshape(gh, bn, gw, bn).transpose(
+            0, 2, 1, 3).reshape(-1, bn, bn)
+
+    def analyse(y):
+        refs = y.reshape(-1)[jnp.asarray(ridx)].astype(jnp.int32)
+        refs = substitute_references(refs, jnp.asarray(avails),
+                                     enc.bit_depth)
+        preds = predict_all_modes(refs, n, True, enc.bit_depth)
+        blocks = to_blocks(y.astype(jnp.int32), n)
+        costs = satd_fn(blocks[:, None], preds)
+        return (jnp.argmin(costs, axis=1).astype(jnp.int32),
+                jnp.min(costs, axis=1), blocks)
+
+    def me(orig, ref_ext, ob):
+        def body(carry, off):
+            best_c, best_i, i = carry
+            shifted = jax.lax.dynamic_slice(
+                ref_ext, (off[0] + M, off[1] + M), (ph, pw))
+            d = jnp.abs(orig - shifted)
+            c = d.reshape(gh, n, gw, n).sum(axis=(1, 3))
+            better = c < best_c
+            return (jnp.where(better, c, best_c),
+                    jnp.where(better, i, best_i), i + 1), None
+
+        init = (jnp.full((gh, gw), 2 ** 30, jnp.int32),
+                jnp.zeros((gh, gw), jnp.int32), jnp.int32(0))
+        (_, idx, _), _ = jax.lax.scan(body, init, jnp.asarray(offs))
+        mvi = jnp.asarray(offs)[idx].reshape(-1, 2)      # [B] (dy, dx)
+
+        oy = np.arange(n + 9)
+        by = (np.repeat(np.arange(gh), gw) * n + M - 4)
+        bx = (np.tile(np.arange(gw), gh) * n + M - 4)
+        rows = (jnp.asarray(by) + mvi[:, 0])[:, None] + oy[None, :]
+        cols = (jnp.asarray(bx) + mvi[:, 1])[:, None] + oy[None, :]
+        W = ref_ext[rows[:, :, None], cols[:, None, :]]
+
+        def eval_q(q):
+            iy = (q[:, 0] >> 2) + 4
+            ix = (q[:, 1] >> 2) + 4
+            win = jax.vmap(
+                lambda w, y, x: jax.lax.dynamic_slice(
+                    w, (y - 3, x - 3), (n + 7, n + 7)))(W, iy, ix)
+            pred = mc_luma_batch(win, q[:, 1] & 3, q[:, 0] & 3, n, n,
+                                 enc.bit_depth)
+            return pred, satd_fn(ob, pred)
+
+        def refine(center, best_pred, best_c, step):
+            best_q = center
+            for d in deltas:
+                q = center + jnp.asarray(d) * step
+                pred, c = eval_q(q)
+                better = c < best_c
+                best_c = jnp.where(better, c, best_c)
+                best_pred = jnp.where(better[:, None, None], pred, best_pred)
+                best_q = jnp.where(better[:, None], q, best_q)
+            return best_q, best_pred, best_c
+
+        q0 = jnp.zeros_like(mvi)
+        pred0, c0 = eval_q(q0)
+        q0, pred, cost = refine(q0, pred0, c0, 2)
+        q0, pred, cost = refine(q0, pred, cost, 1)
+        mvq = mvi * 4 + q0                                # (y, x) qpel
+        return mvq[:, ::-1], cost, pred                   # mv as (x, y)
+
+    def chroma_pred(ref_ext, mv):
+        # mv [B, 2] (x, y) qpel == chroma eighth-pel
+        icx = mv[:, 0] >> 3
+        icy = mv[:, 1] >> 3
+        oy = np.arange(cn + 3)
+        by = (np.repeat(np.arange(gh), gw) * cn + CM - 1)
+        bx = (np.tile(np.arange(gw), gh) * cn + CM - 1)
+        rows = (jnp.asarray(by) + icy)[:, None] + oy[None, :]
+        cols = (jnp.asarray(bx) + icx)[:, None] + oy[None, :]
+        wins = ref_ext[rows[:, :, None], cols[:, None, :]]
+        return mc_chroma_batch(wins, mv[:, 0] & 7, mv[:, 1] & 7, cn, cn,
+                               enc.bit_depth)
+
+    def run(oy, ocb, ocr, ref_y_ext, ref_cb_ext, ref_cr_ext,
+            qpy, qpb, qpr):
+        modes, icost, ob = analyse(oy)
+        mv, pcost, pred_y = me(oy.astype(jnp.int32),
+                               ref_y_ext.astype(jnp.int32), ob)
+        inter = pcost.reshape(-1) <= icost
+        pred_cb = chroma_pred(ref_cb_ext.astype(jnp.int32), mv)
+        pred_cr = chroma_pred(ref_cr_ext.astype(jnp.int32), mv)
+        ry = scans[0](to_blocks(oy, n), modes, qpy, pred_y, inter)
+        rcb = scans[1](to_blocks(ocb, cn), modes, qpb, pred_cb, inter)
+        rcr = scans[2](to_blocks(ocr, cn), modes, qpr, pred_cr, inter)
+        return modes, mv.astype(jnp.int16), inter, ry, rcb, rcr
+
+    return jax.jit(run)

@@ -104,10 +104,8 @@ class Encoder:
         self.force_python_entropy = False
         self._wf = {}                   # cached WavefrontIntraRecon per plane
         self._mode_tables = {}          # cached mode-decision gather tables
-        self._fused_recon = None        # fused 3-plane device recon jit
-        self._fused_recon_p = None      # ... inter-capable variant
-        self._me_jit = None             # batched full-search ME
-        self._cpred_jit = None          # batched chroma MC
+        self._i_pipeline = None         # fused I-frame device program
+        self._p_pipeline = None         # fused P-frame device program
         self.ref = None                 # (Y, Cb, Cr) coded-size ref planes
         self.force_all_intra = False
         self.me_range = min(8, params.me_range)  # full-search reach (v1)
@@ -206,91 +204,6 @@ class Encoder:
             rec = pred
         rec_pl[y0:y0 + n, x0:x0 + n] = rec.astype(rec_pl.dtype)
 
-    def _recon_wavefront(self, ps, orig, rec, modes, cu_size, qps):
-        """Device wavefront recon for the fixed-CU structure: one lax.scan
-        per plane (encoder/wavefront.py), bit-exact with the host loop."""
-        from .wavefront import WavefrontIntraRecon
-
-        g = self.geom
-        qp_y, qp_cb, qp_cr = qps
-        n = cu_size
-        modes_f = modes.reshape(-1).astype(np.int32)
-        jobs = (("y", n, True, 0, orig[0], rec[0], ps.coeff_y, qp_y),
-                ("cb", n // 2, False, 1, orig[1], rec[1], ps.coeff_cb, qp_cb),
-                ("cr", n // 2, False, 1, orig[2], rec[2], ps.coeff_cr, qp_cr))
-        wfs = []
-        host_mask = None
-        for key, bn, is_luma, cs, _o, _r, _c, _q in jobs:
-            wf = self._wf.get((key, bn))
-            if wf is None:
-                wf = WavefrontIntraRecon(g.width, g.height, g.log2_ctb, bn,
-                                         is_luma=is_luma, chroma_shift=cs,
-                                         bit_depth=self.bit_depth)
-                self._wf[(key, bn)] = wf
-            if host_mask is None:
-                host_mask = wf.sched["host_mask"]
-            else:
-                # luma/chroma dependency structure is identical at CU level
-                assert np.array_equal(host_mask, wf.sched["host_mask"])
-            wfs.append(wf)
-
-        if any(wf.sched["n_levels"] > 0 for wf in wfs):
-            fused = self._fused_recon
-            if fused is None:
-                import jax
-
-                scans = [wf.scan_fn(encode=True) for wf in wfs]
-
-                def fused(by, bcb, bcr, modes, qpy, qpb, qpr):
-                    return (scans[0](by, modes, qpy),
-                            scans[1](bcb, modes, qpb),
-                            scans[2](bcr, modes, qpr))
-
-                fused = jax.jit(fused)
-                self._fused_recon = fused
-
-            def to_blocks(pl, bn, wf):
-                gh, gw = wf.sched["grid"]
-                return pl.reshape(gh, bn, gw, bn).transpose(
-                    0, 2, 1, 3).reshape(-1, bn, bn)
-
-            outs = fused(to_blocks(orig[0], cu_size, wfs[0]),
-                         to_blocks(orig[1], cu_size // 2, wfs[1]),
-                         to_blocks(orig[2], cu_size // 2, wfs[2]),
-                         modes_f, qp_y, qp_cb, qp_cr)
-            for (plane, levels), wf, (key, bn, _il, _cs, _o, rpl, cpl,
-                                      _q) in zip(outs, wfs, jobs):
-                gh, gw = wf.sched["grid"]
-                rpl[:] = np.asarray(plane).astype(rpl.dtype)
-                cpl[:] = np.asarray(levels).astype(np.int32).reshape(
-                    gh, gw, bn, bn).transpose(0, 2, 1, 3).reshape(
-                        gh * bn, gw * bn)
-
-        if host_mask is not None and host_mask.any():
-            self._recon_host_blocks(ps, orig, rec, host_mask, cu_size, qps)
-
-    def _recon_host_blocks(self, ps, orig, rec, host_mask, cu_size, qps):
-        """Spec-loop encode of the CUs the device schedule excluded (picture
-        edge strips + their z-scan dependents), in decode order."""
-        g = self.geom
-        qp_y, qp_cb, qp_cr = qps
-        for ctu in range(g.n_ctbs):
-            for (cx, cy, log2_cb) in cu_leaves(ps, ctu):
-                if not host_mask[cy // cu_size, cx // cu_size]:
-                    continue
-                for (tx, ty, log2_tb, _d) in tu_leaves(ps, cx, cy, log2_cb):
-                    mode = int(ps.luma_mode[ty >> 2, tx >> 2])
-                    self._encode_tu(orig[0], rec[0], ps.coeff_y, ps, tx, ty,
-                                    log2_tb, mode, qp_y, is_luma=True)
-                cmode = int(ps.chroma_mode[cy >> 2, cx >> 2])
-                for (tx, ty, clog2) in chroma_tu_leaves(ps, cx, cy, log2_cb):
-                    self._encode_tu(orig[1], rec[1], ps.coeff_cb, ps,
-                                    tx >> 1, ty >> 1, clog2, cmode, qp_cb,
-                                    is_luma=False, chroma_shift=1)
-                    self._encode_tu(orig[2], rec[2], ps.coeff_cr, ps,
-                                    tx >> 1, ty >> 1, clog2, cmode, qp_cr,
-                                    is_luma=False, chroma_shift=1)
-
     # -- top level -----------------------------------------------------------
 
     def encode_frame(self, planes):
@@ -310,7 +223,7 @@ class Encoder:
         is_p = (self.ref is not None and self.poc % keyint != 0
                 and not self.force_all_intra)
 
-        cu_size, modes, intra_cost = self._decide_modes(orig)
+        cu_size = min(16, 1 << g.log2_ctb)
         cu_log2 = cu_size.bit_length() - 1
         cu_depth = g.log2_ctb - cu_log2
 
@@ -321,10 +234,7 @@ class Encoder:
         ps.depth[:] = cu_depth
         ps.pred_mode[:] = MODE_INTRA
         ps.tu_depth[:] = 0
-        # scatter modes to 4x4 granularity
         s4 = cu_size // 4
-        ps.luma_mode[:] = np.kron(modes, np.ones((s4, s4), np.uint8))
-        ps.chroma_mode[:] = ps.luma_mode  # DM chroma
 
         rec = (np.zeros((ph, pw), np.int16),
                np.zeros((ph // 2, pw // 2), np.int16),
@@ -335,32 +245,22 @@ class Encoder:
         qp_cr = chroma_qp(qp_y, self.pps.cr_qp_offset)
 
         inter_mask = None
+        use_pipeline = (not self.force_host_recon
+                        and not any(wf.sched["host_mask"].any()
+                                    for wf in self._get_wavefronts(cu_size)))
         if is_p:
-            inter_mask = self._encode_p_frame(
-                ps, orig, rec, modes, intra_cost, cu_size,
-                (qp_y, qp_cb, qp_cr))
-        elif not self.force_host_recon:
-            self._recon_wavefront(ps, orig, rec, modes, cu_size,
-                                  (qp_y, qp_cb, qp_cr))
+            assert use_pipeline, "P frames require the device pipeline"
+            inter_mask, modes = self._run_p_pipeline(
+                ps, orig, rec, cu_size, (qp_y, qp_cb, qp_cr))
+        elif use_pipeline:
+            modes = self._run_i_pipeline(ps, orig, rec, cu_size,
+                                         (qp_y, qp_cb, qp_cr))
         else:
-            for ctu in range(g.n_ctbs):
-                for (cx, cy, log2_cb) in cu_leaves(ps, ctu):
-                    for (tx, ty, log2_tb, _d) in tu_leaves(ps, cx, cy,
-                                                           log2_cb):
-                        mode = int(ps.luma_mode[ty >> 2, tx >> 2])
-                        self._encode_tu(orig[0], rec[0], ps.coeff_y, ps,
-                                        tx, ty, log2_tb, mode, qp_y,
-                                        is_luma=True)
-                    cmode = int(ps.chroma_mode[cy >> 2, cx >> 2])
-                    for (tx, ty, clog2) in chroma_tu_leaves(ps, cx, cy,
-                                                            log2_cb):
-                        self._encode_tu(orig[1], rec[1], ps.coeff_cb, ps,
-                                        tx >> 1, ty >> 1, clog2, cmode,
-                                        qp_cb, is_luma=False, chroma_shift=1)
-                        self._encode_tu(orig[2], rec[2], ps.coeff_cr, ps,
-                                        tx >> 1, ty >> 1, clog2, cmode,
-                                        qp_cr, is_luma=False, chroma_shift=1)
-
+            cu_size, modes, _c = self._decide_modes(orig)
+            ps.luma_mode[:] = np.kron(modes, np.ones((s4, s4), np.uint8))
+            ps.chroma_mode[:] = ps.luma_mode
+            self._recon_host_fallback(ps, orig, rec, modes, cu_size,
+                                      (qp_y, qp_cb, qp_cr))
         au = self._entropy_encode(ps, SLICE_P if is_p else SLICE_I,
                                   self.poc % keyint)
 
@@ -400,112 +300,118 @@ class Encoder:
         self.last_ps = ps      # exposed for tests / debugging
         return au, rec_crop
 
-    # -- P frames ------------------------------------------------------------
+    # -- fused device pipelines ----------------------------------------------
 
-    def _me_search(self, orig_y, ref_y_coded, cu_size):
-        """Batched ME on device: full-pel full search, then half- and
-        quarter-pel 3x3 refinement (SATD), mirroring the reference's
-        subpel ladder (x265_1.9 motion.cpp:1174 subpelCompare).
+    def _get_wavefronts(self, cu_size):
+        """The three per-plane WavefrontIntraRecon objects (cached)."""
+        from .wavefront import WavefrontIntraRecon
 
-        Returns (mv [gh, gw, 2] in QPEL units, satd_best [gh, gw],
-        pred_y [B, n, n]) — the winner's interpolated prediction.
-        """
-        import jax
-        import jax.numpy as jnp
+        g = self.geom
+        jobs = (("y", cu_size, True, 0), ("cb", cu_size // 2, False, 1),
+                ("cr", cu_size // 2, False, 1))
+        out = []
+        for key, bn, is_luma, cs in jobs:
+            wf = self._wf.get((key, bn))
+            if wf is None:
+                wf = WavefrontIntraRecon(g.width, g.height, g.log2_ctb, bn,
+                                         is_luma=is_luma, chroma_shift=cs,
+                                         bit_depth=self.bit_depth)
+                self._wf[(key, bn)] = wf
+            out.append(wf)
+        return out
+
+    def _scatter_outputs(self, ps, rec, outs_3, cu_size):
+        """(plane, levels) x3 device outputs -> rec planes + coeff planes."""
+        wfs = self._get_wavefronts(cu_size)
+        planes = (ps.coeff_y, ps.coeff_cb, ps.coeff_cr)
+        bns = (cu_size, cu_size // 2, cu_size // 2)
+        for (plane, levels), wf, rpl, cpl, bn in zip(
+                outs_3, wfs, rec, planes, bns):
+            gh, gw = wf.sched["grid"]
+            rpl[:] = np.asarray(plane).astype(rpl.dtype)
+            cpl[:] = np.asarray(levels).astype(np.int32).reshape(
+                gh, gw, bn, bn).transpose(0, 2, 1, 3).reshape(
+                    gh * bn, gw * bn)
+
+    def _run_i_pipeline(self, ps, orig, rec, cu_size, qps):
+        from .device_pipeline import build_i_pipeline
+
+        if self._i_pipeline is None:
+            self._i_pipeline = build_i_pipeline(self)
+        modes, _cost, ry, rcb, rcr = self._i_pipeline(
+            orig[0], orig[1], orig[2], *(np.int32(q) for q in qps))
+        gh, gw = self._get_wavefronts(cu_size)[0].sched["grid"]
+        modes = np.asarray(modes).reshape(gh, gw)
+        s4 = cu_size // 4
+        ps.luma_mode[:] = np.kron(modes, np.ones((s4, s4), np.uint8))
+        ps.chroma_mode[:] = ps.luma_mode
+        self._scatter_outputs(ps, rec, (ry, rcb, rcr), cu_size)
+        return modes
+
+    def _run_p_pipeline(self, ps, orig, rec, cu_size, qps):
+        from .device_pipeline import build_p_pipeline
 
         g = self.geom
         n = cu_size
         R = self.me_range
-        M = R + 8                        # margin: search + subpel window
+        M, CM = R + 8, R // 2 + 4
         ph = g.ctbs_h << g.log2_ctb
         pw = g.ctbs_w << g.log2_ctb
-        gh, gw = ph // n, pw // n
 
-        if self._me_jit is None:
-            from ..ops.cost import satd as satd_fn
-            from ..ops.interp import mc_luma_batch
+        if self._p_pipeline is None:
+            self._p_pipeline = build_p_pipeline(self)
 
-            offs = np.array([(dy, dx) for dy in range(-R, R + 1)
-                             for dx in range(-R, R + 1)], np.int32)
-            deltas = np.array([(dy, dx) for dy in (-1, 0, 1)
-                               for dx in (-1, 0, 1)], np.int32)
+        def ext(ref, th, tw, m):
+            pad = np.pad(ref, ((0, th - ref.shape[0]),
+                               (0, tw - ref.shape[1])), mode="edge")
+            return np.pad(pad, m, mode="edge")
 
-            def me(orig, ref_ext):
-                # orig [ph, pw]; ref_ext [ph+2M, pw+2M] (edge padded)
-                def body(carry, off):
-                    best_c, best_i, i = carry
-                    shifted = jax.lax.dynamic_slice(
-                        ref_ext, (off[0] + M, off[1] + M), (ph, pw))
-                    d = jnp.abs(orig - shifted)
-                    c = d.reshape(gh, n, gw, n).sum(axis=(1, 3))
-                    better = c < best_c
-                    return (jnp.where(better, c, best_c),
-                            jnp.where(better, i, best_i), i + 1), None
+        refs = (ext(self.ref[0], ph, pw, M),
+                ext(self.ref[1], ph // 2, pw // 2, CM),
+                ext(self.ref[2], ph // 2, pw // 2, CM))
+        modes, mv, inter, ry, rcb, rcr = self._p_pipeline(
+            orig[0], orig[1], orig[2], *refs,
+            *(np.int32(q) for q in qps))
+        gh, gw = self._get_wavefronts(cu_size)[0].sched["grid"]
+        modes = np.asarray(modes).reshape(gh, gw)
+        mv = np.asarray(mv).reshape(gh, gw, 2)
+        inter_mask = np.asarray(inter).reshape(gh, gw)
+        s4 = n // 4
+        ps.luma_mode[:] = np.kron(modes.astype(np.uint8),
+                                  np.ones((s4, s4), np.uint8))
+        ps.chroma_mode[:] = ps.luma_mode
+        pm = np.where(inter_mask, MODE_INTER, MODE_INTRA).astype(np.uint8)
+        ps.pred_mode[:] = np.kron(pm, np.ones((s4, s4), np.uint8))
+        ps.mv0[:] = np.kron(
+            mv.astype(np.int16).transpose(2, 0, 1),
+            np.ones((1, s4, s4), np.int16)).transpose(1, 2, 0)
+        self._derive_inter_syntax(ps, inter_mask, n)
+        self._scatter_outputs(ps, rec, (ry, rcb, rcr), cu_size)
+        self._derive_skip(ps, inter_mask, n)
+        return inter_mask, modes
 
-                init = (jnp.full((gh, gw), 2 ** 30, jnp.int32),
-                        jnp.zeros((gh, gw), jnp.int32), jnp.int32(0))
-                (_, idx, _), _ = jax.lax.scan(body, init, jnp.asarray(offs))
-                mvi = jnp.asarray(offs)[idx].reshape(-1, 2)  # [B] (dy,dx)
+    def _recon_host_fallback(self, ps, orig, rec, modes, cu_size, qps):
+        """Spec-loop encode (numpy oracle) for non-aligned geometries and
+        tests; covers the whole picture."""
+        qp_y, qp_cb, qp_cr = qps
+        g = self.geom
+        for ctu in range(g.n_ctbs):
+            for (cx, cy, log2_cb) in cu_leaves(ps, ctu):
+                for (tx, ty, log2_tb, _d) in tu_leaves(ps, cx, cy, log2_cb):
+                    mode = int(ps.luma_mode[ty >> 2, tx >> 2])
+                    self._encode_tu(orig[0], rec[0], ps.coeff_y, ps,
+                                    tx, ty, log2_tb, mode, qp_y,
+                                    is_luma=True)
+                cmode = int(ps.chroma_mode[cy >> 2, cx >> 2])
+                for (tx, ty, clog2) in chroma_tu_leaves(ps, cx, cy, log2_cb):
+                    self._encode_tu(orig[1], rec[1], ps.coeff_cb, ps,
+                                    tx >> 1, ty >> 1, clog2, cmode, qp_cb,
+                                    is_luma=False, chroma_shift=1)
+                    self._encode_tu(orig[2], rec[2], ps.coeff_cr, ps,
+                                    tx >> 1, ty >> 1, clog2, cmode, qp_cr,
+                                    is_luma=False, chroma_shift=1)
 
-                # per-block window around the full-pel winner:
-                # rows base-4 .. base+n+4 (n+9) covers all subpel phases
-                oy = np.arange(n + 9)
-                by = (np.repeat(np.arange(gh), gw) * n + M - 4)
-                bx = (np.tile(np.arange(gw), gh) * n + M - 4)
-                rows = (by + mvi[:, 0])[:, None] + oy[None, :]   # [B, n+9]
-                cols = (bx + mvi[:, 1])[:, None] + oy[None, :]
-                W = ref_ext[rows[:, :, None], cols[:, None, :]]  # [B,n+9,n+9]
-
-                ob = orig.reshape(gh, n, gw, n).transpose(
-                    0, 2, 1, 3).reshape(-1, n, n)
-
-                def eval_q(q):
-                    # q: [B, 2] qpel offsets relative to the window center
-                    iy = (q[:, 0] >> 2) + 4      # integer row in W (-3 tap)
-                    ix = (q[:, 1] >> 2) + 4
-                    fy = q[:, 0] & 3
-                    fx = q[:, 1] & 3
-                    win = jax.vmap(
-                        lambda w, y, x: jax.lax.dynamic_slice(
-                            w, (y - 3, x - 3), (n + 7, n + 7)))(W, iy, ix)
-                    pred = mc_luma_batch(win, fx, fy, n, n, self.bit_depth)
-                    return pred, satd_fn(ob, pred)
-
-                def refine(center, best_pred, best_c, step):
-                    # all 8 neighbors of a FIXED center (no greedy drift —
-                    # it could walk q outside the gathered window)
-                    best_q = center
-                    for k in range(9):
-                        d = deltas[k]
-                        if d[0] == 0 and d[1] == 0:
-                            continue
-                        q = center + jnp.asarray(d) * step
-                        pred, c = eval_q(q)
-                        better = c < best_c
-                        best_c = jnp.where(better, c, best_c)
-                        bb = better[:, None, None]
-                        best_pred = jnp.where(bb, pred, best_pred)
-                        best_q = jnp.where(better[:, None], q, best_q)
-                    return best_q, best_pred, best_c
-
-                q0 = jnp.zeros_like(mvi)
-                pred0, c0 = eval_q(q0)
-                q0, pred, cost = refine(q0, pred0, c0, 2)
-                q0, pred, cost = refine(q0, pred, cost, 1)
-
-                mvq = mvi * 4 + q0                        # [B, 2] (y, x) qpel
-                mv = mvq[:, ::-1].reshape(gh, gw, 2)      # -> (x, y)
-                return mv, cost.reshape(gh, gw), pred
-
-            self._me_jit = jax.jit(me)
-
-        ref_pad = np.pad(
-            ref_y_coded, ((0, ph - ref_y_coded.shape[0]),
-                          (0, pw - ref_y_coded.shape[1])), mode="edge")
-        ref_ext = np.pad(ref_pad, M, mode="edge").astype(np.int32)
-        mv, sc, pred = self._me_jit(
-            jnp.asarray(orig_y, jnp.int32), jnp.asarray(ref_ext))
-        return np.asarray(mv), np.asarray(sc), np.asarray(pred)
+    # -- P frames ------------------------------------------------------------
 
     def _derive_inter_syntax(self, ps, inter_mask, cu_size):
         """Per inter CU: choose merge (mv equals a candidate) or AMVP+MVD.
@@ -539,78 +445,6 @@ class Encoder:
                     ps.mvd[y4:(y0 + n) >> 2, x4:(x0 + n) >> 2] = (
                         mv[0] - amvp[mvp][0], mv[1] - amvp[mvp][1])
 
-    def _chroma_inter_pred(self, ps, inter_mask, cu_size, plane_idx):
-        """Batched half-sample chroma MC for all inter CUs (device)."""
-        import jax.numpy as jnp
-
-        from ..ops.interp import mc_chroma_batch
-
-        g = self.geom
-        n = cu_size // 2                  # chroma block size
-        ph = (g.ctbs_h << g.log2_ctb) // 2
-        pw = (g.ctbs_w << g.log2_ctb) // 2
-        gh, gw = inter_mask.shape
-        ref = self.ref[plane_idx]
-        M = self.me_range // 2 + 4        # margin: mv reach + filter taps
-        ref_pad = np.pad(ref, ((0, ph - ref.shape[0]),
-                               (0, pw - ref.shape[1])), mode="edge")
-        ref_ext = np.pad(ref_pad, M, mode="edge").astype(np.int32)
-
-        mv = ps.mv0[::cu_size // 4, ::cu_size // 4]   # [gh, gw, 2] qpel
-        mvx = mv[..., 0].astype(np.int32)
-        mvy = mv[..., 1].astype(np.int32)
-        icx = mvx >> 3                    # eighth-chroma integer part
-        icy = mvy >> 3
-        fx = (mvx & 7).reshape(-1)
-        fy = (mvy & 7).reshape(-1)
-        # windows [B, n+3, n+3] at (ix-1, iy-1)
-        oy = np.arange(n + 3)
-        ox = np.arange(n + 3)
-        by = (np.arange(gh)[:, None] * n + M - 1)
-        bx = (np.arange(gw)[None, :] * n + M - 1)
-        rows = by[:, :, None, None] + icy[..., None, None] + oy[:, None]
-        cols = bx[:, :, None, None] + icx[..., None, None] + ox[None, :]
-        wins = ref_ext[rows, cols].reshape(-1, n + 3, n + 3)
-        pred = mc_chroma_batch(jnp.asarray(wins), jnp.asarray(fx),
-                               jnp.asarray(fy), n, n, self.bit_depth)
-        return np.asarray(pred)           # [B, n, n]
-
-    def _encode_p_frame(self, ps, orig, rec, modes, intra_cost, cu_size,
-                        qps):
-        """Decision + recon pipeline for a P frame.  Returns inter_mask."""
-        g = self.geom
-        n = cu_size
-        qp_y, qp_cb, qp_cr = qps
-
-        mv_q, satd_inter, pred_y = self._me_search(
-            orig[0].astype(np.int32), self.ref[0], n)
-
-        # CU decision: inter wins on SATD (+small intra bias, x265-style
-        # intra mode cost handicap)
-        inter_mask = satd_inter <= intra_cost
-        gh, gw = inter_mask.shape
-        s4 = n // 4
-        pm = np.where(inter_mask, MODE_INTER, MODE_INTRA).astype(np.uint8)
-        ps.pred_mode[:] = np.kron(pm, np.ones((s4, s4), np.uint8))
-        mv_qpel = mv_q.astype(np.int16)          # already quarter-pel
-        ps.mv0[:] = np.kron(
-            mv_qpel.transpose(2, 0, 1),
-            np.ones((1, s4, s4), np.int16)).transpose(1, 2, 0)
-
-        self._derive_inter_syntax(ps, inter_mask, n)
-
-        # inter predictions (luma came free from ME; chroma batched MC)
-        pred_cb = self._chroma_inter_pred(ps, inter_mask, n, 1)
-        pred_cr = self._chroma_inter_pred(ps, inter_mask, n, 2)
-
-        self._recon_wavefront_p(ps, orig, rec, modes, n, qps,
-                                (pred_y, pred_cb, pred_cr),
-                                inter_mask.reshape(-1))
-
-        # skip derivation: merge CUs with no residual in any plane
-        self._derive_skip(ps, inter_mask, n)
-        return inter_mask
-
     def _derive_skip(self, ps, inter_mask, cu_size):
         g = self.geom
         n = cu_size
@@ -623,66 +457,6 @@ class Encoder:
         s4 = n // 4
         ps.skip[:] = np.kron(skip.astype(np.uint8), np.ones((s4, s4),
                                                             np.uint8))
-
-    def _recon_wavefront_p(self, ps, orig, rec, modes, cu_size, qps,
-                           ipreds, is_inter_flat):
-        """Device wavefront recon with per-lane intra/inter prediction."""
-        from .wavefront import WavefrontIntraRecon
-
-        g = self.geom
-        qp_y, qp_cb, qp_cr = qps
-        modes_f = modes.reshape(-1).astype(np.int32)
-        jobs = (("y", cu_size, True, 0, orig[0], rec[0], ps.coeff_y, qp_y),
-                ("cb", cu_size // 2, False, 1, orig[1], rec[1], ps.coeff_cb,
-                 qp_cb),
-                ("cr", cu_size // 2, False, 1, orig[2], rec[2], ps.coeff_cr,
-                 qp_cr))
-        wfs = []
-        host_mask = None
-        for key, bn, is_luma, cs, *_ in jobs:
-            wf = self._wf.get((key, bn))
-            if wf is None:
-                wf = WavefrontIntraRecon(g.width, g.height, g.log2_ctb, bn,
-                                         is_luma=is_luma, chroma_shift=cs,
-                                         bit_depth=self.bit_depth)
-                self._wf[(key, bn)] = wf
-            if host_mask is None:
-                host_mask = wf.sched["host_mask"]
-            wfs.append(wf)
-        assert not host_mask.any(), \
-            "P frames require the fully-aligned device schedule"
-
-        if self._fused_recon_p is None:
-            import jax
-
-            scans = [wf.scan_fn(encode=True, inter=True) for wf in wfs]
-
-            def fused(by, bcb, bcr, modes_, qpy, qpb, qpr, ipy, ipcb, ipcr,
-                      is_inter):
-                return (scans[0](by, modes_, qpy, ipy, is_inter),
-                        scans[1](bcb, modes_, qpb, ipcb, is_inter),
-                        scans[2](bcr, modes_, qpr, ipcr, is_inter))
-
-            self._fused_recon_p = jax.jit(fused)
-
-        def to_blocks(pl, bn, wf):
-            gh, gw = wf.sched["grid"]
-            return pl.reshape(gh, bn, gw, bn).transpose(
-                0, 2, 1, 3).reshape(-1, bn, bn)
-
-        outs = self._fused_recon_p(
-            to_blocks(orig[0], cu_size, wfs[0]),
-            to_blocks(orig[1], cu_size // 2, wfs[1]),
-            to_blocks(orig[2], cu_size // 2, wfs[2]),
-            modes_f, qp_y, qp_cb, qp_cr,
-            ipreds[0], ipreds[1], ipreds[2], is_inter_flat)
-        for (plane, levels), wf, (key, bn, _il, _cs, _o, rpl, cpl,
-                                  _q) in zip(outs, wfs, jobs):
-            gh, gw = wf.sched["grid"]
-            rpl[:] = np.asarray(plane).astype(rpl.dtype)
-            cpl[:] = np.asarray(levels).astype(np.int32).reshape(
-                gh, gw, bn, bn).transpose(0, 2, 1, 3).reshape(gh * bn,
-                                                              gw * bn)
 
     def _entropy_encode(self, ps: PicSyntax, slice_type: int = SLICE_I,
                         poc: int = 0) -> bytes:
