@@ -108,3 +108,36 @@ def test_oracle_decode(tmp_path, wh):
     raw = np.fromfile(out, np.uint8)
     expect = np.concatenate([p.astype(np.uint8).ravel() for p in rec])
     np.testing.assert_array_equal(raw, expect)
+
+
+def test_main10_roundtrip():
+    """10-bit (Main10) intra: own decoder + hash; oracle verified via its
+    -c MD5 check (dec265's raw 16-bit *writer* has a stride bug, so byte
+    comparison of its output is not meaningful)."""
+    rng = np.random.RandomState(5)
+    w, h = 96, 64
+    yy, xx = np.mgrid[0:h, 0:w]
+    y = (500 + 300 * np.sin(xx / 15.0) * np.cos(yy / 9.0)
+         + rng.randint(-20, 20, (h, w))).clip(0, 1023).astype(np.uint16)
+    u = (512 + 100 * np.sin(xx[::2, ::2] / 21.0)).astype(np.uint16)
+    v = np.full((h // 2, w // 2), 300, np.uint16)
+    p = Params(source_width=w, source_height=h, qp=30,
+               decoded_picture_hash=1, internal_bit_depth=10)
+    enc = Encoder(p)
+    stream = enc.headers()
+    au, rec = enc.encode_frame((y, u, v))
+    stream += au
+    pics = decode_annexb(stream)
+    assert pics[0].hash_ok is True
+    for a, b in zip(rec, pics[0].planes):
+        np.testing.assert_array_equal(a, b)
+    mse = np.mean((rec[0].astype(np.float64) - y) ** 2)
+    assert 10 * np.log10(1023.0 ** 2 / mse) > 34.0
+    if os.path.exists(ORACLE):
+        import tempfile
+        with tempfile.NamedTemporaryFile(suffix=".265") as f:
+            f.write(stream)
+            f.flush()
+            r = subprocess.run([ORACLE, "-c", "-o", "/dev/null", f.name],
+                               capture_output=True, text=True, timeout=120)
+            assert r.returncode == 0, r.stdout + r.stderr

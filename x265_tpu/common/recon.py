@@ -212,8 +212,10 @@ def reconstruct_picture(ps: PicSyntax, planes, qp_y: int, bit_depth: int = 8,
 
     g = ps.geom
     y_pl, cb_pl, cr_pl = planes
-    qp_cb = chroma_qp(qp_y, cb_qp_offset)
-    qp_cr = chroma_qp(qp_y, cr_qp_offset)
+    bd_off = 6 * (bit_depth - 8)      # QpBdOffset (§8.6.1 Qp' derivation)
+    qp_cb = chroma_qp(qp_y, cb_qp_offset) + bd_off
+    qp_cr = chroma_qp(qp_y, cr_qp_offset) + bd_off
+    qp_y = qp_y + bd_off
     for ctu in range(g.n_ctbs):
         for (cx, cy, log2_cb) in cu_leaves(ps, ctu):
             if ps.pred_mode[cy >> 2, cx >> 2] != _INTRA:

@@ -74,7 +74,10 @@ class Encoder:
         self.geom = PictureGeometry(cw, ch, log2_ctb, 3)
         self.bit_depth = params.internal_bit_depth
 
+        from ..common.headers import ProfileTierLevel
+        ptl = ProfileTierLevel(profile_idc=2 if self.bit_depth > 8 else 1)
         self.sps = SPS(
+            ptl=ptl,
             pic_width=cw, pic_height=ch,
             bit_depth_luma=self.bit_depth, bit_depth_chroma=self.bit_depth,
             log2_ctb_size=log2_ctb,
@@ -97,7 +100,7 @@ class Encoder:
             self.pps = PPS(init_qp=26, sign_data_hiding=0,
                            deblocking_filter_control_present=1,
                            deblocking_filter_disabled=1)
-        self.vps = VPS()
+        self.vps = VPS(ptl=ptl)
         self.qp = params.qp
         self.poc = 0
         self.force_host_recon = False   # tests can force the numpy oracle
@@ -220,8 +223,10 @@ class Encoder:
                 pad_plane(np.asarray(planes[2]), ph // 2, pw // 2))
 
         keyint = max(1, p.keyint_max)
+        # >8-bit inter needs per-phase MC pipelines on device — intra-only
+        # for Main10 until those land
         is_p = (self.ref is not None and self.poc % keyint != 0
-                and not self.force_all_intra)
+                and not self.force_all_intra and self.bit_depth == 8)
 
         cu_size = min(16, 1 << g.log2_ctb)
         cu_log2 = cu_size.bit_length() - 1
@@ -240,9 +245,12 @@ class Encoder:
                np.zeros((ph // 2, pw // 2), np.int16),
                np.zeros((ph // 2, pw // 2), np.int16))
 
-        qp_y = self.qp
-        qp_cb = chroma_qp(qp_y, self.pps.cb_qp_offset)
-        qp_cr = chroma_qp(qp_y, self.pps.cr_qp_offset)
+        # quantizer parameters include QpBdOffset = 6*(bd-8) (§8.6.1 Qp');
+        # the slice header still carries the base 0..51 QP
+        bd_off = 6 * (self.bit_depth - 8)
+        qp_y = self.qp + bd_off
+        qp_cb = chroma_qp(self.qp, self.pps.cb_qp_offset) + bd_off
+        qp_cr = chroma_qp(self.qp, self.pps.cr_qp_offset) + bd_off
 
         inter_mask = None
         use_pipeline = (not self.force_host_recon
@@ -270,8 +278,10 @@ class Encoder:
         rec = (rec[0][:ch_, :cw], rec[1][:ch_ // 2, :cw // 2],
                rec[2][:ch_ // 2, :cw // 2])
         if p.deblock:
+            # deblocking beta/tc derivation indexes by the BASE QpY (no
+            # QpBdOffset — the tables are clipped to 0..51, §8.7.2.5.3)
             rec = deblock_intra_picture_np(
-                ps, rec, qp_y, self.bit_depth,
+                ps, rec, self.qp, self.bit_depth,
                 p.deblock_beta_offset, p.deblock_tc_offset,
                 self.pps.cb_qp_offset, self.pps.cr_qp_offset)
         # the filtered picture is the reference for the next frame
