@@ -121,7 +121,10 @@ class Params:
     intra_refresh: bool = False
 
     # rate control
-    rc_mode: int = RC_CRF
+    # direct-API default is CQP (explicit qp field); the CLI/param_parse
+    # switches to CRF/ABR when --crf/--bitrate are given (x265's default
+    # mode is CRF via its CLI)
+    rc_mode: int = RC_CQP
     bitrate: int = 0                # kbps (ABR)
     crf: float = 28.0
     qp: int = 32                    # CQP
@@ -393,6 +396,10 @@ def param_parse(p: Params, name: str, value: str | None = None) -> None:
         return
     if name == "me" and value in ME_NAMES:
         p.me = ME_NAMES.index(value)
+        return
+    if name in ("qp", "crf", "bitrate"):
+        p.rc_mode = {"qp": RC_CQP, "crf": RC_CRF, "bitrate": RC_ABR}[name]
+        setattr(p, _PARSE_ALIASES[name], type(getattr(p, _PARSE_ALIASES[name]))(value))
         return
     if name == "hash" and value is not None and not value.isdigit():
         p.decoded_picture_hash = {"md5": HASH_MD5, "crc": HASH_CRC,

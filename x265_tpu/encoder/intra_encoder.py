@@ -112,6 +112,8 @@ class Encoder:
         self.ref = None                 # (Y, Cb, Cr) coded-size ref planes
         self.force_all_intra = False
         self.me_range = min(8, params.me_range)  # full-search reach (v1)
+        from .ratecontrol import RateControl
+        self.rc = RateControl(params)
 
     # -- stream headers ------------------------------------------------------
 
@@ -227,6 +229,7 @@ class Encoder:
         # for Main10 until those land
         is_p = (self.ref is not None and self.poc % keyint != 0
                 and not self.force_all_intra and self.bit_depth == 8)
+        self.qp = self.rc.frame_qp(is_intra=not is_p)
 
         cu_size = min(16, 1 << g.log2_ctb)
         cu_log2 = cu_size.bit_length() - 1
@@ -306,6 +309,7 @@ class Encoder:
             sei = write_sei_rbsp([(SEI_DECODED_PICTURE_HASH, payload)])
             au += wrap_nal(NAL_SUFFIX_SEI, sei, long_start_code=False)
 
+        self.rc.update(len(au) * 8, self.qp, is_intra=not is_p)
         self.poc += 1
         self.last_ps = ps      # exposed for tests / debugging
         return au, rec_crop
