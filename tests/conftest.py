@@ -18,3 +18,10 @@ if "xla_force_host_platform_device_count" not in xla_flags:
 
 # repo root on sys.path so `import x265_tpu` works without installation
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# the JAX_PLATFORMS env var is ignored when the axon TPU plugin is
+# registered — force the CPU backend through the config (must run before
+# the first backend initialization)
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")

@@ -89,15 +89,16 @@ class Encoder:
             vui_timing_present=1, vui_present=1,
             fps_num=params.fps_num, fps_denom=params.fps_denom,
             max_dec_pic_buffering=2, num_reorder_pics=0)
+        shd = int(params.sign_hide)
         if params.deblock:
-            self.pps = PPS(init_qp=26, sign_data_hiding=0,
+            self.pps = PPS(init_qp=26, sign_data_hiding=shd,
                            deblocking_filter_control_present=int(
                                params.deblock_tc_offset
                                or params.deblock_beta_offset),
                            tc_offset_div2=params.deblock_tc_offset,
                            beta_offset_div2=params.deblock_beta_offset)
         else:
-            self.pps = PPS(init_qp=26, sign_data_hiding=0,
+            self.pps = PPS(init_qp=26, sign_data_hiding=shd,
                            deblocking_filter_control_present=1,
                            deblocking_filter_disabled=1)
         self.vps = VPS(ptl=ptl)
@@ -200,6 +201,15 @@ class Encoder:
         dst = is_luma and n == 4
         coef = forward_transform_np(resi, bd, dst=dst)
         levels = quant_np(coef, qp, bd, intra=True)
+        if ps.sign_hiding and np.any(levels):
+            from ..ops.quantize import sign_hide_np
+            from ..cabac.syntax import scan_order, scan_for_intra
+            scan_idx = (scan_for_intra(log2_size, 0 if is_luma else 1, mode))
+            rank = np.zeros((4, 4), np.int32)
+            sc = scan_order(4, scan_idx)
+            for i, (x, y) in enumerate(sc):
+                rank[y, x] = i
+            levels = sign_hide_np(levels, rank)
         if np.any(levels):
             coeff_pl[y0:y0 + n, x0:x0 + n] = levels
             dq = dequant_np(levels, qp, bd)
@@ -327,9 +337,10 @@ class Encoder:
         for key, bn, is_luma, cs in jobs:
             wf = self._wf.get((key, bn))
             if wf is None:
-                wf = WavefrontIntraRecon(g.width, g.height, g.log2_ctb, bn,
-                                         is_luma=is_luma, chroma_shift=cs,
-                                         bit_depth=self.bit_depth)
+                wf = WavefrontIntraRecon(
+                    g.width, g.height, g.log2_ctb, bn, is_luma=is_luma,
+                    chroma_shift=cs, bit_depth=self.bit_depth,
+                    sign_hide=bool(self.pps.sign_data_hiding))
                 self._wf[(key, bn)] = wf
             out.append(wf)
         return out

@@ -222,11 +222,13 @@ class WavefrontIntraRecon:
     """Device wavefront reconstruction for one plane at fixed block size."""
 
     def __init__(self, width: int, height: int, log2_ctb: int, n: int, *,
-                 is_luma: bool, chroma_shift: int = 0, bit_depth: int = 8):
+                 is_luma: bool, chroma_shift: int = 0, bit_depth: int = 8,
+                 sign_hide: bool = False):
         self.sched = build_schedule(width, height, log2_ctb, n, chroma_shift)
         self.n = n
         self.is_luma = is_luma
         self.bit_depth = bit_depth
+        self.sign_hide = sign_hide
         self._encode_jit = None
         self._decode_jit = None
 
@@ -236,7 +238,8 @@ class WavefrontIntraRecon:
         import jax
         import jax.numpy as jnp
 
-        from ..ops.quantize import dequant, quant, quant_masked
+        from ..ops.quantize import (dequant, quant, quant_masked,
+                                    sign_hide_diag)
         from ..ops.transforms import forward_transform, inverse_transform
 
         s = self.sched
@@ -267,6 +270,9 @@ class WavefrontIntraRecon:
                     levels = quant_masked(coef, qp, ~use_ov, bd)
                 else:
                     levels = quant(coef, qp, bd, intra=True)
+                if self.sign_hide:
+                    # TU scans on this path are always diagonal
+                    levels = sign_hide_diag(levels)
             else:
                 levels = blocks["data"][blk]
             dq = dequant(levels, qp, bd)

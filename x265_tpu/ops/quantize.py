@@ -132,3 +132,76 @@ def quant_masked(coef: jax.Array, qp: jax.Array, intra_mask: jax.Array,
     level = (hi + ((lo + offset) >> 7)) >> (qbits - 7)
     level = jnp.clip(level, 0, 32767)
     return jnp.sign(coef) * level
+
+
+# ---------------------------------------------------------------------------
+# sign data hiding (§7.4.9.11 / encoder side of x265's signBitHidingHDQ,
+# x265_1.9/source/common/quant.cpp:247)
+# ---------------------------------------------------------------------------
+
+def _diag4_rank() -> np.ndarray:
+    """rank[y, x] = position of (x, y) in the 4x4 up-right diagonal scan."""
+    rank = np.zeros((4, 4), np.int32)
+    i = 0
+    for s in range(7):
+        for x in range(s + 1):
+            y = s - x
+            if x < 4 and y < 4:
+                rank[y, x] = i
+                i += 1
+    return rank
+
+
+DIAG4_RANK = _diag4_rank()
+
+
+def sign_hide_np(levels: np.ndarray, rank: np.ndarray = None) -> np.ndarray:
+    """Enforce the sign-hiding parity constraint on one TB's levels.
+
+    For each 4x4 subblock whose significant span in scan order exceeds 3,
+    the sign of the coefficient closest to DC is inferred from the parity
+    of the subblock's absolute sum; if the parity disagrees, the magnitude
+    of that coefficient is bumped by one (always structure-preserving).
+    """
+    if rank is None:
+        rank = DIAG4_RANK
+    out = levels.copy()
+    n = levels.shape[-1]
+    for ys in range(0, n, 4):
+        for xs in range(0, n, 4):
+            sb = out[ys:ys + 4, xs:xs + 4]
+            nz = sb != 0
+            if not nz.any():
+                continue
+            ranks = np.where(nz, rank, 99)
+            first = ranks.min()
+            last = np.where(nz, rank, -1).max()
+            if last - first <= 3:
+                continue
+            fy, fx = np.argwhere(ranks == first)[0]
+            val = int(sb[fy, fx])
+            odd = int(np.abs(sb).sum()) & 1
+            if (odd == 1) != (val < 0):
+                sb[fy, fx] = val + (1 if val > 0 else -1)
+    return out
+
+
+def sign_hide_diag(levels: "jax.Array") -> "jax.Array":
+    """Batched jnp version for diagonal-scan TBs: levels [B, n, n]."""
+    b, n, _ = levels.shape
+    s = n // 4
+    rank = jnp.asarray(DIAG4_RANK)
+    sb = levels.reshape(b, s, 4, s, 4).transpose(0, 1, 3, 2, 4)  # [B,s,s,4,4]
+    nz = sb != 0
+    ranks = jnp.where(nz, rank, 99)
+    first = ranks.min(axis=(-2, -1))                             # [B,s,s]
+    last = jnp.where(nz, rank, -1).max(axis=(-2, -1))
+    hide = (last - first) > 3
+    first_mask = (rank[None, None, None] == first[..., None, None]) & nz
+    val = jnp.sum(jnp.where(first_mask, sb, 0), axis=(-2, -1))
+    odd = (jnp.sum(jnp.abs(sb), axis=(-2, -1)) & 1) == 1
+    mismatch = hide & (odd != (val < 0))
+    bump = jnp.where(val > 0, 1, -1)
+    sb = jnp.where(first_mask & mismatch[..., None, None],
+                   sb + bump[..., None, None], sb)
+    return sb.transpose(0, 1, 3, 2, 4).reshape(b, n, n)
