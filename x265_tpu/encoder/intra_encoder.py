@@ -1,16 +1,15 @@
-"""All-intra HEVC encoder — the minimum end-to-end slice (SURVEY.md §7.3).
+"""The frame encoder: I and P slices (IPPP GOPs), TPU-first.
 
-Pipeline per frame (TPU-first structure):
-  A. mode decision — BATCHED on device: canonical reference vectors for all
-     CUs are gathered at once, all 35 modes predicted as one MXU matmul
-     (ops.intra.predict_all_modes), SATD-scored, argmin.  Open-loop
-     (original-pixel neighbors), the batched analogue of the reference's
-     sad/satd intra scan (x265_1.9/source/encoder/search.cpp:1452).
-  B. reconstruction — sequential spec loop (common/recon.py math) honoring
-     true decode-order neighbor dependencies: predict -> residual ->
-     DCT/DST -> quant -> dequant -> inverse -> recon.  (The wavefront
-     lax.scan device version of this pass is the next milestone.)
-  C. entropy — host CABAC over the PicSyntax arrays (cabac/ctu.py), slice
+Pipeline per frame:
+  A. ONE fused device program (encoder/device_pipeline.py): batched
+     35-mode intra analysis, full+subpel motion search, chroma MC, the
+     inter/intra decision, and the three-plane wavefront reconstruction
+     (closed-loop recon as a lax.scan over z-scan dependency levels).
+  B. Host passes over the returned decision/coefficient arrays:
+     merge/AMVP syntax derivation, skip derivation, BS-aware deblocking,
+     rate control.
+  C. Entropy: the native C slice serializer (native/slice_enc.c) over the
+     PicSyntax arrays — or the Python CABAC reference path — then slice
      header, Annex-B NAL assembly, decoded-picture-hash suffix SEI.
 
 Top-level API mirrors the reference C API surface (x265.h:1334-1403):
@@ -56,8 +55,8 @@ def pad_plane(p: np.ndarray, h: int, w: int) -> np.ndarray:
 
 
 class Encoder:
-    """All-intra encoder.  ``Params`` subset honored so far: qp, ctu_size,
-    source geometry, tu_intra_depth, strong_intra_smoothing, hash SEI."""
+    """HEVC encoder (I/P slices).  See README.md for the honored Params
+    subset; unsupported tools are listed in the round status matrix."""
 
     def __init__(self, params: Params):
         self.params = params
