@@ -65,6 +65,13 @@ class PicSyntax:
     coeff_cb: np.ndarray = field(default=None)     # [H/2, W/2]
     coeff_cr: np.ndarray = field(default=None)
 
+    # SAO per-CTB params (§8.7.3): plane idx 0=Y, 1=Cb, 2=Cr; type/class
+    # are shared between Cb and Cr per the syntax
+    sao_type: np.ndarray = field(default=None)     # [n_ctb, 2] 0/1/2 (Y, C)
+    sao_eo_class: np.ndarray = field(default=None)  # [n_ctb, 2]
+    sao_band_pos: np.ndarray = field(default=None)  # [n_ctb, 3]
+    sao_offsets: np.ndarray = field(default=None)   # [n_ctb, 3, 4] signed
+
     # inter fields (P/B slices): per-4x4 motion + decision state
     mv0: np.ndarray = field(default=None)          # [h4, w4, 2] int16 qpel
     skip: np.ndarray = field(default=None)         # cu_skip_flag
@@ -87,6 +94,15 @@ class PicSyntax:
             self.mv0 = np.zeros((h4, w4, 2), dtype=np.int16)
         if self.mvd is None:
             self.mvd = np.zeros((h4, w4, 2), dtype=np.int16)
+        nctb = g.n_ctbs
+        if self.sao_type is None:
+            self.sao_type = np.zeros((nctb, 2), dtype=np.int8)
+        if self.sao_eo_class is None:
+            self.sao_eo_class = np.zeros((nctb, 2), dtype=np.int8)
+        if self.sao_band_pos is None:
+            self.sao_band_pos = np.zeros((nctb, 3), dtype=np.int8)
+        if self.sao_offsets is None:
+            self.sao_offsets = np.zeros((nctb, 3, 4), dtype=np.int8)
         h, w = h4 * 4, w4 * 4
         if self.coeff_y is None:
             self.coeff_y = np.zeros((h, w), dtype=np.int32)
@@ -160,13 +176,17 @@ class CtuCoder:
 
     def __init__(self, ps: PicSyntax, log2_min_cb: int = 3,
                  log2_min_tb: int = 2, log2_max_tb: int = 5,
-                 slice_type: int = SLICE_I):
+                 slice_type: int = SLICE_I, sao_luma: bool = False,
+                 sao_chroma: bool = False, bit_depth: int = 8):
         self.ps = ps
         self.g = ps.geom
         self.log2_min_cb = log2_min_cb
         self.log2_min_tb = log2_min_tb
         self.log2_max_tb = log2_max_tb
         self.slice_type = slice_type
+        self.sao_luma = sao_luma
+        self.sao_chroma = sao_chroma
+        self.bit_depth = bit_depth
 
     # -- shared context helpers ---------------------------------------------
 
@@ -187,8 +207,104 @@ class CtuCoder:
 
     # -- encode -------------------------------------------------------------
 
+    # -- SAO per-CTB syntax (§7.3.8.3) ---------------------------------------
+
+    def _enc_sao(self, enc: CabacEncoder, ctu_addr: int) -> None:
+        g, ps = self.g, self.ps
+        rx, ry = ctu_addr % g.ctbs_w, ctu_addr // g.ctbs_w
+        # this encoder always codes explicit params (no merge)
+        if rx > 0:
+            enc.encode_bin(CTX_OFFSET["SAO_MERGE"], 0)
+        if ry > 0:
+            enc.encode_bin(CTX_OFFSET["SAO_MERGE"], 0)
+        cmax = (1 << (min(self.bit_depth, 10) - 5)) - 1
+        for c_idx in range(3):
+            if c_idx == 0 and not self.sao_luma:
+                continue
+            if c_idx > 0 and not self.sao_chroma:
+                continue
+            plane_sel = 0 if c_idx == 0 else 1
+            t = int(ps.sao_type[ctu_addr, plane_sel])
+            if c_idx < 2:   # type coded for luma and once for chroma
+                if t == 0:
+                    enc.encode_bin(CTX_OFFSET["SAO_TYPE_IDX"], 0)
+                else:
+                    enc.encode_bin(CTX_OFFSET["SAO_TYPE_IDX"], 1)
+                    enc.encode_bypass(1 if t == 2 else 0)
+            if t == 0:
+                continue
+            offs = ps.sao_offsets[ctu_addr, c_idx]
+            for i in range(4):
+                v = abs(int(offs[i]))
+                for k in range(v):      # TR, cMax
+                    enc.encode_bypass(1)
+                if v < cmax:
+                    enc.encode_bypass(0)
+            if t == 1:                   # band: signs + position
+                for i in range(4):
+                    if offs[i] != 0:
+                        enc.encode_bypass(1 if offs[i] < 0 else 0)
+                enc.encode_bypass_bins(
+                    int(ps.sao_band_pos[ctu_addr, c_idx]), 5)
+            elif c_idx < 2:              # edge: class (luma / chroma once)
+                enc.encode_bypass_bins(
+                    int(ps.sao_eo_class[ctu_addr, plane_sel]), 2)
+
+    def _dec_sao(self, dec: CabacDecoder, ctu_addr: int) -> None:
+        g, ps = self.g, self.ps
+        rx, ry = ctu_addr % g.ctbs_w, ctu_addr // g.ctbs_w
+        merge_left = merge_up = 0
+        if rx > 0:
+            merge_left = dec.decode_bin(CTX_OFFSET["SAO_MERGE"])
+        if not merge_left and ry > 0:
+            merge_up = dec.decode_bin(CTX_OFFSET["SAO_MERGE"])
+        if merge_left or merge_up:
+            src = ctu_addr - 1 if merge_left else ctu_addr - g.ctbs_w
+            ps.sao_type[ctu_addr] = ps.sao_type[src]
+            ps.sao_eo_class[ctu_addr] = ps.sao_eo_class[src]
+            ps.sao_band_pos[ctu_addr] = ps.sao_band_pos[src]
+            ps.sao_offsets[ctu_addr] = ps.sao_offsets[src]
+            return
+        cmax = (1 << (min(self.bit_depth, 10) - 5)) - 1
+        for c_idx in range(3):
+            if c_idx == 0 and not self.sao_luma:
+                continue
+            if c_idx > 0 and not self.sao_chroma:
+                continue
+            plane_sel = 0 if c_idx == 0 else 1
+            if c_idx < 2:
+                if dec.decode_bin(CTX_OFFSET["SAO_TYPE_IDX"]):
+                    t = 2 if dec.decode_bypass() else 1
+                else:
+                    t = 0
+                ps.sao_type[ctu_addr, plane_sel] = t
+            else:
+                t = int(ps.sao_type[ctu_addr, 1])
+            if t == 0:
+                continue
+            absv = []
+            for i in range(4):
+                v = 0
+                while v < cmax and dec.decode_bypass():
+                    v += 1
+                absv.append(v)
+            if t == 1:
+                for i in range(4):
+                    if absv[i] and dec.decode_bypass():
+                        absv[i] = -absv[i]
+                ps.sao_band_pos[ctu_addr, c_idx] = dec.decode_bypass_bins(5)
+                ps.sao_offsets[ctu_addr, c_idx] = absv
+            else:
+                if c_idx < 2:
+                    ps.sao_eo_class[ctu_addr, plane_sel] = \
+                        dec.decode_bypass_bins(2)
+                ps.sao_offsets[ctu_addr, c_idx] = [absv[0], absv[1],
+                                                   -absv[2], -absv[3]]
+
     def encode_ctu(self, enc: CabacEncoder, ctu_addr: int) -> None:
         x0, y0 = self.g.ctu_origin(ctu_addr)
+        if self.sao_luma or self.sao_chroma:
+            self._enc_sao(enc, ctu_addr)
         self._enc_quadtree(enc, x0, y0, self.g.log2_ctb, 0)
 
     def _enc_quadtree(self, enc: CabacEncoder, x0: int, y0: int,
@@ -458,6 +574,8 @@ class CtuCoder:
 
     def decode_ctu(self, dec: CabacDecoder, ctu_addr: int) -> None:
         x0, y0 = self.g.ctu_origin(ctu_addr)
+        if self.sao_luma or self.sao_chroma:
+            self._dec_sao(dec, ctu_addr)
         self._dec_quadtree(dec, x0, y0, self.g.log2_ctb, 0)
 
     def _dec_quadtree(self, dec: CabacDecoder, x0: int, y0: int,

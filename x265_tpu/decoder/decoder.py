@@ -111,7 +111,10 @@ class Decoder:
             sign_hiding=bool(pps.sign_data_hiding))
         ps.max_merge_cand = sh.max_num_merge_cand
         coder = CtuCoder(ps, sps.log2_min_cb_size, sps.log2_min_tb_size,
-                         sps.log2_max_tb_size, slice_type=sh.slice_type)
+                         sps.log2_max_tb_size, slice_type=sh.slice_type,
+                         sao_luma=bool(sh.sao_luma),
+                         sao_chroma=bool(sh.sao_chroma),
+                         bit_depth=sps.bit_depth_luma)
 
         # CABAC init (§9.3.2.2): I -> initType 0; P -> 1 (cabac_init_flag 0)
         init_type = 0 if sh.slice_type == SLICE_I else 1
@@ -150,6 +153,26 @@ class Decoder:
                 ps, coded, sh.slice_qp, bd,
                 sh.beta_offset_div2, sh.tc_offset_div2,
                 pps.cb_qp_offset, pps.cr_qp_offset)
+        if sh.sao_luma or sh.sao_chroma:
+            from ..ops.sao import sao_apply_plane_np
+            ch2, cw2 = geom.ctbs_h, geom.ctbs_w
+            ctb = 1 << geom.log2_ctb
+
+            def apply(plane, c_idx, plane_sel, size):
+                return sao_apply_plane_np(
+                    plane, size,
+                    ps.sao_type[:, plane_sel].reshape(ch2, cw2),
+                    ps.sao_eo_class[:, plane_sel].reshape(ch2, cw2),
+                    ps.sao_band_pos[:, c_idx].reshape(ch2, cw2),
+                    ps.sao_offsets[:, c_idx].reshape(ch2, cw2, 4),
+                    bd).astype(plane.dtype)
+
+            y_p = apply(coded[0], 0, 0, ctb) if sh.sao_luma else coded[0]
+            cb_p = apply(coded[1], 1, 1, ctb // 2) if sh.sao_chroma \
+                else coded[1]
+            cr_p = apply(coded[2], 2, 1, ctb // 2) if sh.sao_chroma \
+                else coded[2]
+            coded = (y_p, cb_p, cr_p)
         cl, cr, ct, cb = sps.conf_win   # offsets in chroma units
         wl = cw - 2 * (cl + cr)
         hl = ch - 2 * (ct + cb)

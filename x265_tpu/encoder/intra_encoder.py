@@ -87,7 +87,8 @@ class Encoder:
             strong_intra_smoothing=int(params.strong_intra_smoothing),
             vui_timing_present=1, vui_present=1,
             fps_num=params.fps_num, fps_denom=params.fps_denom,
-            max_dec_pic_buffering=2, num_reorder_pics=0)
+            max_dec_pic_buffering=2, num_reorder_pics=0,
+            sao_enabled=int(params.sao))
         shd = int(params.sign_hide)
         if params.deblock:
             self.pps = PPS(init_qp=26, sign_data_hiding=shd,
@@ -281,9 +282,6 @@ class Encoder:
             ps.chroma_mode[:] = ps.luma_mode
             self._recon_host_fallback(ps, orig, rec, modes, cu_size,
                                       (qp_y, qp_cb, qp_cr))
-        au = self._entropy_encode(ps, SLICE_P if is_p else SLICE_I,
-                                  self.poc % keyint)
-
         # in-loop filters run on the coded-size picture; intra prediction
         # above used the unfiltered planes, so filter a copy (§8.4.4.2.1)
         cw, ch_ = self.sps.pic_width, self.sps.pic_height
@@ -296,6 +294,13 @@ class Encoder:
                 ps, rec, self.qp, self.bit_depth,
                 p.deblock_beta_offset, p.deblock_tc_offset,
                 self.pps.cb_qp_offset, self.pps.cr_qp_offset)
+        if self.sps.sao_enabled:
+            orig_coded = (orig[0][:ch_, :cw], orig[1][:ch_ // 2, :cw // 2],
+                          orig[2][:ch_ // 2, :cw // 2])
+            rec = self._sao_decide_apply(ps, orig_coded, rec)
+
+        au = self._entropy_encode(ps, SLICE_P if is_p else SLICE_I,
+                                  self.poc % keyint)
         # the filtered picture is the reference for the next frame
         self.ref = tuple(pl.astype(np.int16) for pl in rec)
 
@@ -482,18 +487,80 @@ class Encoder:
         ps.skip[:] = np.kron(skip.astype(np.uint8), np.ones((s4, s4),
                                                             np.uint8))
 
+    def _sao_decide_apply(self, ps, orig, rec):
+        """Per-CTB SAO estimation + decision + apply (on the deblocked
+        picture).  Fills ps.sao_* and returns the filtered planes."""
+        from ..ops.sao import sao_apply_plane_np, sao_estimate_plane_np
+
+        g = self.geom
+        ctb = 1 << g.log2_ctb
+        bd = self.bit_depth
+        # SSE-domain lambda^2 (distortion deltas are SSD): x265-style
+        lam = 0.72 * 2.0 ** ((self.qp - 12) / 3.0)
+
+        # luma decision
+        dist, offs, bpos, bits = sao_estimate_plane_np(orig[0], rec[0],
+                                                       ctb, bd)
+        cost = dist + (lam * bits).astype(np.int64)
+        cost[..., 0] = 0
+        best = np.argmin(cost, axis=-1)                   # [ch, cw]
+        ch_, cw_ = best.shape
+        addr = np.arange(ch_ * cw_).reshape(ch_, cw_)
+        types = np.where(best == 0, 0, np.where(best == 5, 1, 2))
+        ps.sao_type[:, 0] = types.reshape(-1)
+        ps.sao_eo_class[:, 0] = np.where(best >= 1, best - 1, 0).clip(
+            0, 3).reshape(-1)
+        ps.sao_band_pos[:, 0] = bpos.reshape(-1)
+        ps.sao_offsets[:, 0] = np.take_along_axis(
+            offs, best[..., None, None], axis=2)[:, :, 0].reshape(-1, 4)
+
+        # chroma: shared type/class, separate offsets/band positions
+        dist_b, offs_b, bpos_b, bits_b = sao_estimate_plane_np(
+            orig[1], rec[1], ctb // 2, bd)
+        dist_r, offs_r, bpos_r, bits_r = sao_estimate_plane_np(
+            orig[2], rec[2], ctb // 2, bd)
+        cost_c = (dist_b + dist_r + (lam * (bits_b + bits_r)).astype(
+            np.int64))
+        cost_c[..., 0] = 0
+        best_c = np.argmin(cost_c, axis=-1)
+        types_c = np.where(best_c == 0, 0, np.where(best_c == 5, 1, 2))
+        ps.sao_type[:, 1] = types_c.reshape(-1)
+        ps.sao_eo_class[:, 1] = np.where(best_c >= 1, best_c - 1, 0).clip(
+            0, 3).reshape(-1)
+        ps.sao_band_pos[:, 1] = bpos_b.reshape(-1)
+        ps.sao_band_pos[:, 2] = bpos_r.reshape(-1)
+        ps.sao_offsets[:, 1] = np.take_along_axis(
+            offs_b, best_c[..., None, None], axis=2)[:, :, 0].reshape(-1, 4)
+        ps.sao_offsets[:, 2] = np.take_along_axis(
+            offs_r, best_c[..., None, None], axis=2)[:, :, 0].reshape(-1, 4)
+
+        y = sao_apply_plane_np(
+            rec[0], ctb, types, best.clip(1, 4) - 1, bpos,
+            ps.sao_offsets[:, 0].reshape(ch_, cw_, 4), bd)
+        cb = sao_apply_plane_np(
+            rec[1], ctb // 2, types_c, best_c.clip(1, 4) - 1, bpos_b,
+            ps.sao_offsets[:, 1].reshape(ch_, cw_, 4), bd)
+        cr = sao_apply_plane_np(
+            rec[2], ctb // 2, types_c, best_c.clip(1, 4) - 1, bpos_r,
+            ps.sao_offsets[:, 2].reshape(ch_, cw_, 4), bd)
+        return (y.astype(rec[0].dtype), cb.astype(rec[1].dtype),
+                cr.astype(rec[2].dtype))
+
     def _entropy_encode(self, ps: PicSyntax, slice_type: int = SLICE_I,
                         poc: int = 0) -> bytes:
         from ..common.headers import ShortTermRPS
 
         g = self.geom
+        sao_on = bool(self.sps.sao_enabled)
         if slice_type == SLICE_I:
-            sh = SliceHeader(slice_type=SLICE_I, slice_qp=self.qp)
+            sh = SliceHeader(slice_type=SLICE_I, slice_qp=self.qp,
+                             sao_luma=int(sao_on), sao_chroma=int(sao_on))
             nal_type = NAL_IDR_W_RADL
             init_type = 0
         else:
             sh = SliceHeader(
                 slice_type=SLICE_P, slice_qp=self.qp,
+                sao_luma=int(sao_on), sao_chroma=int(sao_on),
                 pic_order_cnt_lsb=poc % (1 << self.sps.log2_max_poc_lsb),
                 rps=ShortTermRPS(delta_pocs_s0=[-1], used_s0=[1]),
                 max_num_merge_cand=ps.max_merge_cand)
@@ -502,7 +569,7 @@ class Encoder:
         bw = write_slice_header(sh, self.sps, self.pps, nal_type)
 
         data = None
-        if not self.force_python_entropy:
+        if not self.force_python_entropy and not sao_on:
             from ..native import encode_slice_data_native
             data = encode_slice_data_native(
                 ps, self.qp, log2_min_cb=self.sps.log2_min_cb_size,
@@ -515,7 +582,8 @@ class Encoder:
             coder = CtuCoder(ps, self.sps.log2_min_cb_size,
                              self.sps.log2_min_tb_size,
                              self.sps.log2_max_tb_size,
-                             slice_type=slice_type)
+                             slice_type=slice_type, sao_luma=sao_on,
+                             sao_chroma=sao_on, bit_depth=self.bit_depth)
             for ctu in range(g.n_ctbs):
                 coder.encode_ctu(enc, ctu)
                 enc.encode_terminate(1 if ctu == g.n_ctbs - 1 else 0)

@@ -1,0 +1,177 @@
+"""Sample Adaptive Offset (ITU-T H.265 §8.7.3): apply + encoder estimation.
+
+Reference embodiments: x265_1.9/source/encoder/sao.cpp (calcSaoStatsCu /
+rdoSaoUnitRow) and libde265/libde265/sao.cc.
+
+SAO is a pure post-pass over the deblocked picture: every sample's edge
+category depends only on pre-SAO samples, so apply is fully vectorized
+whole-plane math (no wavefront).  Estimation gathers per-CTB statistics
+(count + diff-sum per category) and picks per-CTB (type, class/band,
+offsets) by distortion delta with a small lambda·bits penalty.
+
+Conventions: params per CTB:
+  type: 0 = off, 1 = band (BO), 2 = edge (EO)
+  eo_class: 0..3 (EO), band_pos: 0..31 (BO)
+  offsets[4]: SIGNED applied values — EO categories 1..4 (cat 1,2 >= 0,
+  cat 3,4 <= 0 per syntax), BO bands band_pos..band_pos+3.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+# EO neighbor offsets per class: ((dy0, dx0), (dy1, dx1))
+EO_NEIGHBORS = [((0, -1), (0, 1)), ((-1, 0), (1, 0)),
+                ((-1, -1), (1, 1)), ((-1, 1), (1, -1))]
+# edgeIdx (2 + sign sum in 0..4) -> category (0 = none)
+EDGE_CAT = np.array([1, 2, 0, 3, 4], dtype=np.int32)
+
+
+def _eo_category(plane: np.ndarray, klass: int) -> np.ndarray:
+    """Per-sample EO category (0 = unfiltered) incl. picture-edge masking."""
+    h, w = plane.shape
+    p = plane.astype(np.int32)
+    (dy0, dx0), (dy1, dx1) = EO_NEIGHBORS[klass]
+    n0 = np.roll(np.roll(p, -dy0, axis=0), -dx0, axis=1)
+    n1 = np.roll(np.roll(p, -dy1, axis=0), -dx1, axis=1)
+    cat = EDGE_CAT[2 + np.sign(p - n0) + np.sign(p - n1)]
+    # samples whose neighbors leave the picture are not filtered
+    valid = np.ones((h, w), bool)
+    for (dy, dx) in ((dy0, dx0), (dy1, dx1)):
+        if dy == -1:
+            valid[0, :] = False
+        if dy == 1:
+            valid[h - 1, :] = False
+        if dx == -1:
+            valid[:, 0] = False
+        if dx == 1:
+            valid[:, w - 1] = False
+    return np.where(valid, cat, 0)
+
+
+def sao_apply_plane_np(plane: np.ndarray, ctb_size: int,
+                       types: np.ndarray, classes: np.ndarray,
+                       band_pos: np.ndarray, offsets: np.ndarray,
+                       bit_depth: int = 8) -> np.ndarray:
+    """Apply SAO to one plane.
+
+    types/classes/band_pos: [ctbs_h, ctbs_w]; offsets: [ctbs_h, ctbs_w, 4].
+    ``ctb_size`` in THIS plane's samples.  Returns a new plane.
+    """
+    h, w = plane.shape
+    out = plane.astype(np.int32).copy()
+    maxval = (1 << bit_depth) - 1
+    ch, cw = types.shape
+
+    # EO: compute whole-plane categories per class once, select per CTB
+    cats = None
+    for klass in range(4):
+        sel = (types == 2) & (classes == klass)
+        if not sel.any():
+            continue
+        cat = _eo_category(plane, klass)
+        for (cy, cx) in np.argwhere(sel):
+            y0, x0 = cy * ctb_size, cx * ctb_size
+            y1, x1 = min(y0 + ctb_size, h), min(x0 + ctb_size, w)
+            blk_cat = cat[y0:y1, x0:x1]
+            off = np.concatenate([[0], offsets[cy, cx]])  # cat 0..4
+            out[y0:y1, x0:x1] = np.clip(
+                out[y0:y1, x0:x1] + off[blk_cat], 0, maxval)
+    # BO
+    shift = bit_depth - 5
+    for (cy, cx) in np.argwhere(types == 1):
+        y0, x0 = cy * ctb_size, cx * ctb_size
+        y1, x1 = min(y0 + ctb_size, h), min(x0 + ctb_size, w)
+        blk = out[y0:y1, x0:x1]
+        band_tab = np.zeros(32, np.int32)
+        for i in range(4):
+            band_tab[(band_pos[cy, cx] + i) & 31] = offsets[cy, cx, i]
+        out[y0:y1, x0:x1] = np.clip(blk + band_tab[blk >> shift], 0, maxval)
+    return out
+
+
+def _best_offset(cnt: int, dsum: int, lo: int, hi: int):
+    """Offset in [lo, hi] minimizing count*o^2 - 2*o*sum; returns (o, dd)."""
+    if cnt == 0:
+        return 0, 0
+    o = int(np.clip(round(dsum / cnt), lo, hi))
+    # walk toward zero while it improves (x265 estIterOffset style)
+    best_o, best_d = 0, 0
+    step = -1 if o > 0 else 1
+    while True:
+        d = cnt * o * o - 2 * o * dsum
+        if d < best_d:
+            best_d, best_o = d, o
+        if o == 0:
+            break
+        o += step
+    return best_o, best_d
+
+
+def sao_estimate_plane_np(orig: np.ndarray, rec: np.ndarray, ctb_size: int,
+                          bit_depth: int = 8, lam: float = 0.0):
+    """Per-CTB best SAO params for one plane.
+
+    Returns (types, classes, band_pos, offsets, dist_delta) arrays; the
+    caller does the luma/chroma joint type decision and RD selection.
+    dist_delta[cy, cx, option]: option 0 = off, 1..4 = EO class 0..3,
+    5 = BO; offsets_all[cy, cx, option, 4].
+    """
+    h, w = rec.shape
+    ch = (h + ctb_size - 1) // ctb_size
+    cw = (w + ctb_size - 1) // ctb_size
+    diff = orig.astype(np.int64) - rec.astype(np.int64)
+    shift = bit_depth - 5
+
+    dist = np.zeros((ch, cw, 6), np.int64)
+    offs = np.zeros((ch, cw, 6, 4), np.int32)
+    classes = np.zeros((ch, cw), np.int32)
+    band_pos = np.zeros((ch, cw), np.int32)
+    bits = np.zeros((ch, cw, 6), np.int32)
+
+    cats = [_eo_category(rec, k) for k in range(4)]
+    bands = rec.astype(np.int32) >> shift
+    for cy in range(ch):
+        for cx in range(cw):
+            y0, x0 = cy * ctb_size, cx * ctb_size
+            y1, x1 = min(y0 + ctb_size, h), min(x0 + ctb_size, w)
+            d = diff[y0:y1, x0:x1]
+            # EO classes
+            for k in range(4):
+                c = cats[k][y0:y1, x0:x1]
+                dd_total = 0
+                o4 = np.zeros(4, np.int32)
+                nb = 2
+                for cat in (1, 2, 3, 4):
+                    m = c == cat
+                    cnt = int(m.sum())
+                    dsum = int(d[m].sum())
+                    lo, hi = (0, 7) if cat <= 2 else (-7, 0)
+                    o, dd = _best_offset(cnt, dsum, lo, hi)
+                    o4[cat - 1] = o
+                    dd_total += dd
+                    nb += abs(o) + 1
+                dist[cy, cx, 1 + k] = dd_total
+                offs[cy, cx, 1 + k] = o4
+                bits[cy, cx, 1 + k] = nb
+            # BO: stats per band, best 4-consecutive window
+            b = bands[y0:y1, x0:x1]
+            bcnt = np.bincount(b.ravel(), minlength=32)
+            bsum = np.bincount(b.ravel(), weights=d.ravel(), minlength=32)
+            bo = np.zeros(32, np.int32)
+            bdd = np.zeros(32, np.int64)
+            for band in range(32):
+                o, dd = _best_offset(int(bcnt[band]), int(bsum[band]), -7, 7)
+                bo[band], bdd[band] = o, dd
+            best_pos, best_dd = 0, 0
+            for pos in range(32):
+                wnd = [(pos + i) & 31 for i in range(4)]
+                dd = int(bdd[wnd].sum())
+                if dd < best_dd:
+                    best_dd, best_pos = dd, pos
+            wnd = [(best_pos + i) & 31 for i in range(4)]
+            dist[cy, cx, 5] = best_dd
+            offs[cy, cx, 5] = bo[wnd]
+            band_pos[cy, cx] = best_pos
+            bits[cy, cx, 5] = 2 + 5 + int(np.abs(bo[wnd]).sum()) + 8
+    return dist, offs, band_pos, bits
