@@ -569,13 +569,15 @@ class Encoder:
         bw = write_slice_header(sh, self.sps, self.pps, nal_type)
 
         data = None
-        if not self.force_python_entropy and not sao_on:
+        if not self.force_python_entropy:
             from ..native import encode_slice_data_native
             data = encode_slice_data_native(
                 ps, self.qp, log2_min_cb=self.sps.log2_min_cb_size,
                 log2_min_tb=self.sps.log2_min_tb_size,
                 log2_max_tb=self.sps.log2_max_tb_size,
-                slice_type=2 if slice_type == SLICE_I else 1)
+                slice_type=2 if slice_type == SLICE_I else 1,
+                sao_luma=sao_on, sao_chroma=sao_on,
+                bit_depth=self.bit_depth)
         if data is None:    # P slices / no native toolchain: Python CABAC
             ctx = init_context_states(init_type, self.qp)
             enc = CabacEncoder(ctx=ctx)

@@ -58,8 +58,9 @@ def get_lib():
         i16p = np.ctypeslib.ndpointer(np.int16, flags="C_CONTIGUOUS")
         i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
         i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+        i8p = np.ctypeslib.ndpointer(np.int8, flags="C_CONTIGUOUS")
         fn.argtypes = [u8p] * 10 + [i16p] + [i32p] * 3 + [i64p] \
-            + [ctypes.c_int] * 13 \
+            + [i8p] * 4 + [ctypes.c_int] * 16 \
             + [u8p, ctypes.c_int, u8p, ctypes.c_long]
         _LIB = lib
         return _LIB
@@ -69,8 +70,9 @@ SLICE_TYPE_I, SLICE_TYPE_P = 2, 1
 
 
 def encode_slice_data_native(ps, qp: int, *, log2_min_cb=3, log2_min_tb=2,
-                             log2_max_tb=5, slice_type=SLICE_TYPE_I
-                             ) -> bytes | None:
+                             log2_max_tb=5, slice_type=SLICE_TYPE_I,
+                             sao_luma=False, sao_chroma=False,
+                             bit_depth=8) -> bytes | None:
     """Encode a full slice's CTU data natively (I or P).  Returns the CABAC
     byte payload (terminated + aligned), or None if native is unavailable.
 
@@ -98,6 +100,11 @@ def encode_slice_data_native(ps, qp: int, *, log2_min_cb=3, log2_min_tb=2,
         np.ascontiguousarray(ps.coeff_cb, np.int32),
         np.ascontiguousarray(ps.coeff_cr, np.int32),
         np.ascontiguousarray(g.zscan, np.int64),
+        np.ascontiguousarray(ps.sao_type, np.int8),
+        np.ascontiguousarray(ps.sao_eo_class, np.int8),
+        np.ascontiguousarray(ps.sao_band_pos, np.int8),
+        np.ascontiguousarray(ps.sao_offsets, np.int8),
+        int(sao_luma), int(sao_chroma), bit_depth,
         g.width, g.height, g.w4, g.h4,
         g.log2_ctb, log2_min_cb, log2_min_tb, log2_max_tb,
         ps.max_tr_depth_intra, ps.max_tr_depth_inter, int(ps.sign_hiding),

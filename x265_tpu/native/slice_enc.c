@@ -134,6 +134,9 @@ typedef struct {
     const uint8_t *depth, *part, *luma_mode, *chroma_mode, *tu_depth;
     const uint8_t *skip, *merge_flag, *merge_idx, *mvp_flag;
     const uint8_t *pred_mode_arr;
+    const int8_t *sao_type, *sao_eo_class, *sao_band_pos, *sao_offsets;
+    int sao_luma, sao_chroma, bit_depth;
+    int ctbs_w;
     const int16_t *mvd;
     const int32_t *cy, *ccb, *ccr;
     const int64_t *zscan;
@@ -695,6 +698,46 @@ static void enc_quadtree(Enc *e, int x0, int y0, int log2_size, int depth) {
     } else enc_cu(e, x0, y0, log2_size);
 }
 
+/* ---- SAO per-CTB syntax (mirrors cabac/ctu.py _enc_sao) ---- */
+static void enc_sao(Enc *e, int ctu_addr) {
+    int rx = ctu_addr % e->ctbs_w, ry = ctu_addr / e->ctbs_w;
+    int cmax = (1 << ((e->bit_depth < 10 ? e->bit_depth : 10) - 5)) - 1;
+    int c_idx, i, k;
+    if (rx > 0) encode_bin(e, CTX_SAO_MERGE, 0);
+    if (ry > 0) encode_bin(e, CTX_SAO_MERGE, 0);
+    for (c_idx = 0; c_idx < 3; c_idx++) {
+        int plane_sel = (c_idx == 0) ? 0 : 1;
+        int t;
+        const int8_t *offs;
+        if (c_idx == 0 && !e->sao_luma) continue;
+        if (c_idx > 0 && !e->sao_chroma) continue;
+        t = e->sao_type[ctu_addr * 2 + plane_sel];
+        if (c_idx < 2) {
+            if (t == 0) { encode_bin(e, CTX_SAO_TYPE_IDX, 0); }
+            else {
+                encode_bin(e, CTX_SAO_TYPE_IDX, 1);
+                encode_bypass(e, t == 2 ? 1 : 0);
+            }
+        }
+        if (t == 0) continue;
+        offs = e->sao_offsets + (ctu_addr * 3 + c_idx) * 4;
+        for (i = 0; i < 4; i++) {
+            int v = offs[i] < 0 ? -offs[i] : offs[i];
+            for (k = 0; k < v; k++) encode_bypass(e, 1);
+            if (v < cmax) encode_bypass(e, 0);
+        }
+        if (t == 1) {
+            for (i = 0; i < 4; i++)
+                if (offs[i] != 0) encode_bypass(e, offs[i] < 0 ? 1 : 0);
+            encode_bypass_bins(
+                e, (uint32_t)e->sao_band_pos[ctu_addr * 3 + c_idx], 5);
+        } else if (c_idx < 2) {
+            encode_bypass_bins(
+                e, (uint32_t)e->sao_eo_class[ctu_addr * 2 + plane_sel], 2);
+        }
+    }
+}
+
 /* ---- entry point ---- */
 long encode_slice_data(
     const uint8_t *depth, const uint8_t *part, const uint8_t *luma_mode,
@@ -703,6 +746,9 @@ long encode_slice_data(
     const uint8_t *merge_idx, const uint8_t *mvp_flag, const int16_t *mvd,
     const int32_t *coeff_y, const int32_t *coeff_cb, const int32_t *coeff_cr,
     const int64_t *zscan,
+    const int8_t *sao_type, const int8_t *sao_eo_class,
+    const int8_t *sao_band_pos, const int8_t *sao_offsets,
+    int sao_luma, int sao_chroma, int bit_depth,
     int width, int height, int w4, int h4,
     int log2_ctb, int log2_min_cb, int log2_min_tb, int log2_max_tb,
     int max_tr_depth_intra, int max_tr_depth_inter, int sign_hiding,
@@ -732,15 +778,21 @@ long encode_slice_data(
     e.max_tr_inter = max_tr_depth_inter;
     e.sign_hide = sign_hiding; e.slice_type = slice_type;
     e.max_merge = max_merge;
+    e.sao_type = sao_type; e.sao_eo_class = sao_eo_class;
+    e.sao_band_pos = sao_band_pos; e.sao_offsets = sao_offsets;
+    e.sao_luma = sao_luma; e.sao_chroma = sao_chroma;
+    e.bit_depth = bit_depth;
 
     ctb_size = 1 << log2_ctb;
     ctbs_w = (width + ctb_size - 1) >> log2_ctb;
     ctbs_h = (height + ctb_size - 1) >> log2_ctb;
     n_ctbs = ctbs_w * ctbs_h;
 
+    e.ctbs_w = ctbs_w;
     for (ctu = 0; ctu < n_ctbs; ctu++) {
         int x0 = (ctu % ctbs_w) << log2_ctb;
         int y0 = (ctu / ctbs_w) << log2_ctb;
+        if (sao_luma || sao_chroma) enc_sao(&e, ctu);
         enc_quadtree(&e, x0, y0, log2_ctb, 0);
         encode_terminate(&e, ctu == n_ctbs - 1 ? 1 : 0);
         if (e.overflow) return -1;

@@ -123,55 +123,72 @@ def sao_estimate_plane_np(orig: np.ndarray, rec: np.ndarray, ctb_size: int,
     diff = orig.astype(np.int64) - rec.astype(np.int64)
     shift = bit_depth - 5
 
+    nctb = ch * cw
     dist = np.zeros((ch, cw, 6), np.int64)
     offs = np.zeros((ch, cw, 6, 4), np.int32)
-    classes = np.zeros((ch, cw), np.int32)
     band_pos = np.zeros((ch, cw), np.int32)
     bits = np.zeros((ch, cw, 6), np.int32)
 
-    cats = [_eo_category(rec, k) for k in range(4)]
-    bands = rec.astype(np.int32) >> shift
-    for cy in range(ch):
-        for cx in range(cw):
-            y0, x0 = cy * ctb_size, cx * ctb_size
-            y1, x1 = min(y0 + ctb_size, h), min(x0 + ctb_size, w)
-            d = diff[y0:y1, x0:x1]
-            # EO classes
-            for k in range(4):
-                c = cats[k][y0:y1, x0:x1]
-                dd_total = 0
-                o4 = np.zeros(4, np.int32)
-                nb = 2
-                for cat in (1, 2, 3, 4):
-                    m = c == cat
-                    cnt = int(m.sum())
-                    dsum = int(d[m].sum())
-                    lo, hi = (0, 7) if cat <= 2 else (-7, 0)
-                    o, dd = _best_offset(cnt, dsum, lo, hi)
-                    o4[cat - 1] = o
-                    dd_total += dd
-                    nb += abs(o) + 1
-                dist[cy, cx, 1 + k] = dd_total
-                offs[cy, cx, 1 + k] = o4
-                bits[cy, cx, 1 + k] = nb
-            # BO: stats per band, best 4-consecutive window
-            b = bands[y0:y1, x0:x1]
-            bcnt = np.bincount(b.ravel(), minlength=32)
-            bsum = np.bincount(b.ravel(), weights=d.ravel(), minlength=32)
-            bo = np.zeros(32, np.int32)
-            bdd = np.zeros(32, np.int64)
-            for band in range(32):
-                o, dd = _best_offset(int(bcnt[band]), int(bsum[band]), -7, 7)
-                bo[band], bdd[band] = o, dd
-            best_pos, best_dd = 0, 0
-            for pos in range(32):
-                wnd = [(pos + i) & 31 for i in range(4)]
-                dd = int(bdd[wnd].sum())
-                if dd < best_dd:
-                    best_dd, best_pos = dd, pos
-            wnd = [(best_pos + i) & 31 for i in range(4)]
-            dist[cy, cx, 5] = best_dd
-            offs[cy, cx, 5] = bo[wnd]
-            band_pos[cy, cx] = best_pos
-            bits[cy, cx, 5] = 2 + 5 + int(np.abs(bo[wnd]).sum()) + 8
+    # per-pixel CTB index map (vectorized stats via bincount)
+    yy = np.minimum(np.arange(h) // ctb_size, ch - 1)
+    xx = np.minimum(np.arange(w) // ctb_size, cw - 1)
+    ctb_id = (yy[:, None] * cw + xx[None, :]).ravel()
+    dflat = diff.ravel()
+
+    def best_offsets_vec(cnt, dsum, lo, hi):
+        """Vectorized _best_offset over arrays: returns (o, dd)."""
+        with np.errstate(divide="ignore", invalid="ignore"):
+            o0 = np.where(cnt > 0, np.rint(dsum / np.maximum(cnt, 1)), 0)
+        o0 = np.clip(o0, lo, hi).astype(np.int64)
+        best_o = np.zeros_like(o0)
+        best_d = np.zeros_like(o0)
+        # candidates walk from the estimate toward zero (|o| <= 7)
+        for mag in range(7, 0, -1):
+            for sgn in (-1, 1):
+                o = sgn * mag
+                valid = (np.sign(o0) == sgn) & (np.abs(o0) >= mag)
+                d = cnt * o * o - 2 * o * dsum
+                take = valid & (d < best_d)
+                best_d = np.where(take, d, best_d)
+                best_o = np.where(take, o, best_o)
+        return best_o.astype(np.int32), best_d
+
+    # EO classes
+    for k in range(4):
+        cat = _eo_category(rec, k).ravel()
+        key = ctb_id * 5 + cat
+        cnt = np.bincount(key, minlength=nctb * 5).reshape(nctb, 5)
+        dsum = np.bincount(key, weights=dflat,
+                           minlength=nctb * 5).reshape(nctb, 5)
+        dd_total = np.zeros(nctb, np.int64)
+        nb = np.full(nctb, 2, np.int64)
+        for c in (1, 2, 3, 4):
+            lo, hi = (0, 7) if c <= 2 else (-7, 0)
+            o, dd = best_offsets_vec(cnt[:, c].astype(np.int64),
+                                     dsum[:, c].astype(np.int64), lo, hi)
+            offs[..., 1 + k, c - 1] = o.reshape(ch, cw)
+            dd_total += dd
+            nb += np.abs(o) + 1
+        dist[..., 1 + k] = dd_total.reshape(ch, cw)
+        bits[..., 1 + k] = nb.reshape(ch, cw)
+
+    # BO: per-band stats, best 4-consecutive window
+    bands = (rec.astype(np.int32) >> shift).ravel()
+    keyb = ctb_id * 32 + bands
+    bcnt = np.bincount(keyb, minlength=nctb * 32).reshape(nctb, 32)
+    bsum = np.bincount(keyb, weights=dflat,
+                       minlength=nctb * 32).reshape(nctb, 32)
+    bo, bdd = best_offsets_vec(bcnt.astype(np.int64),
+                               bsum.astype(np.int64), -7, 7)
+    wnd_dd = np.stack([sum(bdd[:, (pos + i) & 31] for i in range(4))
+                       for pos in range(32)], axis=1)      # [nctb, 32]
+    best_pos = np.argmin(wnd_dd, axis=1)
+    best_dd = np.minimum(wnd_dd.min(axis=1), 0)
+    wnd_idx = (best_pos[:, None] + np.arange(4)[None, :]) & 31
+    bo_sel = np.take_along_axis(bo, wnd_idx, axis=1)
+    dist[..., 5] = best_dd.reshape(ch, cw)
+    offs[..., 5, :] = bo_sel.reshape(ch, cw, 4)
+    band_pos[:] = best_pos.reshape(ch, cw)
+    bits[..., 5] = (2 + 5 + np.abs(bo_sel).sum(axis=1)
+                    + 8).reshape(ch, cw)
     return dist, offs, band_pos, bits
