@@ -177,7 +177,9 @@ def add_residual(plane, coeff, pred, x0, y0, n, qp, bit_depth, *, dst=False):
 
 def reconstruct_inter_cu(ps: PicSyntax, planes, ref_planes, cx: int, cy: int,
                          log2_cb: int, qps, bit_depth: int = 8) -> None:
-    """MC prediction + residual for one 2Nx2N inter CU (single ref L0)."""
+    """MC prediction + residual for one 2Nx2N inter CU (single ref L0).
+    The residual is added per TU LEAF (the TU tree may split while the
+    prediction covers the whole CU)."""
     from ..ops.interp import mc_chroma_np, mc_luma_np
 
     qp_y, qp_cb, qp_cr = qps
@@ -186,17 +188,23 @@ def reconstruct_inter_cu(ps: PicSyntax, planes, ref_planes, cx: int, cy: int,
     mvx, mvy = int(mv[0]), int(mv[1])
     pred_y = mc_luma_np(ref_planes[0], cx, cy, size, size, mvx, mvy,
                         bit_depth)
-    add_residual(planes[0], ps.coeff_y, pred_y, cx, cy, size, qp_y,
-                 bit_depth)
+    for (tx, ty, log2_tb, _d) in tu_leaves(ps, cx, cy, log2_cb):
+        n = 1 << log2_tb
+        add_residual(planes[0], ps.coeff_y,
+                     pred_y[ty - cy:ty - cy + n, tx - cx:tx - cx + n],
+                     tx, ty, n, qp_y, bit_depth)
     csz = size >> 1
     pred_cb = mc_chroma_np(ref_planes[1], cx >> 1, cy >> 1, csz, csz,
                            mvx, mvy, bit_depth)
-    add_residual(planes[1], ps.coeff_cb, pred_cb, cx >> 1, cy >> 1, csz,
-                 qp_cb, bit_depth)
     pred_cr = mc_chroma_np(ref_planes[2], cx >> 1, cy >> 1, csz, csz,
                            mvx, mvy, bit_depth)
-    add_residual(planes[2], ps.coeff_cr, pred_cr, cx >> 1, cy >> 1, csz,
-                 qp_cr, bit_depth)
+    for (tx, ty, clog2) in chroma_tu_leaves(ps, cx, cy, log2_cb):
+        n = 1 << clog2
+        ox, oy = (tx - cx) >> 1, (ty - cy) >> 1
+        add_residual(planes[1], ps.coeff_cb, pred_cb[oy:oy + n, ox:ox + n],
+                     (cx >> 1) + ox, (cy >> 1) + oy, n, qp_cb, bit_depth)
+        add_residual(planes[2], ps.coeff_cr, pred_cr[oy:oy + n, ox:ox + n],
+                     (cx >> 1) + ox, (cy >> 1) + oy, n, qp_cr, bit_depth)
 
 
 def reconstruct_picture(ps: PicSyntax, planes, qp_y: int, bit_depth: int = 8,

@@ -111,7 +111,7 @@ def build_p_pipeline(enc):
         return (jnp.argmin(costs, axis=1).astype(jnp.int32),
                 jnp.min(costs, axis=1), blocks)
 
-    def me(orig, ref_ext, ob):
+    def me(orig, ref_ext, ob, qp):
         def body(carry, off):
             best_c, best_i, i = carry
             shifted = jax.lax.dynamic_slice(
@@ -159,8 +159,50 @@ def build_p_pipeline(enc):
         pred0, c0 = eval_q(q0)
         q0, pred, cost = refine(q0, pred0, c0, 2)
         q0, pred, cost = refine(q0, pred, cost, 1)
-        mvq = mvi * 4 + q0                                # (y, x) qpel
-        return mvq[:, ::-1], cost, pred                   # mv as (x, y)
+        mvq = mvi * 4 + q0                                # [B, 2] (y, x) qpel
+
+        # ---- MV coherence passes (x265's lambda*mvd-cost analogue) ----
+        # adopt the west/north neighbor's MV when its SATD is within a
+        # lambda bias — uniform-MV runs enable 32/64 CU merges and cheap
+        # merge/skip syntax.  Evaluated batched via full-window gathers.
+        # ~ lambda * typical mvd bits (SATD-domain lambda = 2^((qp-12)/6))
+        lam_bias = 12.0 * 2.0 ** ((qp.astype(jnp.float32) - 12.0) / 6.0)
+
+        oy2 = np.arange(n + 7)
+        byb = jnp.asarray(np.repeat(np.arange(gh), gw) * n + M)
+        bxb = jnp.asarray(np.tile(np.arange(gw), gh) * n + M)
+
+        def eval_mv(mvq_c):
+            iy = (mvq_c[:, 0] >> 2)
+            ix = (mvq_c[:, 1] >> 2)
+            rows = (byb + iy - 3)[:, None] + oy2[None, :]
+            cols = (bxb + ix - 3)[:, None] + oy2[None, :]
+            win = ref_ext[rows[:, :, None], cols[:, None, :]]
+            p = mc_luma_batch(win, mvq_c[:, 1] & 3, mvq_c[:, 0] & 3, n, n,
+                              enc.bit_depth)
+            return p, satd_fn(ob, p)
+
+        def adopt(mvq, pred, cost, shift_axis):
+            g2 = mvq.reshape(gh, gw, 2)
+            cand = jnp.roll(g2, 1, axis=shift_axis).reshape(-1, 2)
+            # clamp candidates into the gathered margin
+            cand = jnp.clip(cand, -4 * R, 4 * R)
+            p, c = eval_mv(cand[:, ::-1])        # eval takes (y, x)
+            better = (c.astype(jnp.float32)
+                      < cost.astype(jnp.float32) + lam_bias) & \
+                (jnp.arange(nb) // gw > 0 if shift_axis == 0
+                 else jnp.arange(nb) % gw > 0)
+            mvq = jnp.where(better[:, None], cand, mvq)
+            pred = jnp.where(better[:, None, None], p, pred)
+            cost = jnp.where(better, c, cost)
+            return mvq, pred, cost
+
+        mvxy = mvq[:, ::-1]                      # (x, y)
+        for _ in range(3):
+            mvxy, pred, cost = adopt(mvxy, pred, cost, shift_axis=1)
+        for _ in range(3):
+            mvxy, pred, cost = adopt(mvxy, pred, cost, shift_axis=0)
+        return mvxy, cost, pred
 
     def chroma_pred(ref_ext, mv):
         # mv [B, 2] (x, y) qpel == chroma eighth-pel
@@ -179,8 +221,11 @@ def build_p_pipeline(enc):
             qpy, qpb, qpr):
         modes, icost, ob = analyse(oy)
         mv, pcost, pred_y = me(oy.astype(jnp.int32),
-                               ref_y_ext.astype(jnp.int32), ob)
-        inter = pcost.reshape(-1) <= icost
+                               ref_y_ext.astype(jnp.int32), ob, qpy)
+        # intra blocks in P slices cost far more bits than SATD reflects
+        # (mode + full coefficients); bias the decision toward inter
+        inter = pcost.reshape(-1).astype(jnp.int64) <= (
+            icost.astype(jnp.int64) * 9) // 8
         pred_cb = chroma_pred(ref_cb_ext.astype(jnp.int32), mv)
         pred_cr = chroma_pred(ref_cr_ext.astype(jnp.int32), mv)
         ry = scans[0](to_blocks(oy, n), modes, qpy, pred_y, inter)

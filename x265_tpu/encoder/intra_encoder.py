@@ -83,6 +83,9 @@ class Encoder:
             log2_min_cb_size=3,
             max_transform_hierarchy_depth_intra=max(
                 0, params.tu_intra_depth - 1),
+            # inter CUs merged up to 64x64 keep 16x16 TUs (identical recon
+            # to the analysis grid) -> the TU tree needs two split levels
+            max_transform_hierarchy_depth_inter=2,
             conf_win=(0, (cw - w) // 2, 0, (ch - h) // 2),
             strong_intra_smoothing=int(params.strong_intra_smoothing),
             vui_timing_present=1, vui_present=1,
@@ -414,10 +417,46 @@ class Encoder:
         ps.mv0[:] = np.kron(
             mv.astype(np.int16).transpose(2, 0, 1),
             np.ones((1, s4, s4), np.int16)).transpose(1, 2, 0)
-        self._derive_inter_syntax(ps, inter_mask, n)
+        self._merge_inter_cus(ps, inter_mask, mv, n)
+        self._derive_inter_syntax(ps)
         self._scatter_outputs(ps, rec, (ry, rcb, rcr), cu_size)
-        self._derive_skip(ps, inter_mask, n)
+        self._derive_skip(ps)
         return inter_mask, modes
+
+    def _merge_inter_cus(self, ps, inter_mask, mv, cu_size):
+        """Merge aligned quads of inter CUs with identical MVs into 32/64
+        CUs whose TU trees keep the analysis-grid 16x16 transforms — the
+        reconstruction is IDENTICAL, only the syntax gets cheaper (one
+        merge/mvd + skip flag instead of four).  Pure bitrate win."""
+        g = self.geom
+        n = cu_size
+        gh, gw = inter_mask.shape
+        base_depth = g.log2_ctb - (n.bit_length() - 1)
+        mergeable = inter_mask.copy()
+        for size in (32, 64):
+            if size > (1 << g.log2_ctb):
+                break
+            f = size // n                      # sub-CUs per merged side
+            depth = g.log2_ctb - (size.bit_length() - 1)
+            tu_d = size.bit_length() - 1 - 4   # back to 16x16 TUs
+            mh, mw = gh // f, gw // f
+            for by in range(mh):
+                for bx in range(mw):
+                    ys, xs = by * f, bx * f
+                    x0, y0 = xs * n, ys * n
+                    if x0 + size > g.width or y0 + size > g.height:
+                        continue
+                    q = mergeable[ys:ys + f, xs:xs + f]
+                    if not q.all():
+                        continue
+                    mvs = mv[ys:ys + f, xs:xs + f]
+                    if not (mvs == mvs[0, 0]).all():
+                        mergeable[ys:ys + f, xs:xs + f] = False
+                        continue
+                    ps.set_region(ps.depth, x0, y0, size, depth)
+                    ps.set_region(ps.tu_depth, x0, y0, size, tu_d)
+            # only fully-merged regions can merge to the next size
+        # un-merged blocks keep base depth / tu_depth 0 (already set)
 
     def _recon_host_fallback(self, ps, orig, rec, modes, cu_size, qps):
         """Spec-loop encode (numpy oracle) for non-aligned geometries and
@@ -442,25 +481,22 @@ class Encoder:
 
     # -- P frames ------------------------------------------------------------
 
-    def _derive_inter_syntax(self, ps, inter_mask, cu_size):
-        """Per inter CU: choose merge (mv equals a candidate) or AMVP+MVD.
-        Reads only final neighbor state (z-scan availability guarantees
-        identical derivation at decode time)."""
+    def _derive_inter_syntax(self, ps):
+        """Per inter CU leaf (any size): choose merge (mv equals a
+        candidate) or AMVP+MVD.  Reads only final neighbor state (z-scan
+        availability guarantees identical derivation at decode time)."""
         from ..common.motion import amvp_candidates, merge_candidates
 
         g = self.geom
-        n = cu_size
-        gh, gw = inter_mask.shape
-        for by in range(gh):
-            for bx in range(gw):
-                if not inter_mask[by, bx]:
-                    continue
-                x0, y0 = bx * n, by * n
-                if x0 >= g.width or y0 >= g.height:
-                    continue
+        for ctu in range(g.n_ctbs):
+            for (x0, y0, log2_cb) in cu_leaves(ps, ctu):
                 y4, x4 = y0 >> 2, x0 >> 2
+                if ps.pred_mode[y4, x4] == MODE_INTRA:
+                    continue
+                n = 1 << log2_cb
                 mv = (int(ps.mv0[y4, x4, 0]), int(ps.mv0[y4, x4, 1]))
-                cands = merge_candidates(ps, x0, y0, n, n, ps.max_merge_cand)
+                cands = merge_candidates(ps, x0, y0, n, n,
+                                         ps.max_merge_cand)
                 if mv in cands:
                     idx = cands.index(mv)
                     ps.set_region(ps.merge_flag, x0, y0, n, 1)
@@ -474,18 +510,23 @@ class Encoder:
                     ps.mvd[y4:(y0 + n) >> 2, x4:(x0 + n) >> 2] = (
                         mv[0] - amvp[mvp][0], mv[1] - amvp[mvp][1])
 
-    def _derive_skip(self, ps, inter_mask, cu_size):
+    def _derive_skip(self, ps):
         g = self.geom
-        n = cu_size
-        gh, gw = inter_mask.shape
-        cy = ps.coeff_y.reshape(gh, n, gw, n).any(axis=(1, 3))
-        cb = ps.coeff_cb.reshape(gh, n // 2, gw, n // 2).any(axis=(1, 3))
-        cr = ps.coeff_cr.reshape(gh, n // 2, gw, n // 2).any(axis=(1, 3))
-        merge = ps.merge_flag[::n // 4, ::n // 4] != 0
-        skip = inter_mask & merge & ~(cy | cb | cr)
-        s4 = n // 4
-        ps.skip[:] = np.kron(skip.astype(np.uint8), np.ones((s4, s4),
-                                                            np.uint8))
+        for ctu in range(g.n_ctbs):
+            for (x0, y0, log2_cb) in cu_leaves(ps, ctu):
+                y4, x4 = y0 >> 2, x0 >> 2
+                if ps.pred_mode[y4, x4] == MODE_INTRA or \
+                        not ps.merge_flag[y4, x4]:
+                    continue
+                n = 1 << log2_cb
+                c = n >> 1
+                if (ps.coeff_y[y0:y0 + n, x0:x0 + n].any()
+                        or ps.coeff_cb[y0 >> 1:(y0 >> 1) + c,
+                                       x0 >> 1:(x0 >> 1) + c].any()
+                        or ps.coeff_cr[y0 >> 1:(y0 >> 1) + c,
+                                       x0 >> 1:(x0 >> 1) + c].any()):
+                    continue
+                ps.set_region(ps.skip, x0, y0, n, 1)
 
     def _sao_decide_apply(self, ps, orig, rec):
         """Per-CTB SAO estimation + decision + apply (on the deblocked
