@@ -198,9 +198,9 @@ def build_p_pipeline(enc):
             return mvq, pred, cost
 
         mvxy = mvq[:, ::-1]                      # (x, y)
-        for _ in range(3):
+        for _ in range(2):
             mvxy, pred, cost = adopt(mvxy, pred, cost, shift_axis=1)
-        for _ in range(3):
+        for _ in range(2):
             mvxy, pred, cost = adopt(mvxy, pred, cost, shift_axis=0)
         return mvxy, cost, pred
 
