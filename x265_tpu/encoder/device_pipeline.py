@@ -36,7 +36,8 @@ def build_i_pipeline(enc):
     gh, gw = ph // n, pw // n
     ridx, avails = enc._mode_gather_tables(n, gh, gw, ph, pw)
     wfs = enc._get_wavefronts(n)
-    scans = [wf.scan_fn(encode=True) for wf in wfs]
+    luma_scan = wfs[0].scan_fn(encode=True)
+    chroma_scan = wfs[1].paired_scan_fn(encode=True)
 
     def to_blocks(pl, bn):
         return pl.reshape(gh, bn, gw, bn).transpose(
@@ -54,9 +55,10 @@ def build_i_pipeline(enc):
 
     def run(oy, ocb, ocr, qpy, qpb, qpr):
         modes, cost = analyse(oy)
-        ry = scans[0](to_blocks(oy, n), modes, qpy)
-        rcb = scans[1](to_blocks(ocb, n // 2), modes, qpb)
-        rcr = scans[2](to_blocks(ocr, n // 2), modes, qpr)
+        ry = luma_scan(to_blocks(oy, n), modes, qpy)
+        rcb, rcr = chroma_scan((to_blocks(ocb, n // 2),
+                                to_blocks(ocr, n // 2)),
+                               modes, (qpb, qpr))
         return modes, cost, ry, rcb, rcr
 
     return jax.jit(run)
@@ -90,7 +92,8 @@ def build_p_pipeline(enc):
     cph, cpw = ph // 2, pw // 2
     ridx, avails = enc._mode_gather_tables(n, gh, gw, ph, pw)
     wfs = enc._get_wavefronts(n)
-    scans = [wf.scan_fn(encode=True, inter=True) for wf in wfs]
+    luma_scan = wfs[0].scan_fn(encode=True, inter=True)
+    chroma_scan = wfs[1].paired_scan_fn(encode=True, inter=True)
 
     offs = np.array([(dy, dx) for dy in range(-R, R + 1)
                      for dx in range(-R, R + 1)], np.int32)
@@ -228,9 +231,10 @@ def build_p_pipeline(enc):
             icost.astype(jnp.int64) * 9) // 8
         pred_cb = chroma_pred(ref_cb_ext.astype(jnp.int32), mv)
         pred_cr = chroma_pred(ref_cr_ext.astype(jnp.int32), mv)
-        ry = scans[0](to_blocks(oy, n), modes, qpy, pred_y, inter)
-        rcb = scans[1](to_blocks(ocb, cn), modes, qpb, pred_cb, inter)
-        rcr = scans[2](to_blocks(ocr, cn), modes, qpr, pred_cr, inter)
+        ry = luma_scan(to_blocks(oy, n), modes, qpy, pred_y, inter)
+        rcb, rcr = chroma_scan((to_blocks(ocb, cn), to_blocks(ocr, cn)),
+                               modes, (qpb, qpr),
+                               (pred_cb, pred_cr), inter)
         return modes, mv.astype(jnp.int16), inter, ry, rcb, rcr
 
     return jax.jit(run)

@@ -322,6 +322,114 @@ class WavefrontIntraRecon:
         scans into one device dispatch."""
         return self._make_scan(encode=encode, inter=inter)
 
+    def paired_scan_fn(self, encode: bool, inter: bool = False):
+        """A scan that processes TWO planes sharing this schedule (Cb+Cr)
+        in one lax.scan: lanes are doubled, the carry holds both planes.
+        Same bit-exact math — halves the sequential scan count.
+
+        run2((data_a, data_b), modes, (qp_a, qp_b)[, (ipred_a, ipred_b),
+        is_inter]) -> ((plane_a, levels_a), (plane_b, levels_b))."""
+        import jax
+        import jax.numpy as jnp
+
+        from ..ops.quantize import dequant, quant_masked
+        from ..ops.transforms import forward_transform, inverse_transform
+
+        s = self.sched
+        n, bd, is_luma = self.n, self.bit_depth, self.is_luma
+        assert not (is_luma and n == 4)
+        ph, pw = s["plane"]
+        flat = ph * pw + 1
+        nblocks = s["grid"][0] * s["grid"][1]
+
+        ridx2 = np.stack([s["ref_idx"], s["ref_idx"] + flat], axis=2)
+        sidx2 = np.stack([s["sct_idx"], s["sct_idx"] + flat], axis=2)
+        xs_all = (jnp.asarray(s["lvl_blk"]),
+                  jnp.asarray(ridx2.reshape(s["n_levels"], -1,
+                                            4 * n + 1)),
+                  jnp.asarray(np.repeat(s["ref_avail"], 2, axis=1)
+                              .reshape(s["n_levels"], -1, 4 * n + 1)),
+                  jnp.asarray(sidx2.reshape(s["n_levels"], -1, n * n)))
+        # lane order per level: [blk0_a, blk0_b, blk1_a, blk1_b, ...]
+
+        sh_flag = self.sign_hide
+
+        def step(carry, xs):
+            planes_flat, blocks, qps = carry
+            blk, ridx, ravail, sidx = xs
+            lanes = ridx.shape[0]
+            samples = planes_flat[ridx]
+            ref = _substitute(samples, ravail, bd)
+            blk2 = jnp.repeat(blk, 2)
+            modes = blocks["modes"][blk2]
+            pred = _predict_lanes(ref, modes, n, is_luma, bd)
+            # per-lane plane id: 0, 1, 0, 1, ...
+            pid = jnp.tile(jnp.arange(2), lanes // 2)
+            lane_qp = qps[pid]
+            data_idx = blk2 * 2 + pid           # blocks stored interleaved
+            if inter:
+                use_ov = blocks["is_inter"][blk2]
+                pred = jnp.where(use_ov[:, None, None],
+                                 blocks["ipred"][data_idx], pred)
+            if encode:
+                orig = blocks["data"][data_idx]
+                resi = orig - pred
+                coef = forward_transform(resi, bd, dst=False)
+                imask = (~use_ov) if inter else jnp.ones((lanes,), bool)
+                levels = quant_masked(coef, lane_qp, imask, bd)
+                if sh_flag:
+                    from ..ops.quantize import sign_hide_diag
+                    levels = sign_hide_diag(levels)
+            else:
+                levels = blocks["data"][data_idx]
+            dq = dequant(levels, lane_qp, bd)
+            r2 = inverse_transform(dq, bd, dst=False)
+            has_coef = jnp.any(levels != 0, axis=(1, 2))[:, None, None]
+            rec = jnp.clip(jnp.where(has_coef, pred + r2, pred),
+                           0, (1 << bd) - 1)
+            planes_flat = planes_flat.at[sidx.reshape(-1)].set(
+                rec.reshape(-1), mode="drop")
+            return (planes_flat, blocks, qps), (levels if encode else None)
+
+        out_dtype = jnp.uint8 if bd == 8 else jnp.uint16
+
+        def run2(datas, modes, qps, ipreds=None, is_inter=None):
+            pad = jnp.zeros((1, n, n), jnp.int32)
+            # interleave the two planes' block data: [2B+2, n, n]
+            def ilv(a, b):
+                st = jnp.stack([jnp.concatenate([a.astype(jnp.int32), pad]),
+                                jnp.concatenate([b.astype(jnp.int32), pad])],
+                               axis=1)
+                return st.reshape(-1, n, n)
+
+            blocks = dict(data=ilv(datas[0], datas[1]),
+                          modes=jnp.concatenate(
+                              [modes, jnp.zeros((1,), modes.dtype)]))
+            if inter:
+                blocks["ipred"] = ilv(ipreds[0], ipreds[1])
+                blocks["is_inter"] = jnp.concatenate(
+                    [jnp.asarray(is_inter, bool), jnp.zeros((1,), bool)])
+            planes_flat = jnp.zeros((2 * flat,), jnp.int32)
+            qps_v = jnp.stack([jnp.asarray(qps[0], jnp.int32),
+                               jnp.asarray(qps[1], jnp.int32)])
+            (planes_flat, _, _), levels = jax.lax.scan(
+                step, (planes_flat, blocks, qps_v), xs_all)
+            outs = []
+            for p_i in range(2):
+                pl = planes_flat[p_i * flat:(p_i + 1) * flat - 1].reshape(
+                    ph, pw).astype(out_dtype)
+                if encode:
+                    lv = levels.reshape(s["n_levels"], -1, 2, n, n)[:, :, p_i]
+                    out = jnp.zeros((nblocks + 1, n, n), jnp.int16)
+                    out = out.at[s["lvl_blk"].reshape(-1)].set(
+                        lv.reshape(-1, n, n).astype(jnp.int16), mode="drop")
+                    outs.append((pl, out[:-1]))
+                else:
+                    outs.append(pl)
+            return tuple(outs)
+
+        return run2
+
     def encode(self, orig_blocks, modes, qp):
         """orig_blocks [B, n, n], modes [B] int32, qp int ->
         (recon plane [ph, pw] uint8/uint16, levels [B, n, n] int16)."""

@@ -116,13 +116,17 @@ def dequant(level: jax.Array, qp: jax.Array, bit_depth: int = 8) -> jax.Array:
 def quant_masked(coef: jax.Array, qp: jax.Array, intra_mask: jax.Array,
                  bit_depth: int = 8) -> jax.Array:
     """Like ``quant`` but with a per-block intra/inter rounding-offset
-    selector: intra_mask [B] bool (True -> intra offset 171, else 85)."""
+    selector: intra_mask [B] bool (True -> intra offset 171, else 85).
+    ``qp`` may be scalar or per-block [B]."""
     n = coef.shape[-1]
     log2n = n.bit_length() - 1
     qp = jnp.asarray(qp, jnp.int32)
     transform_shift = 15 - bit_depth - log2n
     qbits = QUANT_SHIFT + qp // 6 + transform_shift
     scale = jnp.asarray(QUANT_SCALES, jnp.int32)[qp % 6]
+    if qp.ndim:
+        scale = scale[:, None, None]
+        qbits = qbits[:, None, None]
     offset_num = jnp.where(intra_mask, 171, 85).astype(jnp.int32)[:, None,
                                                                   None]
     absc = jnp.abs(coef)
