@@ -48,3 +48,12 @@ def test_cli_smoke(tmp_path):
     pics = decode_annexb(out.read_bytes())
     assert len(pics) == 2 and all(p.hash_ok for p in pics)
     assert csv.read_text().count("\n") == 3   # header + 2 frames
+
+
+def test_decoder_graceful_errors():
+    from x265_tpu.decoder import decode_annexb
+    from x265_tpu.decoder.decoder import DecodeError
+    import pytest as _pytest
+    with _pytest.raises(DecodeError):
+        decode_annexb(b"\x00\x00\x01\x40\x01garbagegarbage" * 3)
+    assert decode_annexb(b"") == []

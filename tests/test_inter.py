@@ -95,3 +95,9 @@ def test_ippp_oracle(tmp_path, kind):
     expect = np.concatenate([np.concatenate(
         [pl.astype(np.uint8).ravel() for pl in rec]) for rec in recs])
     np.testing.assert_array_equal(raw, expect)
+
+
+@pytest.mark.parametrize("ctu", [32, 64])
+def test_ippp_ctu_sizes(ctu):
+    frames = make_clip("pan", 96, 64, 3, seed=5)
+    roundtrip(frames, 96, 64, qp=30, ctu_size=ctu)

@@ -33,6 +33,10 @@ from ..common.sei import (SEI_DECODED_PICTURE_HASH, parse_picture_hash,
                           parse_sei_rbsp, plane_md5)
 
 
+class DecodeError(Exception):
+    """Raised on malformed bitstreams (role of libde265's de265_error)."""
+
+
 @dataclass
 class DecodedPicture:
     poc: int
@@ -59,7 +63,12 @@ class Decoder:
 
     def push_bytes(self, data: bytes) -> None:
         for nal_type, _tid, rbsp in split_annexb(data):
-            self.push_nal(nal_type, rbsp)
+            try:
+                self.push_nal(nal_type, rbsp)
+            except (IndexError, AssertionError, KeyError,
+                    NotImplementedError) as exc:
+                raise DecodeError(
+                    f"malformed NAL (type {nal_type}): {exc}") from exc
         self.flush()
 
     def flush(self) -> None:
