@@ -60,6 +60,7 @@ class Decoder:
         self._pending_hash = None
         self._cur: DecodedPicture | None = None
         self._last_ref = None   # coded-size planes of the last picture
+        self._wf_cache = {}     # wavefront decode scans per geometry
 
     def push_bytes(self, data: bytes) -> None:
         for nal_type, _tid, rbsp in split_annexb(data):
@@ -148,10 +149,13 @@ class Decoder:
         if sh.slice_type == SLICE_P:
             assert self._last_ref is not None, "P slice without reference"
             ref = self._last_ref
-        reconstruct_picture(ps, planes, sh.slice_qp, bd,
-                            pps.cb_qp_offset, pps.cr_qp_offset,
-                            strong_smoothing=bool(sps.strong_intra_smoothing),
-                            ref_planes=ref)
+        if not (sh.slice_type == SLICE_I
+                and self._wavefront_decode(ps, planes, sh, sps, pps, geom)):
+            reconstruct_picture(
+                ps, planes, sh.slice_qp, bd,
+                pps.cb_qp_offset, pps.cr_qp_offset,
+                strong_smoothing=bool(sps.strong_intra_smoothing),
+                ref_planes=ref)
 
         # decoded picture = coded size; output view = conformance-cropped
         cw, ch = sps.pic_width, sps.pic_height
@@ -192,6 +196,61 @@ class Decoder:
                                    planes=(y, u, v), syntax=ps,
                                    qp=sh.slice_qp, bit_depth=bd,
                                    coded_planes=coded)
+
+    def _wavefront_decode(self, ps, planes, sh, sps, pps, geom) -> bool:
+        """Batched device reconstruction for uniform fixed-16-CU intra
+        pictures (the structure our encoder emits): the same wavefront
+        lax.scan as the encoder, in decode mode.  Returns False when the
+        parsed structure doesn't fit (the numpy spec path covers it)."""
+        n = 16
+        if (1 << geom.log2_ctb) < n or geom.width % n or geom.height % n:
+            return False
+        h4c, w4c = geom.height >> 2, geom.width >> 2
+        d = geom.log2_ctb - 4
+        from ..cabac.ctu import MODE_INTRA as _INTRA
+        if not ((ps.depth[:h4c, :w4c] == d).all()
+                and (ps.part[:h4c, :w4c] == 0).all()
+                and (ps.tu_depth[:h4c, :w4c] == 0).all()
+                and (ps.pred_mode[:h4c, :w4c] == _INTRA).all()
+                and (ps.chroma_mode[:h4c, :w4c]
+                     == ps.luma_mode[:h4c, :w4c]).all()):
+            return False
+
+        from ..encoder.wavefront import WavefrontIntraRecon
+
+        bd = sps.bit_depth_luma
+        key = (geom.width, geom.height, geom.log2_ctb, bd)
+        wfs = self._wf_cache.get(key)
+        if wfs is None:
+            wfs = [WavefrontIntraRecon(geom.width, geom.height,
+                                       geom.log2_ctb, n, is_luma=True,
+                                       bit_depth=bd),
+                   WavefrontIntraRecon(geom.width, geom.height,
+                                       geom.log2_ctb, n // 2, is_luma=False,
+                                       chroma_shift=1, bit_depth=bd)]
+            self._wf_cache[key] = wfs
+        if wfs[0].sched["host_mask"].any():
+            return False
+
+        from ..cabac.ctu import chroma_qp
+        bd_off = 6 * (bd - 8)
+        qp_y = sh.slice_qp + bd_off
+        qp_cb = chroma_qp(sh.slice_qp, pps.cb_qp_offset) + bd_off
+        qp_cr = chroma_qp(sh.slice_qp, pps.cr_qp_offset) + bd_off
+        modes = ps.luma_mode[::4, ::4].astype(np.int32).reshape(-1)
+
+        def blocks(plane, bn):
+            gh, gw = wfs[0].sched["grid"]
+            return plane.reshape(gh, bn, gw, bn).transpose(
+                0, 2, 1, 3).reshape(-1, bn, bn)
+
+        planes[0][:] = np.asarray(
+            wfs[0].decode(blocks(ps.coeff_y, n), modes, qp_y))
+        planes[1][:] = np.asarray(
+            wfs[1].decode(blocks(ps.coeff_cb, n // 2), modes, qp_cb))
+        planes[2][:] = np.asarray(
+            wfs[1].decode(blocks(ps.coeff_cr, n // 2), modes, qp_cr))
+        return True
 
     def _finish_picture(self) -> None:
         pic = self._cur
