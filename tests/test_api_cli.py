@@ -57,3 +57,20 @@ def test_decoder_graceful_errors():
     with _pytest.raises(DecodeError):
         decode_annexb(b"\x00\x00\x01\x40\x01garbagegarbage" * 3)
     assert decode_annexb(b"") == []
+
+
+def test_repeat_headers_mid_stream_join():
+    from x265_tpu.common.params import Params
+    from x265_tpu.encoder import Encoder
+    rng = np.random.RandomState(4)
+    frames = [(rng.randint(0, 256, (64, 64), np.uint8),
+               rng.randint(0, 256, (32, 32), np.uint8),
+               rng.randint(0, 256, (32, 32), np.uint8)) for _ in range(4)]
+    p = Params(source_width=64, source_height=64, qp=33, keyint_max=2,
+               repeat_headers=True, decoded_picture_hash=1)
+    enc = Encoder(p)
+    aus = [enc.encode_frame(fr)[0] for fr in frames]
+    # join at the second IDR (frame 2) WITHOUT the leading stream headers
+    joined = aus[2] + aus[3]
+    pics = decode_annexb(joined)
+    assert len(pics) == 2 and all(pic.hash_ok for pic in pics)

@@ -326,6 +326,10 @@ class Encoder:
             sei = write_sei_rbsp([(SEI_DECODED_PICTURE_HASH, payload)])
             au += wrap_nal(NAL_SUFFIX_SEI, sei, long_start_code=False)
 
+        if p.repeat_headers and not is_p and self.poc > 0:
+            # emit VPS/SPS/PPS before every non-first IDR (join-in-progress
+            # decoding, x265 --repeat-headers)
+            au = self.headers() + au
         self.rc.update(len(au) * 8, self.qp, is_intra=not is_p)
         self.poc += 1
         self.last_ps = ps      # exposed for tests / debugging
