@@ -101,3 +101,16 @@ def test_ippp_oracle(tmp_path, kind):
 def test_ippp_ctu_sizes(ctu):
     frames = make_clip("pan", 96, 64, 3, seed=5)
     roundtrip(frames, 96, 64, qp=30, ctu_size=ctu)
+
+
+def test_scenecut_inserts_idr():
+    # frame 2 is a completely different scene -> should become an IDR
+    rng = np.random.RandomState(9)
+    a = make_clip("pan", 64, 64, 2, seed=1)
+    b = make_clip("noise", 64, 64, 2, seed=2)
+    frames = a + b
+    stream, _ = roundtrip(frames, 64, 64, qp=30)
+    from x265_tpu.common.bitstream import split_annexb
+    vcl = [t for t, _tid, _ in split_annexb(stream) if t < 32]
+    assert vcl[0] == 19 and vcl[2] == 19, vcl   # IDR at the scene change
+    assert vcl[1] == 1 and vcl[3] == 1, vcl

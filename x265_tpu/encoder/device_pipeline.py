@@ -235,6 +235,11 @@ def build_p_pipeline(enc):
         rcb, rcr = chroma_scan((to_blocks(ocb, cn), to_blocks(ocr, cn)),
                                modes, (qpb, qpr),
                                (pred_cb, pred_cr), inter)
-        return modes, mv.astype(jnp.int16), inter, ry, rcb, rcr
+        # frame-level costs for the scenecut decision (x265 slicetype
+        # analysis analogue): P cost = per-block best of inter/intra
+        cost_p = jnp.sum(jnp.minimum(pcost.reshape(-1), icost))
+        cost_i = jnp.sum(icost)
+        return (modes, mv.astype(jnp.int16), inter, ry, rcb, rcr,
+                cost_p, cost_i)
 
     return jax.jit(run)

@@ -122,9 +122,22 @@ class Encoder:
     # -- stream headers ------------------------------------------------------
 
     def headers(self) -> bytes:
-        return (wrap_nal(NAL_VPS, write_vps(self.vps))
-                + wrap_nal(NAL_SPS, write_sps(self.sps))
-                + wrap_nal(NAL_PPS, write_pps(self.pps)))
+        out = (wrap_nal(NAL_VPS, write_vps(self.vps))
+               + wrap_nal(NAL_SPS, write_sps(self.sps))
+               + wrap_nal(NAL_PPS, write_pps(self.pps)))
+        if self.params.emit_info_sei:
+            # x265-style user_data_unregistered SEI with encoder info
+            from .. import __version__
+            from ..common.bitstream import NAL_PREFIX_SEI
+            from ..common.sei import SEI_USER_DATA_UNREGISTERED
+            uuid = bytes(range(16))
+            info = (f"x265_tpu {__version__} - TPU-native HEVC encoder - "
+                    f"qp={self.params.qp} ctu={self.params.ctu_size}"
+                    ).encode()
+            sei = write_sei_rbsp([(SEI_USER_DATA_UNREGISTERED,
+                                   uuid + info)])
+            out += wrap_nal(NAL_PREFIX_SEI, sei)
+        return out
 
     # -- pass A: batched mode decision --------------------------------------
 
@@ -276,6 +289,30 @@ class Encoder:
             assert use_pipeline, "P frames require the device pipeline"
             inter_mask, modes = self._run_p_pipeline(
                 ps, orig, rec, cu_size, (qp_y, qp_cb, qp_cr))
+            cost_p, cost_i = self.last_frame_costs
+            min_keyint = p.keyint_min if p.keyint_min > 0 else 2
+            if (p.scenecut_threshold and cost_p > 0.85 * cost_i
+                    and self.poc % keyint >= min_keyint):
+                # scene change: most CUs went intra — restart the GOP with
+                # an IDR instead (x265 scenecut analogue)
+                is_p = False
+                inter_mask = None
+                self.poc = 0
+                self.qp = self.rc.frame_qp(is_intra=True)
+                qp_y = self.qp + bd_off
+                qp_cb = chroma_qp(self.qp, self.pps.cb_qp_offset) + bd_off
+                qp_cr = chroma_qp(self.qp, self.pps.cr_qp_offset) + bd_off
+                ps = PicSyntax(
+                    g,
+                    max_tr_depth_intra=(
+                        self.sps.max_transform_hierarchy_depth_intra),
+                    max_tr_depth_inter=(
+                        self.sps.max_transform_hierarchy_depth_inter),
+                    sign_hiding=bool(self.pps.sign_data_hiding))
+                ps.depth[:] = cu_depth
+                ps.pred_mode[:] = MODE_INTRA
+                modes = self._run_i_pipeline(ps, orig, rec, cu_size,
+                                             (qp_y, qp_cb, qp_cr))
         elif use_pipeline:
             modes = self._run_i_pipeline(ps, orig, rec, cu_size,
                                          (qp_y, qp_cb, qp_cr))
@@ -330,6 +367,14 @@ class Encoder:
             # emit VPS/SPS/PPS before every non-first IDR (join-in-progress
             # decoding, x265 --repeat-headers)
             au = self.headers() + au
+        if p.aud:
+            # access unit delimiter (§7.3.2.5): pic_type 0=I, 1=I/P
+            from ..common.bitstream import NAL_AUD, BitWriter
+            bw = BitWriter()
+            bw.write(1 if is_p else 0, 3)
+            bw.rbsp_trailing_bits()
+            au = wrap_nal(NAL_AUD, bw.getvalue(),
+                          long_start_code=False) + au
         self.rc.update(len(au) * 8, self.qp, is_intra=not is_p)
         self.poc += 1
         self.last_ps = ps      # exposed for tests / debugging
@@ -405,9 +450,11 @@ class Encoder:
         refs = (ext(self.ref[0], ph, pw, M),
                 ext(self.ref[1], ph // 2, pw // 2, CM),
                 ext(self.ref[2], ph // 2, pw // 2, CM))
-        modes, mv, inter, ry, rcb, rcr = self._p_pipeline(
+        (modes, mv, inter, ry, rcb, rcr, cost_p,
+         cost_i) = self._p_pipeline(
             orig[0], orig[1], orig[2], *refs,
             *(np.int32(q) for q in qps))
+        self.last_frame_costs = (float(cost_p), float(cost_i))
         gh, gw = self._get_wavefronts(cu_size)[0].sched["grid"]
         modes = np.asarray(modes).reshape(gh, gw)
         mv = np.asarray(mv).reshape(gh, gw, 2)
