@@ -75,3 +75,43 @@ def test_annexb_roundtrip():
         assert t_out == t_in
         assert p_out == p_in
         assert tid == 0
+
+
+def test_crc_matches_bitserial_spec():
+    # D.3.19 CRC: bit-serial poly 0x1021 init 0xFFFF + 16 appended zero
+    # bits (libde265 sei.cc crc_process_byte behavior)
+    import numpy as np
+    from x265_tpu.common.sei import plane_crc
+
+    def bitserial(data):
+        crc = 0xFFFF
+        for byte in data + b"\x00\x00":
+            for bit in range(8):
+                bv = (byte >> (7 - bit)) & 1
+                msb = (crc >> 15) & 1
+                crc = ((crc << 1) + bv) & 0xFFFF
+                if msb:
+                    crc ^= 0x1021
+        return crc.to_bytes(2, "big")
+
+    rng = np.random.default_rng(7)
+    p8 = rng.integers(0, 256, (5, 13), dtype=np.uint8)
+    assert plane_crc(p8, 8) == bitserial(p8.tobytes())
+    p10 = rng.integers(0, 1024, (3, 9), dtype=np.uint16)
+    assert plane_crc(p10, 10) == bitserial(
+        np.ascontiguousarray(p10, dtype="<u2").tobytes())
+
+
+def test_checksum_matches_spec_loop():
+    import numpy as np
+    from x265_tpu.common.sei import plane_checksum
+
+    rng = np.random.default_rng(8)
+    p = rng.integers(0, 1024, (300, 7), dtype=np.uint16)
+    s = 0
+    for y in range(p.shape[0]):
+        for x in range(p.shape[1]):
+            xm = (x & 0xFF) ^ (y & 0xFF) ^ (x >> 8) ^ (y >> 8)
+            s += (int(p[y, x]) & 0xFF) ^ xm
+            s += (int(p[y, x]) >> 8) ^ xm
+    assert plane_checksum(p, 10) == (s & 0xFFFFFFFF).to_bytes(4, "big")

@@ -82,6 +82,7 @@ def main(argv=None):
             ap.error("raw YUV input requires --input-res WxH")
         rd = YUVReader(args.input, p.source_width, p.source_height,
                        bit_depth=args.input_depth)
+        p.internal_bit_depth = args.input_depth
     if args.fps:
         param_parse(p, "fps", args.fps)
 
@@ -120,7 +121,8 @@ def main(argv=None):
         if recon_w:
             recon_w.write(rec)
         if csv:
-            csv.write(f"{n},I,{p.qp},{len(au) * 8},"
+            csv.write(f"{n},{enc.last_slice_type_str},{enc.qp},"
+                      f"{len(au) * 8},"
                       f"{ps[0]:.4f},{ps[1]:.4f},{ps[2]:.4f}\n")
         n += 1
         if not args.no_progress and sys.stderr.isatty():

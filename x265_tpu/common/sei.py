@@ -36,12 +36,41 @@ def plane_md5(plane: np.ndarray, bit_depth: int = 8) -> bytes:
     return hashlib.md5(data).digest()
 
 
+def plane_crc(plane: np.ndarray, bit_depth: int = 8) -> bytes:
+    """CRC-16 per D.3.19 (poly 0x1021, init 0xFFFF, 16 zero bits appended;
+    >8-bit samples contribute low byte then high byte).  The augmented
+    bit-serial form with init 0xFFFF equals the non-augmented table CRC
+    (binascii.crc_hqx) with init 0x1D0F — the CRC-16/AUG-CCITT identity
+    (libde265 sei.cc compute_CRC_8bit_fast uses the same trick)."""
+    import binascii
+    if bit_depth <= 8:
+        data = np.ascontiguousarray(plane, dtype=np.uint8).tobytes()
+    else:
+        data = np.ascontiguousarray(plane, dtype="<u2").tobytes()
+    return binascii.crc_hqx(data, 0x1D0F).to_bytes(2, "big")
+
+
+def plane_checksum(plane: np.ndarray, bit_depth: int = 8) -> bytes:
+    """32-bit checksum per D.3.19: sum of sample bytes XOR a position mask."""
+    h, w = plane.shape
+    xs = np.arange(w, dtype=np.uint32)
+    ys = np.arange(h, dtype=np.uint32)
+    mask = (((xs & 0xFF) ^ (xs >> 8))[None, :]
+            ^ ((ys & 0xFF) ^ (ys >> 8))[:, None]).astype(np.uint32)
+    p = np.asarray(plane, dtype=np.uint32)
+    s = np.sum((p & 0xFF) ^ mask, dtype=np.uint64)
+    if bit_depth > 8:
+        s += np.sum((p >> 8) ^ mask, dtype=np.uint64)
+    return (int(s) & 0xFFFFFFFF).to_bytes(4, "big")
+
+
 def picture_hash_payload(planes, bit_depth: int = 8,
                          hash_type: int = HASH_MD5) -> bytes:
-    assert hash_type == HASH_MD5, "only MD5 implemented"
+    fn = {HASH_MD5: plane_md5, HASH_CRC: plane_crc,
+          HASH_CHECKSUM: plane_checksum}[hash_type]
     out = bytes([hash_type])
     for p in planes:
-        out += plane_md5(p, bit_depth)
+        out += fn(p, bit_depth)
     return out
 
 

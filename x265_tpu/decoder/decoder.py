@@ -258,10 +258,12 @@ class Decoder:
         if pic is None:
             return
         if self._pending_hash is not None and self.check_hashes:
-            _htype, digests = self._pending_hash
+            htype, digests = self._pending_hash
+            from ..common.sei import plane_checksum, plane_crc
+            fn = {0: plane_md5, 1: plane_crc, 2: plane_checksum}[htype]
             dt = np.uint8 if pic.bit_depth == 8 else np.uint16
             pic.hash_ok = all(
-                plane_md5(p.astype(dt), pic.bit_depth) == d
+                fn(p.astype(dt), pic.bit_depth) == d
                 for p, d in zip(pic.coded_planes, digests))
         self._pending_hash = None
         self._last_ref = pic.coded_planes   # post-filter picture = reference

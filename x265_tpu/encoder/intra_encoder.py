@@ -107,6 +107,8 @@ class Encoder:
         self.vps = VPS(ptl=ptl)
         self.qp = params.qp
         self.poc = 0
+        self.frames_encoded = 0
+        self.last_slice_type_str = "I"
         self.force_host_recon = False   # tests can force the numpy oracle
         self.force_python_entropy = False
         self._wf = {}                   # cached WavefrontIntraRecon per plane
@@ -359,24 +361,30 @@ class Encoder:
             coded = (rec[0][:ch, :cw], rec[1][:ch // 2, :cw // 2],
                      rec[2][:ch // 2, :cw // 2])
             payload = picture_hash_payload(
-                [pl.astype(dt) for pl in coded], self.bit_depth)
+                [pl.astype(dt) for pl in coded], self.bit_depth,
+                hash_type=p.decoded_picture_hash - 1)
             sei = write_sei_rbsp([(SEI_DECODED_PICTURE_HASH, payload)])
             au += wrap_nal(NAL_SUFFIX_SEI, sei, long_start_code=False)
 
-        if p.repeat_headers and not is_p and self.poc > 0:
+        if p.repeat_headers and not is_p and self.frames_encoded > 0:
             # emit VPS/SPS/PPS before every non-first IDR (join-in-progress
-            # decoding, x265 --repeat-headers)
+            # decoding, x265 --repeat-headers); gated on a stream-global
+            # counter so scenecut IDRs (which reset poc) get headers too
             au = self.headers() + au
         if p.aud:
-            # access unit delimiter (§7.3.2.5): pic_type 0=I, 1=I/P
+            # access unit delimiter (§7.3.2.5): pic_type 0=I, 1=I/P.
+            # First NAL of the AU -> zero_byte (long start code, B.2.2);
+            # parameter sets follow the AUD (§7.4.2.4.4 NAL order).
             from ..common.bitstream import NAL_AUD, BitWriter
             bw = BitWriter()
             bw.write(1 if is_p else 0, 3)
             bw.rbsp_trailing_bits()
             au = wrap_nal(NAL_AUD, bw.getvalue(),
-                          long_start_code=False) + au
+                          long_start_code=True) + au
         self.rc.update(len(au) * 8, self.qp, is_intra=not is_p)
         self.poc += 1
+        self.frames_encoded += 1
+        self.last_slice_type_str = "P" if is_p else "I"
         self.last_ps = ps      # exposed for tests / debugging
         return au, rec_crop
 
