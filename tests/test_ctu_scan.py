@@ -1,0 +1,71 @@
+"""CTU-level wavefront scan (encoder/ctu_scan.py) equivalence tests.
+
+The CTU scan must reproduce the round-1 16x16-block wavefront output
+bit-exactly (same modes, same QPs -> same recon planes and levels)."""
+
+import numpy as np
+import pytest
+
+from x265_tpu.common.params import Params
+from x265_tpu.encoder import Encoder
+from x265_tpu.encoder.ctu_scan import CtuScan
+
+
+def _frames(w, h, seed=3):
+    rng = np.random.default_rng(seed)
+    base = rng.integers(0, 200, (h + 8, w + 8)).astype(np.uint8)
+    y = base[:h, :w] + rng.integers(0, 40, (h, w)).astype(np.uint8)
+    cb = rng.integers(60, 190, (h // 2, w // 2)).astype(np.uint8)
+    cr = rng.integers(60, 190, (h // 2, w // 2)).astype(np.uint8)
+    return (y, cb, cr)
+
+
+@pytest.mark.parametrize("w,h", [(64, 64), (96, 64), (128, 128)])
+@pytest.mark.parametrize("sign_hide", [False, True])
+def test_ctu_scan_matches_block_wavefront_i(w, h, sign_hide):
+    p = Params(source_width=w, source_height=h, qp=30, sao=False,
+               deblock=False, sign_hide=sign_hide)
+    enc = Encoder(p)
+    frame = _frames(w, h)
+    au, rec_old = enc.encode_frame(frame)
+    ps = enc.last_ps
+
+    g = enc.geom
+    ph = g.ctbs_h << g.log2_ctb
+    pw = g.ctbs_w << g.log2_ctb
+    from x265_tpu.encoder.intra_encoder import pad_plane
+    oy = pad_plane(np.asarray(frame[0]), ph, pw)
+    ocb = pad_plane(np.asarray(frame[1]), ph // 2, pw // 2)
+    ocr = pad_plane(np.asarray(frame[2]), ph // 2, pw // 2)
+
+    modes16 = ps.luma_mode[::4, ::4].astype(np.int32).reshape(-1)
+    scan = CtuScan(g, bit_depth=8, sign_hide=sign_hide)
+    B32 = scan.t["b32_n"]
+    run = scan.scan_fn(inter=False)
+    qp = np.full(g.n_ctbs, enc.qp, np.int32)
+    from x265_tpu.cabac.ctu import chroma_qp
+    qpc = np.full(g.n_ctbs, chroma_qp(enc.qp), np.int32)
+    out = run(oy, ocb, ocr, modes16, np.zeros(B32, np.int32),
+              np.zeros(B32, bool), qp, qpc, qpc)
+    rec_y, rec_cb, rec_cr, lv16_y, lv8_cb, lv8_cr = [
+        np.asarray(x) if x is not None else None for x in out[:6]]
+
+    cw, ch = enc.sps.pic_width, enc.sps.pic_height
+    assert np.array_equal(rec_y[:ch, :cw], rec_old[0])
+    assert np.array_equal(rec_cb[:ch // 2, :cw // 2], rec_old[1])
+    assert np.array_equal(rec_cr[:ch // 2, :cw // 2], rec_old[2])
+
+    # levels -> coeff planes must match the encoder's PicSyntax coeffs
+    gh16, gw16 = ph // 16, pw // 16
+    cy = lv16_y.reshape(gh16, gw16, 16, 16).transpose(0, 2, 1, 3).reshape(
+        ph, pw)
+    assert np.array_equal(cy[:ch, :cw].astype(np.int32),
+                          ps.coeff_y[:ch, :cw])
+    ccb = lv8_cb.reshape(gh16, gw16, 8, 8).transpose(0, 2, 1, 3).reshape(
+        ph // 2, pw // 2)
+    assert np.array_equal(ccb[:ch // 2, :cw // 2].astype(np.int32),
+                          ps.coeff_cb[:ch // 2, :cw // 2])
+    ccr = lv8_cr.reshape(gh16, gw16, 8, 8).transpose(0, 2, 1, 3).reshape(
+        ph // 2, pw // 2)
+    assert np.array_equal(ccr[:ch // 2, :cw // 2].astype(np.int32),
+                          ps.coeff_cr[:ch // 2, :cw // 2])

@@ -1,0 +1,464 @@
+"""CTU-level device wavefront reconstruction (all planes, one lax.scan).
+
+Round-2 replacement for the per-16x16-block wavefront (encoder/wavefront.py).
+The closed-loop intra dependency is scheduled at CTU granularity: CTU
+(cx, cy) depends only on its left and top-right CTUs (classic WPP order,
+x265_1.9/source/encoder/frameencoder.cpp WPP rows; libde265 thread tasks),
+so the scan runs ``ctbs_w + 2*(ctbs_h-1)`` levels — ~62 at 1080p/64 vs the
+~530 z-scan levels of the 16x16 schedule — with every CTU of a diagonal as
+one batched lane.  Inside a lane the CTU's TU structure is an UNROLLED
+z-order stage sequence inside the scan body (no per-stage dispatch):
+
+  per 32x32 quadrant (z-order):
+    * a 32x32-TU intra candidate (for CUs chosen as 32x32 by the RD
+      decision pass), then
+    * four 16x16 slots (z-order): intra 16x16 TU or inter-pred override,
+    * a masked overwrite of the quadrant with the 32x32 recon (use32).
+  chroma mirrors the structure at half size (16x16-TU quadrant vs four
+  8x8 slots) with Cb and Cr as paired lanes in the same stages.
+
+All three planes live in ONE flat carry buffer; gather/scatter index and
+availability tables (normative §6.4.1 z-scan availability) are static per
+geometry and streamed per level through the scan's xs.  QPs are per-CTU
+arrays (AQ/cu_qp_delta ready).  Output is bit-exact with the numpy spec
+path (common/recon.py) — asserted by tests/test_ctu_scan.py.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+from ..common.geometry import PictureGeometry, intra_neighbor_coords
+from .wavefront import _predict_lanes, _substitute
+
+STRONG_THRESH_SHIFT = 5   # §8.4.4.2.3: 1 << (BitDepth - 5)
+
+
+@functools.lru_cache(maxsize=8)
+def build_ctu_tables(width: int, height: int, log2_ctb: int):
+    """Static schedule + gather/scatter tables for the CTU wavefront.
+
+    Returns a dict of numpy arrays (see code for keys).  The flat device
+    buffer layout is [luma (ph*pw) | cb (cph*cpw) | cr | 1 dummy slot].
+    """
+    g = PictureGeometry(width, height, log2_ctb, 3)
+    ctb = 1 << log2_ctb
+    cw, ch = g.ctbs_w, g.ctbs_h
+    nctb = g.n_ctbs
+    ph, pw = ch * ctb, cw * ctb
+    cph, cpw = ph // 2, pw // 2
+    lsize = ph * pw
+    csize = cph * cpw
+    flat_size = lsize + 2 * csize + 1          # +1 dummy slot
+    drop = flat_size                            # scatter base -> all dropped
+
+    # WPP levelization: lvl = cx + 2*cy
+    lvl = np.add.outer(2 * np.arange(ch), np.arange(cw))
+    n_levels = int(lvl.max()) + 1
+    counts = np.bincount(lvl.ravel(), minlength=n_levels)
+    lmax = int(counts.max())
+    lvl_ctu = np.full((n_levels, lmax), nctb, np.int32)
+    fill = np.zeros(n_levels, np.int32)
+    for cy in range(ch):
+        for cx in range(cw):
+            li = int(lvl[cy, cx])
+            lvl_ctu[li, fill[li]] = cy * cw + cx
+            fill[li] += 1
+
+    n_quads = max(1, (ctb // 32) ** 2)          # 32x32 quadrants per CTU
+    slots_per_quad = (min(ctb, 32) // 16) ** 2  # 16x16 slots per quadrant
+    nslots = n_quads * slots_per_quad
+    has32 = ctb >= 32
+
+    # z-order origins of quadrants within the CTU and slots within quadrant
+    def z_origins(count, size):
+        out = []
+        for i in range(count):
+            x = ((i & 1) | ((i >> 1) & 2)) * size
+            y = (((i >> 1) & 1) | ((i >> 2) & 2)) * size
+            out.append((x, y))
+        return out
+
+    quad_orig = z_origins(n_quads, 32) if has32 else [(0, 0)]
+    slot_orig = z_origins(slots_per_quad, 16)
+
+    gw16 = pw // 16
+    b16_n = (ph // 16) * gw16                  # 16-grid block count
+    gw32 = pw // 32 if has32 else 1
+    b32_n = (ph // 32) * gw32 if has32 else 1
+
+    # per-(ctu, slot/quad) tables; extra dummy row at index nctb
+    b16 = np.full((nctb + 1, nslots), b16_n, np.int32)
+    b32 = np.full((nctb + 1, n_quads), b32_n, np.int32)
+    l16_ri = np.zeros((nctb + 1, nslots, 65), np.int32)
+    l16_av = np.zeros((nctb + 1, nslots, 65), bool)
+    c8_ri = np.zeros((nctb + 1, nslots, 33), np.int32)
+    c8_av = np.zeros((nctb + 1, nslots, 33), bool)
+    l16_base = np.full((nctb + 1, nslots), drop, np.int32)
+    c8_base = np.full((nctb + 1, nslots), drop, np.int32)
+    l32_ri = np.zeros((nctb + 1, n_quads, 129), np.int32)
+    l32_av = np.zeros((nctb + 1, n_quads, 129), bool)
+    c16_ri = np.zeros((nctb + 1, n_quads, 65), np.int32)
+    c16_av = np.zeros((nctb + 1, n_quads, 65), bool)
+    # quadrants fully inside the coded picture (32x32 CU legal there)
+    quad_ok = np.zeros((nctb + 1, n_quads), bool)
+
+    def luma_tab(x0, y0, n):
+        xs, ys = intra_neighbor_coords(x0, y0, n)
+        av = g.avail_rows(x0, y0, xs, ys)
+        ri = (np.clip(ys, 0, ph - 1) * pw + np.clip(xs, 0, pw - 1))
+        return ri.astype(np.int32), av
+
+    def chroma_tab(x0c, y0c, n):
+        xs, ys = intra_neighbor_coords(x0c, y0c, n)
+        av = g.avail_rows(x0c << 1, y0c << 1, xs << 1, ys << 1)
+        ri = lsize + (np.clip(ys, 0, cph - 1) * cpw
+                      + np.clip(xs, 0, cpw - 1))
+        return ri.astype(np.int32), av
+
+    for c in range(nctb):
+        ox, oy = g.ctu_origin(c)
+        for q, (qx, qy) in enumerate(quad_orig):
+            if has32:
+                x0, y0 = ox + qx, oy + qy
+                if x0 < g.width and y0 < g.height:
+                    l32_ri[c, q], l32_av[c, q] = luma_tab(x0, y0, 32)
+                    c16_ri[c, q], c16_av[c, q] = chroma_tab(
+                        x0 >> 1, y0 >> 1, 16)
+                    quad_ok[c, q] = (x0 + 32 <= g.width
+                                     and y0 + 32 <= g.height)
+            for s, (sx, sy) in enumerate(slot_orig):
+                i = q * slots_per_quad + s
+                x0, y0 = ox + qx + sx, oy + qy + sy
+                if x0 >= g.width or y0 >= g.height:
+                    continue       # out-of-picture slot: dummy/drop entries
+                b16[c, i] = (y0 // 16) * gw16 + (x0 // 16)
+                l16_ri[c, i], l16_av[c, i] = luma_tab(x0, y0, 16)
+                c8_ri[c, i], c8_av[c, i] = chroma_tab(x0 >> 1, y0 >> 1, 8)
+                l16_base[c, i] = y0 * pw + x0
+                c8_base[c, i] = lsize + (y0 >> 1) * cpw + (x0 >> 1)
+        if has32:
+            for q, (qx, qy) in enumerate(quad_orig):
+                x0, y0 = ox + qx, oy + qy
+                if x0 < g.width and y0 < g.height:
+                    b32[c, q] = (y0 // 32) * gw32 + (x0 // 32)
+
+    # stream per-level slices through the scan
+    def per_level(a):
+        return a[lvl_ctu]            # [n_levels, lmax, ...]
+
+    return dict(
+        geom=g, n_levels=n_levels, lmax=lmax, nctb=nctb,
+        plane=(ph, pw), cplane=(cph, cpw), flat_size=flat_size,
+        lsize=lsize, csize=csize, has32=has32,
+        n_quads=n_quads, slots_per_quad=slots_per_quad, nslots=nslots,
+        b16_n=b16_n, b32_n=b32_n, quad_ok=quad_ok[:nctb],
+        xs=dict(ctu=lvl_ctu,
+                b16=per_level(b16), b32=per_level(b32),
+                l16_ri=per_level(l16_ri), l16_av=per_level(l16_av),
+                c8_ri=per_level(c8_ri), c8_av=per_level(c8_av),
+                l16_base=per_level(l16_base), c8_base=per_level(c8_base),
+                l32_ri=per_level(l32_ri), l32_av=per_level(l32_av),
+                c16_ri=per_level(c16_ri), c16_av=per_level(c16_av)),
+        lvl_ctu=lvl_ctu)
+
+
+def _strong_smooth_select(ref, n, bit_depth):
+    """§8.4.4.2.3 strong (bilinear) smoothing for 32x32 luma TBs.
+
+    ref: [L, 4n+1] int32 (unfiltered canonical).  Returns the
+    strong-filtered vector + the [L] flatness-condition mask; the caller
+    selects per lane (only where the mode's filter flag is set)."""
+    import jax.numpy as jnp
+
+    assert n == 32
+    corner = ref[:, 2 * n]                       # p[-1][-1]
+    left = ref[:, 2 * n - 1: n - 1: -1]          # left[k] = p[-1][k]
+    bl_last = ref[:, 0]                          # p[-1][2n-1]
+    top = ref[:, 2 * n + 1: 3 * n + 1]           # top[x] = p[x][-1]
+    tr_last = ref[:, 4 * n]                      # p[2n-1][-1]
+    thr = 1 << (bit_depth - STRONG_THRESH_SHIFT)
+    cond = ((jnp.abs(corner + tr_last - 2 * top[:, n - 1]) < thr)
+            & (jnp.abs(corner + bl_last - 2 * left[:, n - 1]) < thr))
+    i = jnp.arange(1, 2 * n, dtype=jnp.int32)    # 1..63
+    # pF[-1][y] = ((63-y)*p[-1][-1] + (y+1)*p[-1][63] + 32) >> 6 (y = i-1)
+    sleft = ((64 - i)[None, :] * corner[:, None]
+             + i[None, :] * bl_last[:, None] + 32) >> 6
+    stop = ((64 - i)[None, :] * corner[:, None]
+            + i[None, :] * tr_last[:, None] + 32) >> 6
+    out = ref
+    # left span occupies canonical indices 2n-1 .. 0 (p[-1][0..2n-1])
+    out = out.at[:, 2 * n - 1::-1].set(
+        jnp.concatenate([sleft, bl_last[:, None]], axis=1))
+    out = out.at[:, 2 * n + 1:].set(
+        jnp.concatenate([stop, tr_last[:, None]], axis=1))
+    return out, cond
+
+
+class CtuScan:
+    """Whole-picture reconstruction scan at CTU granularity."""
+
+    def __init__(self, geom: PictureGeometry, bit_depth: int = 8,
+                 sign_hide: bool = False,
+                 strong_intra_smoothing: bool = False):
+        self.t = build_ctu_tables(geom.width, geom.height, geom.log2_ctb)
+        self.bit_depth = bit_depth
+        self.sign_hide = sign_hide
+        self.strong = strong_intra_smoothing
+        self.geom = geom
+
+    # -- block (de)arrangement helpers (device-side) -------------------------
+
+    def _to_blocks(self, pl, n):
+        import jax.numpy as jnp
+        ph, pw = pl.shape
+        return pl.reshape(ph // n, n, pw // n, n).transpose(
+            0, 2, 1, 3).reshape(-1, n, n)
+
+    # -- the scan ------------------------------------------------------------
+
+    def scan_fn(self, inter: bool):
+        """Returns run(...) -> (rec_y, rec_cb, rec_cr, lv16_y, lv8_cb,
+        lv8_cr, lv32_y, lv16_cb, lv16_cr).
+
+        run(oy, ocb, ocr, mode16, mode32, use32, qp_y, qp_cb, qp_cr
+            [, is_inter, ipred_y, ipred_cb, ipred_cr])
+
+        * oy/ocb/ocr: padded original planes.
+        * mode16 [B16] int32; mode32 [B32] int32, use32 [B32] bool (the
+          32x32-CU decision; pass zeros when CTU < 32).
+        * qp_* [nctb] int32 per-CTU QPs (QpBdOffset included).
+        * is_inter [B16] bool + ipred_* [B16, n, n] int32 (inter=True).
+        Levels outputs are in block-raster order ([B16, 16, 16] etc.);
+        rows of lv16/lv8 under a use32 quadrant are garbage (mask by
+        use32), and vice versa.
+        """
+        import jax
+        import jax.numpy as jnp
+
+        from ..ops.quantize import dequant, quant_masked, sign_hide_diag
+        from ..ops.transforms import forward_transform, inverse_transform
+
+        t = self.t
+        bd = self.bit_depth
+        ph, pw = t["plane"]
+        cph, cpw = t["cplane"]
+        FS = t["flat_size"]
+        lsize, csize = t["lsize"], t["csize"]
+        has32 = t["has32"]
+        n_quads, spq = t["n_quads"], t["slots_per_quad"]
+        nslots = t["nslots"]
+        B16, B32 = t["b16_n"], t["b32_n"]
+        strong = self.strong
+        sign_hide = self.sign_hide
+        maxv = (1 << bd) - 1
+        n_levels, lmax = t["n_levels"], t["lmax"]
+
+        off16 = jnp.asarray((np.arange(16)[:, None] * pw
+                             + np.arange(16)[None, :]).ravel())
+        off8 = jnp.asarray((np.arange(8)[:, None] * cpw
+                            + np.arange(8)[None, :]).ravel())
+        off32 = jnp.asarray((np.arange(32)[:, None] * pw
+                             + np.arange(32)[None, :]).ravel())
+        offc16 = jnp.asarray((np.arange(16)[:, None] * cpw
+                              + np.arange(16)[None, :]).ravel())
+
+        xs_all = {k: jnp.asarray(v) for k, v in t["xs"].items()}
+
+        def tq(pred, orig, qp, intra_mask, n, levels_in=None):
+            """Transform-quantize-reconstruct one stage (encode) or
+            dequant-reconstruct (decode when levels_in given)."""
+            if levels_in is None:
+                resi = orig - pred
+                coef = forward_transform(resi, bd, dst=False)
+                levels = quant_masked(coef, qp, intra_mask, bd)
+                if sign_hide:
+                    levels = sign_hide_diag(levels)
+            else:
+                levels = levels_in
+            dq = dequant(levels, qp, bd)
+            r2 = inverse_transform(dq, bd, dst=False)
+            has = jnp.any(levels != 0, axis=(1, 2))[:, None, None]
+            rec = jnp.clip(jnp.where(has, pred + r2, pred), 0, maxv)
+            return levels, rec
+
+        def predict32(buf, xs, q, m32):
+            raw = buf[xs["l32_ri"][:, q]]
+            ref = _substitute(raw, xs["l32_av"][:, q], bd)
+            if not strong:
+                return _predict_lanes(ref, m32, 32, True, bd)
+            from ..ops.intra import _weight_tensor
+            sref, scond = _strong_smooth_select(ref, 32, bd)
+            filt = jnp.asarray(_weight_tensor(32)[3])[m32]
+            use_strong = scond & filt
+            ref_sel = jnp.where(use_strong[:, None], sref, ref)
+            # strong-filtered lanes must not get the [1 2 1] filter again:
+            # is_luma=False disables filtering (n=32 has no luma post-ops)
+            pred_f = _predict_lanes(ref_sel, m32, 32, True, bd)
+            pred_u = _predict_lanes(ref_sel, m32, 32, False, bd)
+            return jnp.where(use_strong[:, None, None], pred_u, pred_f)
+
+        def make_step(d):
+            def step(buf, xs):
+                L = xs["ctu"].shape[0]           # = lmax
+                qp_y = d["qp_y"][xs["ctu"]]      # [L] per-lane
+                qp_c2 = jnp.concatenate([d["qp_cb"][xs["ctu"]],
+                                         d["qp_cr"][xs["ctu"]]])
+                ones_l = jnp.ones((L,), bool)
+                ones_2l = jnp.ones((2 * L,), bool)
+                lv16_o, lv8_o, lv32_o, lvc16_o = [], [], [], []
+
+                for q in range(n_quads):
+                    if has32:
+                        bq = xs["b32"][:, q]
+                        m32 = d["mode32"][bq]
+                        u32 = d["use32"][bq]
+                        # 32x32 luma TU candidate (refs precede quadrant)
+                        pred32 = predict32(buf, xs, q, m32)
+                        lv32, rec32 = tq(pred32, d["orig32_y"][bq], qp_y,
+                                         ones_l, 32)
+                        lv32_o.append(lv32)
+                        # 16x16 chroma TU candidate (cb+cr paired lanes)
+                        ri = xs["c16_ri"][:, q]
+                        raw2 = jnp.concatenate([buf[ri], buf[ri + csize]])
+                        av2 = jnp.concatenate([xs["c16_av"][:, q]] * 2)
+                        refc = _substitute(raw2, av2, bd)
+                        m32_2 = jnp.concatenate([m32, m32])
+                        predc = _predict_lanes(refc, m32_2, 16, False, bd)
+                        oc = jnp.concatenate([d["orig16_cb"][bq],
+                                              d["orig16_cr"][bq]])
+                        lvc32, recc32 = tq(predc, oc, qp_c2, ones_2l, 16)
+                        lvc16_o.append(lvc32)
+                    for s in range(spq):
+                        i = q * spq + s
+                        b = xs["b16"][:, i]
+                        m = d["mode16"][b]
+                        # 16x16 luma slot
+                        raw = buf[xs["l16_ri"][:, i]]
+                        ref = _substitute(raw, xs["l16_av"][:, i], bd)
+                        pred = _predict_lanes(ref, m, 16, True, bd)
+                        if inter:
+                            iv = d["is_inter"][b]
+                            pred = jnp.where(iv[:, None, None],
+                                             d["ipred_y"][b], pred)
+                            imask = ~iv
+                        else:
+                            imask = ones_l
+                        lv, rec = tq(pred, d["orig16_y"][b], qp_y, imask,
+                                     16)
+                        lv16_o.append(lv)
+                        buf = buf.at[xs["l16_base"][:, i, None]
+                                     + off16[None]].set(
+                            rec.reshape(L, -1), mode="drop")
+                        # 8x8 chroma slot (cb + cr paired lanes)
+                        ri = xs["c8_ri"][:, i]
+                        raw2 = jnp.concatenate([buf[ri], buf[ri + csize]])
+                        av2 = jnp.concatenate([xs["c8_av"][:, i]] * 2)
+                        refc = _substitute(raw2, av2, bd)
+                        m2 = jnp.concatenate([m, m])
+                        predc = _predict_lanes(refc, m2, 8, False, bd)
+                        if inter:
+                            iv2 = jnp.concatenate([iv, iv])
+                            ip = jnp.concatenate([d["ipred_cb"][b],
+                                                  d["ipred_cr"][b]])
+                            predc = jnp.where(iv2[:, None, None], ip, predc)
+                            imask2 = ~iv2
+                        else:
+                            imask2 = ones_2l
+                        oc = jnp.concatenate([d["orig8_cb"][b],
+                                              d["orig8_cr"][b]])
+                        lvc, recc = tq(predc, oc, qp_c2, imask2, 8)
+                        lv8_o.append(lvc)
+                        cb_base = xs["c8_base"][:, i]
+                        base2 = jnp.concatenate([cb_base, cb_base + csize])
+                        buf = buf.at[base2[:, None] + off8[None]].set(
+                            recc.reshape(2 * L, -1), mode="drop")
+                    if has32:
+                        # masked overwrite of the quadrant with the 32 recon
+                        base = jnp.where(u32, xs["l16_base"][:, q * spq], FS)
+                        buf = buf.at[base[:, None] + off32[None]].set(
+                            rec32.reshape(L, -1), mode="drop")
+                        cb_b = jnp.where(u32, xs["c8_base"][:, q * spq], FS)
+                        base2 = jnp.concatenate([cb_b, cb_b + csize])
+                        buf = buf.at[base2[:, None] + offc16[None]].set(
+                            recc32.reshape(2 * L, -1), mode="drop")
+                ys = tuple(jnp.stack(v).astype(jnp.int16) if v else None
+                           for v in (lv16_o, lv8_o, lv32_o, lvc16_o))
+                return buf, ys
+            return step
+
+        def run(oy, ocb, ocr, mode16, mode32, use32, qp_y, qp_cb, qp_cr,
+                is_inter=None, ipred_y=None, ipred_cb=None, ipred_cr=None):
+            out_dtype = jnp.uint8 if bd == 8 else jnp.uint16
+            pad16 = jnp.zeros((1, 16, 16), jnp.int32)
+            pad8 = jnp.zeros((1, 8, 8), jnp.int32)
+            zpad = jnp.zeros((1,), jnp.int32)
+            d = dict(
+                orig16_y=jnp.concatenate(
+                    [self._to_blocks(oy.astype(jnp.int32), 16), pad16]),
+                orig8_cb=jnp.concatenate(
+                    [self._to_blocks(ocb.astype(jnp.int32), 8), pad8]),
+                orig8_cr=jnp.concatenate(
+                    [self._to_blocks(ocr.astype(jnp.int32), 8), pad8]),
+                mode16=jnp.concatenate([mode16.astype(jnp.int32), zpad]),
+                qp_y=jnp.concatenate([qp_y.astype(jnp.int32), zpad]),
+                qp_cb=jnp.concatenate([qp_cb.astype(jnp.int32), zpad]),
+                qp_cr=jnp.concatenate([qp_cr.astype(jnp.int32), zpad]),
+            )
+            if has32:
+                pad32 = jnp.zeros((1, 32, 32), jnp.int32)
+                d["orig32_y"] = jnp.concatenate(
+                    [self._to_blocks(oy.astype(jnp.int32), 32), pad32])
+                d["orig16_cb"] = jnp.concatenate(
+                    [self._to_blocks(ocb.astype(jnp.int32), 16), pad16])
+                d["orig16_cr"] = jnp.concatenate(
+                    [self._to_blocks(ocr.astype(jnp.int32), 16), pad16])
+                d["mode32"] = jnp.concatenate(
+                    [mode32.astype(jnp.int32), zpad])
+                d["use32"] = jnp.concatenate(
+                    [jnp.asarray(use32, bool), jnp.zeros((1,), bool)])
+            if inter:
+                d["is_inter"] = jnp.concatenate(
+                    [jnp.asarray(is_inter, bool), jnp.zeros((1,), bool)])
+                d["ipred_y"] = jnp.concatenate(
+                    [ipred_y.astype(jnp.int32), pad16])
+                d["ipred_cb"] = jnp.concatenate(
+                    [ipred_cb.astype(jnp.int32), pad8])
+                d["ipred_cr"] = jnp.concatenate(
+                    [ipred_cr.astype(jnp.int32), pad8])
+
+            buf = jnp.zeros((FS,), jnp.int32)
+            buf, ys = jax.lax.scan(make_step(d), buf, xs_all)
+            lv16_s, lv8_s, lv32_s, lvc16_s = ys
+
+            rec_y = buf[:lsize].reshape(ph, pw).astype(out_dtype)
+            rec_cb = buf[lsize:lsize + csize].reshape(cph, cpw).astype(
+                out_dtype)
+            rec_cr = buf[lsize + csize:lsize + 2 * csize].reshape(
+                cph, cpw).astype(out_dtype)
+
+            # scatter level stacks back to block-raster order
+            def unstack(lv, tab, bn, n):
+                # lv: [n_levels, nstage, L, n, n]; tab: [n_levels, L, nstg]
+                t_ = jnp.swapaxes(tab, 1, 2).reshape(-1)
+                out = jnp.zeros((bn + 1, n, n), jnp.int16)
+                return out.at[t_].set(
+                    lv.reshape(-1, n, n), mode="drop")[:-1]
+
+            lv16_y = unstack(lv16_s, xs_all["b16"], B16, 16)
+            lv8 = lv8_s.reshape(n_levels, nslots, 2, lmax, 8, 8)
+            lv8_cb = unstack(lv8[:, :, 0], xs_all["b16"], B16, 8)
+            lv8_cr = unstack(lv8[:, :, 1], xs_all["b16"], B16, 8)
+            if has32:
+                lv32_y = unstack(lv32_s, xs_all["b32"], B32, 32)
+                lvc = lvc16_s.reshape(n_levels, n_quads, 2, lmax, 16, 16)
+                lv16_cb = unstack(lvc[:, :, 0], xs_all["b32"], B32, 16)
+                lv16_cr = unstack(lvc[:, :, 1], xs_all["b32"], B32, 16)
+            else:
+                lv32_y = lv16_cb = lv16_cr = None
+            return (rec_y, rec_cb, rec_cr, lv16_y, lv8_cb, lv8_cr,
+                    lv32_y, lv16_cb, lv16_cr)
+
+        return run

@@ -175,17 +175,21 @@ def _predict_lanes(refs, modes, n, is_luma, bit_depth):
 
     W, shift, add, filt = _weight_tensor(n)
     lanes = refs.shape[0]
-    refs_f = refs.astype(jnp.float32)
-    filtered = refs_f.at[:, 1:-1].set(
-        jnp.floor((refs_f[:, :-2] + 2.0 * refs_f[:, 1:-1] + refs_f[:, 2:]
-                   + 2.0) / 4.0))
+    filtered = refs.at[:, 1:-1].set(
+        (refs[:, :-2] + 2 * refs[:, 1:-1] + refs[:, 2:] + 2) >> 2)
     use_filt = (jnp.asarray(filt)[modes] if is_luma
                 else jnp.zeros((lanes,), bool))
-    ref_sel = jnp.where(use_filt[:, None], filtered, refs_f)
+    ref_sel = jnp.where(use_filt[:, None], filtered, refs)
 
-    Wf = jnp.asarray(W, jnp.float32)[modes]            # [Lx, n*n, R]
-    acc = jnp.einsum("lpr,lr->lp", Wf, ref_sel,
-                     preferred_element_type=jnp.float32).astype(jnp.int32)
+    # exact int32 contraction, written as multiply+reduce rather than a
+    # dot: float matmuls are unsafe for the normative math (reduced
+    # precision, see ops/intra.predict_all_modes), and an int32 einsum
+    # over a GATHERED weight tensor miscompiles on the XLA:CPU backend
+    # when fused into a larger graph (observed jax 0.9.0: wrong acc
+    # values inside lax.scan bodies; mul+sum lowers correctly, and int32
+    # dots never use the TPU MXU anyway so nothing is lost on device)
+    Wi = jnp.asarray(W, jnp.int32)[modes]              # [Lx, n*n, R]
+    acc = (Wi * ref_sel[:, None, :]).sum(-1)
     sh = jnp.asarray(shift)[modes][:, None]
     ad = jnp.asarray(add)[modes][:, None]
     pred = ((acc + ad) >> sh).reshape(lanes, n, n)

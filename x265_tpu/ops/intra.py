@@ -264,20 +264,19 @@ def predict_all_modes(refs: jax.Array, n: int, is_luma: bool = True,
     maxval = (1 << bit_depth) - 1
     b = refs.shape[0]
 
-    refs_f = refs.astype(jnp.float32)
-    filtered = refs_f.at[:, 1:-1].set(
-        jnp.floor((refs_f[:, :-2] + 2.0 * refs_f[:, 1:-1] + refs_f[:, 2:] + 2.0)
-                  / 4.0))
+    filtered = refs.at[:, 1:-1].set(
+        (refs[:, :-2] + 2 * refs[:, 1:-1] + refs[:, 2:] + 2) >> 2)
     use_filt = filt if is_luma else np.zeros(35, dtype=bool)
 
-    # two exact f32 matmuls on the MXU: one per reference set
-    Wf = jnp.asarray(W, jnp.float32)          # [35, N*N, R]
-    acc_u = jnp.einsum("mpr,br->bmp", Wf, refs_f,
-                       preferred_element_type=jnp.float32)
-    acc_f = jnp.einsum("mpr,br->bmp", Wf, filtered,
-                       preferred_element_type=jnp.float32)
+    # two exact int32 contractions (weights <= 32, samples <= 1023,
+    # <= 4N+1 terms -> far below 2^31).  Integer einsum keeps the
+    # normative math exact on every backend; float matmuls are NOT safe
+    # here (XLA may evaluate them in reduced precision when fused).
+    Wi = jnp.asarray(W, jnp.int32)            # [35, N*N, R]
+    acc_u = jnp.einsum("mpr,br->bmp", Wi, refs)
+    acc_f = jnp.einsum("mpr,br->bmp", Wi, filtered)
     sel = jnp.asarray(use_filt)[None, :, None]
-    acc = jnp.where(sel, acc_f, acc_u).astype(jnp.int32)
+    acc = jnp.where(sel, acc_f, acc_u)
     pred = (acc + jnp.asarray(add)[None, :, None]) >> jnp.asarray(shift)[None, :, None]
     pred = pred.reshape(b, 35, n, n)
 
