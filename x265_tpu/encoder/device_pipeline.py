@@ -18,10 +18,13 @@ import numpy as np
 
 
 def build_i_pipeline(enc):
-    """I-frame device program: intra analysis + 3-plane wavefront recon.
+    """I-frame device program: intra analysis + CTU-wavefront recon of all
+    three planes in one lax.scan (encoder/ctu_scan.py).
 
     Returns fn(orig_y, orig_cb, orig_cr [padded planes], qp_y, qp_cb,
-    qp_cr) -> (modes [B], intra_cost [B], (plane, levels) x3).
+    qp_cr) -> (modes [B16], intra_cost [B16], rec x3, lv16_y, lv8_cb,
+    lv8_cr) [+ lv32 outputs carried internally, unused until the
+    variable-CU decision lands].
     """
     import jax
     import jax.numpy as jnp
@@ -35,9 +38,10 @@ def build_i_pipeline(enc):
     pw = g.ctbs_w << g.log2_ctb
     gh, gw = ph // n, pw // n
     ridx, avails = enc._mode_gather_tables(n, gh, gw, ph, pw)
-    wfs = enc._get_wavefronts(n)
-    luma_scan = wfs[0].scan_fn(encode=True)
-    chroma_scan = wfs[1].paired_scan_fn(encode=True)
+    scan = enc._get_ctu_scan()
+    run_scan = scan.scan_fn(inter=False)
+    B32 = scan.t["b32_n"]
+    nctb = g.n_ctbs
 
     def to_blocks(pl, bn):
         return pl.reshape(gh, bn, gw, bn).transpose(
@@ -55,22 +59,25 @@ def build_i_pipeline(enc):
 
     def run(oy, ocb, ocr, qpy, qpb, qpr):
         modes, cost = analyse(oy)
-        ry = luma_scan(to_blocks(oy, n), modes, qpy)
-        rcb, rcr = chroma_scan((to_blocks(ocb, n // 2),
-                                to_blocks(ocr, n // 2)),
-                               modes, (qpb, qpr))
-        return modes, cost, ry, rcb, rcr
+        out = run_scan(oy, ocb, ocr, modes,
+                       jnp.zeros((B32,), jnp.int32),
+                       jnp.zeros((B32,), bool),
+                       jnp.full((nctb,), qpy, jnp.int32),
+                       jnp.full((nctb,), qpb, jnp.int32),
+                       jnp.full((nctb,), qpr, jnp.int32))
+        rec_y, rec_cb, rec_cr, lv16_y, lv8_cb, lv8_cr = out[:6]
+        return modes, cost, rec_y, rec_cb, rec_cr, lv16_y, lv8_cb, lv8_cr
 
     return jax.jit(run)
 
 
 def build_p_pipeline(enc):
     """P-frame device program: intra analysis + full+subpel ME + chroma MC
-    + inter/intra decision + 3-plane wavefront recon.
+    + inter/intra decision + CTU-wavefront recon (one lax.scan).
 
     fn(orig x3, ref_y_ext, ref_cb_ext, ref_cr_ext, qps) ->
        (modes, mv_qpel [B, 2] (x, y), inter_mask [B],
-        (plane, levels) x3).
+        rec x3, lv16_y, lv8_cb, lv8_cr, cost_p, cost_i).
     """
     import jax
     import jax.numpy as jnp
@@ -91,9 +98,10 @@ def build_p_pipeline(enc):
     cn = n // 2
     cph, cpw = ph // 2, pw // 2
     ridx, avails = enc._mode_gather_tables(n, gh, gw, ph, pw)
-    wfs = enc._get_wavefronts(n)
-    luma_scan = wfs[0].scan_fn(encode=True, inter=True)
-    chroma_scan = wfs[1].paired_scan_fn(encode=True, inter=True)
+    scan = enc._get_ctu_scan()
+    run_scan = scan.scan_fn(inter=True)
+    B32 = scan.t["b32_n"]
+    nctb = g.n_ctbs
 
     offs = np.array([(dy, dx) for dy in range(-R, R + 1)
                      for dx in range(-R, R + 1)], np.int32)
@@ -231,15 +239,20 @@ def build_p_pipeline(enc):
             icost.astype(jnp.int64) * 9) // 8
         pred_cb = chroma_pred(ref_cb_ext.astype(jnp.int32), mv)
         pred_cr = chroma_pred(ref_cr_ext.astype(jnp.int32), mv)
-        ry = luma_scan(to_blocks(oy, n), modes, qpy, pred_y, inter)
-        rcb, rcr = chroma_scan((to_blocks(ocb, cn), to_blocks(ocr, cn)),
-                               modes, (qpb, qpr),
-                               (pred_cb, pred_cr), inter)
+        out = run_scan(oy, ocb, ocr, modes,
+                       jnp.zeros((B32,), jnp.int32),
+                       jnp.zeros((B32,), bool),
+                       jnp.full((nctb,), qpy, jnp.int32),
+                       jnp.full((nctb,), qpb, jnp.int32),
+                       jnp.full((nctb,), qpr, jnp.int32),
+                       is_inter=inter, ipred_y=pred_y,
+                       ipred_cb=pred_cb, ipred_cr=pred_cr)
+        rec_y, rec_cb, rec_cr, lv16_y, lv8_cb, lv8_cr = out[:6]
         # frame-level costs for the scenecut decision (x265 slicetype
         # analysis analogue): P cost = per-block best of inter/intra
         cost_p = jnp.sum(jnp.minimum(pcost.reshape(-1), icost))
         cost_i = jnp.sum(icost)
-        return (modes, mv.astype(jnp.int16), inter, ry, rcb, rcr,
-                cost_p, cost_i)
+        return (modes, mv.astype(jnp.int16), inter, rec_y, rec_cb, rec_cr,
+                lv16_y, lv8_cb, lv8_cr, cost_p, cost_i)
 
     return jax.jit(run)

@@ -112,6 +112,7 @@ class Encoder:
         self.force_host_recon = False   # tests can force the numpy oracle
         self.force_python_entropy = False
         self._wf = {}                   # cached WavefrontIntraRecon per plane
+        self._ctu_scan = None           # cached CtuScan (all-plane recon)
         self._mode_tables = {}          # cached mode-decision gather tables
         self._i_pipeline = None         # fused I-frame device program
         self._p_pipeline = None         # fused P-frame device program
@@ -284,9 +285,9 @@ class Encoder:
         qp_cr = chroma_qp(self.qp, self.pps.cr_qp_offset) + bd_off
 
         inter_mask = None
-        use_pipeline = (not self.force_host_recon
-                        and not any(wf.sched["host_mask"].any()
-                                    for wf in self._get_wavefronts(cu_size)))
+        # the CTU scan handles partial CTBs natively (coded size is always
+        # 16-aligned); the host fallback remains for tests/oracle runs
+        use_pipeline = not self.force_host_recon
         if is_p:
             assert use_pipeline, "P frames require the device pipeline"
             inter_mask, modes = self._run_p_pipeline(
@@ -409,16 +410,30 @@ class Encoder:
             out.append(wf)
         return out
 
-    def _scatter_outputs(self, ps, rec, outs_3, cu_size):
-        """(plane, levels) x3 device outputs -> rec planes + coeff planes."""
-        wfs = self._get_wavefronts(cu_size)
-        planes = (ps.coeff_y, ps.coeff_cb, ps.coeff_cr)
-        bns = (cu_size, cu_size // 2, cu_size // 2)
-        for (plane, levels), wf, rpl, cpl, bn in zip(
-                outs_3, wfs, rec, planes, bns):
-            gh, gw = wf.sched["grid"]
-            rpl[:] = np.asarray(plane).astype(rpl.dtype)
-            cpl[:] = np.asarray(levels).astype(np.int32).reshape(
+    def _get_ctu_scan(self):
+        """The CTU-level wavefront scan (cached; encoder/ctu_scan.py)."""
+        if self._ctu_scan is None:
+            from .ctu_scan import CtuScan
+            self._ctu_scan = CtuScan(
+                self.geom, bit_depth=self.bit_depth,
+                sign_hide=bool(self.pps.sign_data_hiding),
+                strong_intra_smoothing=bool(
+                    self.sps.strong_intra_smoothing))
+        return self._ctu_scan
+
+    def _scatter_scan_outputs(self, ps, rec, out):
+        """CTU-scan outputs -> rec planes + coeff planes (16-grid)."""
+        rec_y, rec_cb, rec_cr, lv16_y, lv8_cb, lv8_cr = out[:6]
+        g = self.geom
+        ph = g.ctbs_h << g.log2_ctb
+        pw = g.ctbs_w << g.log2_ctb
+        gh, gw = ph // 16, pw // 16
+        for rpl, pl in zip(rec, (rec_y, rec_cb, rec_cr)):
+            rpl[:] = np.asarray(pl).astype(rpl.dtype)
+        for cpl, lv, bn in ((ps.coeff_y, lv16_y, 16),
+                            (ps.coeff_cb, lv8_cb, 8),
+                            (ps.coeff_cr, lv8_cr, 8)):
+            cpl[:] = np.asarray(lv).astype(np.int32).reshape(
                 gh, gw, bn, bn).transpose(0, 2, 1, 3).reshape(
                     gh * bn, gw * bn)
 
@@ -427,14 +442,17 @@ class Encoder:
 
         if self._i_pipeline is None:
             self._i_pipeline = build_i_pipeline(self)
-        modes, _cost, ry, rcb, rcr = self._i_pipeline(
+        out = self._i_pipeline(
             orig[0], orig[1], orig[2], *(np.int32(q) for q in qps))
-        gh, gw = self._get_wavefronts(cu_size)[0].sched["grid"]
+        modes = out[0]
+        g = self.geom
+        gh = (g.ctbs_h << g.log2_ctb) // 16
+        gw = (g.ctbs_w << g.log2_ctb) // 16
         modes = np.asarray(modes).reshape(gh, gw)
         s4 = cu_size // 4
         ps.luma_mode[:] = np.kron(modes, np.ones((s4, s4), np.uint8))
         ps.chroma_mode[:] = ps.luma_mode
-        self._scatter_outputs(ps, rec, (ry, rcb, rcr), cu_size)
+        self._scatter_scan_outputs(ps, rec, out[2:])
         return modes
 
     def _run_p_pipeline(self, ps, orig, rec, cu_size, qps):
@@ -458,12 +476,13 @@ class Encoder:
         refs = (ext(self.ref[0], ph, pw, M),
                 ext(self.ref[1], ph // 2, pw // 2, CM),
                 ext(self.ref[2], ph // 2, pw // 2, CM))
-        (modes, mv, inter, ry, rcb, rcr, cost_p,
-         cost_i) = self._p_pipeline(
+        out = self._p_pipeline(
             orig[0], orig[1], orig[2], *refs,
             *(np.int32(q) for q in qps))
+        modes, mv, inter = out[0], out[1], out[2]
+        cost_p, cost_i = out[9], out[10]
         self.last_frame_costs = (float(cost_p), float(cost_i))
-        gh, gw = self._get_wavefronts(cu_size)[0].sched["grid"]
+        gh, gw = (ph // cu_size, pw // cu_size)
         modes = np.asarray(modes).reshape(gh, gw)
         mv = np.asarray(mv).reshape(gh, gw, 2)
         inter_mask = np.asarray(inter).reshape(gh, gw)
@@ -478,7 +497,7 @@ class Encoder:
             np.ones((1, s4, s4), np.int16)).transpose(1, 2, 0)
         self._merge_inter_cus(ps, inter_mask, mv, n)
         self._derive_inter_syntax(ps)
-        self._scatter_outputs(ps, rec, (ry, rcb, rcr), cu_size)
+        self._scatter_scan_outputs(ps, rec, out[3:9])
         self._derive_skip(ps)
         return inter_mask, modes
 
