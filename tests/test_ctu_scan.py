@@ -26,6 +26,7 @@ def test_ctu_scan_matches_block_wavefront_i(w, h, sign_hide):
     p = Params(source_width=w, source_height=h, qp=30, sao=False,
                deblock=False, sign_hide=sign_hide)
     enc = Encoder(p)
+    enc.force_cu16 = True      # compare against the fixed-16 configuration
     frame = _frames(w, h)
     au, rec_old = enc.encode_frame(frame)
     ps = enc.last_ps
@@ -69,3 +70,61 @@ def test_ctu_scan_matches_block_wavefront_i(w, h, sign_hide):
         ph // 2, pw // 2)
     assert np.array_equal(ccr[:ch // 2, :cw // 2].astype(np.int32),
                           ps.coeff_cr[:ch // 2, :cw // 2])
+
+
+def _smooth_frame(w, h, seed=5):
+    """Smooth gradients + a textured band: drives mixed 32/16 decisions."""
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:h, 0:w]
+    y = (40 + xx * 160 // max(1, w) + yy * 30 // max(1, h)).astype(np.uint8)
+    y[h // 4:h // 2] += rng.integers(0, 60, (h // 2 - h // 4, w),
+                                     dtype=np.uint8)
+    cb = (128 + xx[::2, ::2] // 8).astype(np.uint8)
+    cr = (128 - yy[::2, ::2] // 8).astype(np.uint8)
+    return (y, cb, cr)
+
+
+@pytest.mark.parametrize("w,h", [(128, 64), (96, 96)])
+def test_cu32_decision_roundtrip(w, h):
+    """The in-scan 32-vs-16 RD decision must pick some 32 CUs on smooth
+    content and the stream must decode bit-exact in our decoder."""
+    from x265_tpu.decoder import decode_annexb
+    from x265_tpu.encoder import encode_sequence
+
+    p = Params(source_width=w, source_height=h, qp=32,
+               decoded_picture_hash=1)
+    frame = _smooth_frame(w, h)
+    stream, recons = encode_sequence([frame], p)
+    enc_ps = None
+    pics = decode_annexb(stream)
+    assert len(pics) == 1 and pics[0].hash_ok
+    assert np.array_equal(pics[0].planes[0], recons[0][0])
+    # smooth content at ctu>=32 must produce at least one 32x32 CU
+    enc_ps = pics[0].syntax
+    d32 = 6 - 5  # log2_ctb 6 -> depth 1
+    assert (enc_ps.depth[:h // 4, :w // 4] == d32).any(), \
+        "no 32x32 CUs chosen on smooth content"
+
+
+def test_cu32_decision_roundtrip_p_frames():
+    """32-CU decision in P frames (intra quadrants only) stays conformant."""
+    from x265_tpu.decoder import decode_annexb
+    from x265_tpu.encoder import encode_sequence
+
+    w, h = 128, 64
+    base = _smooth_frame(w, h)
+    rng = np.random.default_rng(9)
+    frames = [base]
+    for t in range(2):
+        y = np.roll(base[0], 2 * (t + 1), axis=1)
+        # scene-change band forces intra CUs inside the P frame
+        y[:, :32] = rng.integers(0, 255, (h, 32), dtype=np.uint8)
+        frames.append((y, base[1], base[2]))
+    p = Params(source_width=w, source_height=h, qp=32,
+               decoded_picture_hash=1, scenecut_threshold=0)
+    stream, recons = encode_sequence(frames, p)
+    pics = decode_annexb(stream)
+    assert len(pics) == 3
+    for pic, rec in zip(pics, recons):
+        assert pic.hash_ok
+        assert np.array_equal(pic.planes[0], rec[0])

@@ -161,7 +161,8 @@ def build_ctu_tables(width: int, height: int, log2_ctb: int):
                 c8_ri=per_level(c8_ri), c8_av=per_level(c8_av),
                 l16_base=per_level(l16_base), c8_base=per_level(c8_base),
                 l32_ri=per_level(l32_ri), l32_av=per_level(l32_av),
-                c16_ri=per_level(c16_ri), c16_av=per_level(c16_av)),
+                c16_ri=per_level(c16_ri), c16_av=per_level(c16_av),
+                quad_ok=per_level(quad_ok)),
         lvl_ctu=lvl_ctu)
 
 
@@ -219,25 +220,33 @@ class CtuScan:
 
     # -- the scan ------------------------------------------------------------
 
-    def scan_fn(self, inter: bool):
+    def scan_fn(self, inter: bool, decide32: bool = False):
         """Returns run(...) -> (rec_y, rec_cb, rec_cr, lv16_y, lv8_cb,
-        lv8_cr, lv32_y, lv16_cb, lv16_cr).
+        lv8_cr, lv32_y, lv16_cb, lv16_cr, use32).
 
         run(oy, ocb, ocr, mode16, mode32, use32, qp_y, qp_cb, qp_cr
-            [, is_inter, ipred_y, ipred_cb, ipred_cr])
+            [, lam, is_inter, ipred_y, ipred_cb, ipred_cr])
 
         * oy/ocb/ocr: padded original planes.
         * mode16 [B16] int32; mode32 [B32] int32, use32 [B32] bool (the
           32x32-CU decision; pass zeros when CTU < 32).
         * qp_* [nctb] int32 per-CTU QPs (QpBdOffset included).
         * is_inter [B16] bool + ipred_* [B16, n, n] int32 (inter=True).
-        Levels outputs are in block-raster order ([B16, 16, 16] etc.);
-        rows of lv16/lv8 under a use32 quadrant are garbage (mask by
-        use32), and vice versa.
+
+        With ``decide32`` the 32x32-vs-4x16x16 CU choice is made INSIDE
+        the scan per quadrant (x265 analysis.cpp compressIntraCU RD
+        compare, re-cast as a closed-loop batched decision): both
+        candidates are reconstructed from the true causal neighbors, the
+        cheaper one by SSD + lambda*bits wins, and the returned ``use32``
+        [B32] replaces the input (pass ``lam`` [nctb] float32 SSD-domain
+        lambdas).  Levels outputs are in block-raster order ([B16, 16, 16]
+        etc.); rows of lv16/lv8 under a use32 quadrant are garbage (mask
+        by use32), and vice versa.
         """
         import jax
         import jax.numpy as jnp
 
+        from ..common.rdcost import level_bits_jnp
         from ..ops.quantize import dequant, quant_masked, sign_hide_diag
         from ..ops.transforms import forward_transform, inverse_transform
 
@@ -300,21 +309,30 @@ class CtuScan:
             pred_u = _predict_lanes(ref_sel, m32, 32, False, bd)
             return jnp.where(use_strong[:, None, None], pred_u, pred_f)
 
+        def ssd(a, b):
+            return jnp.sum((a - b).astype(jnp.float32) ** 2, axis=(1, 2))
+
+        # CU-syntax overhead estimates (bits) for the RD compare: a
+        # 16-config quadrant codes 4x (luma mode + cbfs) + a split flag;
+        # the 32-config codes one mode + cbfs (entropy.cpp encodeCU cost)
+        OVH16, OVH32 = 9.0, 12.0
+
         def make_step(d):
             def step(buf, xs):
                 L = xs["ctu"].shape[0]           # = lmax
                 qp_y = d["qp_y"][xs["ctu"]]      # [L] per-lane
                 qp_c2 = jnp.concatenate([d["qp_cb"][xs["ctu"]],
                                          d["qp_cr"][xs["ctu"]]])
+                if decide32:
+                    lam = d["lam"][xs["ctu"]]    # [L] SSD-domain lambda
                 ones_l = jnp.ones((L,), bool)
                 ones_2l = jnp.ones((2 * L,), bool)
-                lv16_o, lv8_o, lv32_o, lvc16_o = [], [], [], []
+                lv16_o, lv8_o, lv32_o, lvc16_o, u32_o = [], [], [], [], []
 
                 for q in range(n_quads):
                     if has32:
                         bq = xs["b32"][:, q]
                         m32 = d["mode32"][bq]
-                        u32 = d["use32"][bq]
                         # 32x32 luma TU candidate (refs precede quadrant)
                         pred32 = predict32(buf, xs, q, m32)
                         lv32, rec32 = tq(pred32, d["orig32_y"][bq], qp_y,
@@ -331,6 +349,15 @@ class CtuScan:
                                               d["orig16_cr"][bq]])
                         lvc32, recc32 = tq(predc, oc, qp_c2, ones_2l, 16)
                         lvc16_o.append(lvc32)
+                        if decide32:
+                            sc = ssd(recc32, oc)
+                            bc = level_bits_jnp(lvc32)
+                            cost32 = (ssd(rec32, d["orig32_y"][bq])
+                                      + sc[:L] + sc[L:]
+                                      + lam * (level_bits_jnp(lv32)
+                                               + bc[:L] + bc[L:] + OVH32))
+                            cost16 = jnp.full((L,), 0.0)
+                            any_inter = jnp.zeros((L,), bool)
                     for s in range(spq):
                         i = q * spq + s
                         b = xs["b16"][:, i]
@@ -375,7 +402,23 @@ class CtuScan:
                         base2 = jnp.concatenate([cb_base, cb_base + csize])
                         buf = buf.at[base2[:, None] + off8[None]].set(
                             recc.reshape(2 * L, -1), mode="drop")
+                        if has32 and decide32:
+                            sc = ssd(recc, oc)
+                            bc = level_bits_jnp(lvc)
+                            cost16 = cost16 + (
+                                ssd(rec, d["orig16_y"][b]) + sc[:L] + sc[L:]
+                                + lam * (level_bits_jnp(lv)
+                                         + bc[:L] + bc[L:] + OVH16))
+                            if inter:
+                                any_inter = any_inter | iv
                     if has32:
+                        if decide32:
+                            u32 = xs["quad_ok"][:, q] & (cost32 < cost16)
+                            if inter:
+                                u32 = u32 & ~any_inter
+                        else:
+                            u32 = d["use32"][bq]
+                        u32_o.append(u32)
                         # masked overwrite of the quadrant with the 32 recon
                         base = jnp.where(u32, xs["l16_base"][:, q * spq], FS)
                         buf = buf.at[base[:, None] + off32[None]].set(
@@ -386,11 +429,13 @@ class CtuScan:
                             recc32.reshape(2 * L, -1), mode="drop")
                 ys = tuple(jnp.stack(v).astype(jnp.int16) if v else None
                            for v in (lv16_o, lv8_o, lv32_o, lvc16_o))
+                ys = ys + (jnp.stack(u32_o) if u32_o else None,)
                 return buf, ys
             return step
 
         def run(oy, ocb, ocr, mode16, mode32, use32, qp_y, qp_cb, qp_cr,
-                is_inter=None, ipred_y=None, ipred_cb=None, ipred_cr=None):
+                lam=None, is_inter=None, ipred_y=None, ipred_cb=None,
+                ipred_cr=None):
             out_dtype = jnp.uint8 if bd == 8 else jnp.uint16
             pad16 = jnp.zeros((1, 16, 16), jnp.int32)
             pad8 = jnp.zeros((1, 8, 8), jnp.int32)
@@ -417,8 +462,13 @@ class CtuScan:
                     [self._to_blocks(ocr.astype(jnp.int32), 16), pad16])
                 d["mode32"] = jnp.concatenate(
                     [mode32.astype(jnp.int32), zpad])
-                d["use32"] = jnp.concatenate(
-                    [jnp.asarray(use32, bool), jnp.zeros((1,), bool)])
+                if decide32:
+                    d["lam"] = jnp.concatenate(
+                        [jnp.asarray(lam, jnp.float32),
+                         jnp.zeros((1,), jnp.float32)])
+                else:
+                    d["use32"] = jnp.concatenate(
+                        [jnp.asarray(use32, bool), jnp.zeros((1,), bool)])
             if inter:
                 d["is_inter"] = jnp.concatenate(
                     [jnp.asarray(is_inter, bool), jnp.zeros((1,), bool)])
@@ -431,7 +481,7 @@ class CtuScan:
 
             buf = jnp.zeros((FS,), jnp.int32)
             buf, ys = jax.lax.scan(make_step(d), buf, xs_all)
-            lv16_s, lv8_s, lv32_s, lvc16_s = ys
+            lv16_s, lv8_s, lv32_s, lvc16_s, u32_s = ys
 
             rec_y = buf[:lsize].reshape(ph, pw).astype(out_dtype)
             rec_cb = buf[lsize:lsize + csize].reshape(cph, cpw).astype(
@@ -456,9 +506,14 @@ class CtuScan:
                 lvc = lvc16_s.reshape(n_levels, n_quads, 2, lmax, 16, 16)
                 lv16_cb = unstack(lvc[:, :, 0], xs_all["b32"], B32, 16)
                 lv16_cr = unstack(lvc[:, :, 1], xs_all["b32"], B32, 16)
+                # u32_s: [n_levels, n_quads, L] -> [B32] block-raster
+                t_ = jnp.swapaxes(xs_all["b32"], 1, 2).reshape(-1)
+                use32_out = jnp.zeros((B32 + 1,), bool).at[t_].set(
+                    u32_s.reshape(-1), mode="drop")[:-1]
             else:
                 lv32_y = lv16_cb = lv16_cr = None
+                use32_out = jnp.zeros((B32,), bool)
             return (rec_y, rec_cb, rec_cr, lv16_y, lv8_cb, lv8_cr,
-                    lv32_y, lv16_cb, lv16_cr)
+                    lv32_y, lv16_cb, lv16_cr, use32_out)
 
         return run

@@ -17,56 +17,68 @@ from __future__ import annotations
 import numpy as np
 
 
-def build_i_pipeline(enc):
-    """I-frame device program: intra analysis + CTU-wavefront recon of all
-    three planes in one lax.scan (encoder/ctu_scan.py).
-
-    Returns fn(orig_y, orig_cb, orig_cr [padded planes], qp_y, qp_cb,
-    qp_cr) -> (modes [B16], intra_cost [B16], rec x3, lv16_y, lv8_cb,
-    lv8_cr) [+ lv32 outputs carried internally, unused until the
-    variable-CU decision lands].
-    """
-    import jax
+def _analyse_builder(enc, n, gh, gw, ph, pw):
+    """Open-loop all-modes SATD analysis at block size n (batched matmul
+    over the 35-mode weight tensor; x265 intra analysis analogue)."""
     import jax.numpy as jnp
 
     from ..ops.cost import satd
     from ..ops.intra import predict_all_modes, substitute_references
 
-    g = enc.geom
-    n = 16
-    ph = g.ctbs_h << g.log2_ctb
-    pw = g.ctbs_w << g.log2_ctb
-    gh, gw = ph // n, pw // n
     ridx, avails = enc._mode_gather_tables(n, gh, gw, ph, pw)
-    scan = enc._get_ctu_scan()
-    run_scan = scan.scan_fn(inter=False)
-    B32 = scan.t["b32_n"]
-    nctb = g.n_ctbs
-
-    def to_blocks(pl, bn):
-        return pl.reshape(gh, bn, gw, bn).transpose(
-            0, 2, 1, 3).reshape(-1, bn, bn)
 
     def analyse(y):
         refs = y.reshape(-1)[jnp.asarray(ridx)].astype(jnp.int32)
         refs = substitute_references(refs, jnp.asarray(avails),
                                      enc.bit_depth)
         preds = predict_all_modes(refs, n, True, enc.bit_depth)
-        blocks = to_blocks(y.astype(jnp.int32), n)
+        blocks = y.astype(jnp.int32).reshape(gh, n, gw, n).transpose(
+            0, 2, 1, 3).reshape(-1, n, n)
         costs = satd(blocks[:, None], preds)
         return (jnp.argmin(costs, axis=1).astype(jnp.int32),
                 jnp.min(costs, axis=1))
 
-    def run(oy, ocb, ocr, qpy, qpb, qpr):
-        modes, cost = analyse(oy)
-        out = run_scan(oy, ocb, ocr, modes,
-                       jnp.zeros((B32,), jnp.int32),
+    return analyse
+
+
+def build_i_pipeline(enc):
+    """I-frame device program: intra analysis (16 + 32) + CTU-wavefront
+    recon with the in-scan 32-vs-16 RD CU decision (encoder/ctu_scan.py).
+
+    Returns fn(orig planes x3, qp x3, lam) -> (modes [B16], mode32 [B32],
+    use32 [B32], rec x3, lv16_y, lv8_cb, lv8_cr, lv32_y, lv16_cb,
+    lv16_cr).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    g = enc.geom
+    n = 16
+    ph = g.ctbs_h << g.log2_ctb
+    pw = g.ctbs_w << g.log2_ctb
+    gh, gw = ph // n, pw // n
+    scan = enc._get_ctu_scan()
+    decide = bool(scan.t["has32"]) and not enc.force_cu16
+    run_scan = scan.scan_fn(inter=False, decide32=decide)
+    B32 = scan.t["b32_n"]
+    nctb = g.n_ctbs
+    analyse = _analyse_builder(enc, n, gh, gw, ph, pw)
+    analyse32 = (_analyse_builder(enc, 32, ph // 32, pw // 32, ph, pw)
+                 if decide else None)
+
+    def run(oy, ocb, ocr, qpy, qpb, qpr, lam):
+        modes, _cost = analyse(oy)
+        if decide:
+            mode32, _c32 = analyse32(oy)
+        else:
+            mode32 = jnp.zeros((B32,), jnp.int32)
+        out = run_scan(oy, ocb, ocr, modes, mode32,
                        jnp.zeros((B32,), bool),
                        jnp.full((nctb,), qpy, jnp.int32),
                        jnp.full((nctb,), qpb, jnp.int32),
-                       jnp.full((nctb,), qpr, jnp.int32))
-        rec_y, rec_cb, rec_cr, lv16_y, lv8_cb, lv8_cr = out[:6]
-        return modes, cost, rec_y, rec_cb, rec_cr, lv16_y, lv8_cb, lv8_cr
+                       jnp.full((nctb,), qpr, jnp.int32),
+                       lam=jnp.full((nctb,), lam, jnp.float32))
+        return (modes, mode32, out[9]) + out[:9]
 
     return jax.jit(run)
 
@@ -75,16 +87,16 @@ def build_p_pipeline(enc):
     """P-frame device program: intra analysis + full+subpel ME + chroma MC
     + inter/intra decision + CTU-wavefront recon (one lax.scan).
 
-    fn(orig x3, ref_y_ext, ref_cb_ext, ref_cr_ext, qps) ->
-       (modes, mv_qpel [B, 2] (x, y), inter_mask [B],
-        rec x3, lv16_y, lv8_cb, lv8_cr, cost_p, cost_i).
+    fn(orig x3, ref_y_ext, ref_cb_ext, ref_cr_ext, qps, lam) ->
+       (modes, mode32, use32, mv_qpel [B, 2] (x, y), inter_mask [B],
+        rec x3, lv16_y, lv8_cb, lv8_cr, lv32_y, lv16_cb, lv16_cr,
+        cost_p, cost_i).
     """
     import jax
     import jax.numpy as jnp
 
     from ..ops.cost import satd as satd_fn
     from ..ops.interp import mc_chroma_batch, mc_luma_batch
-    from ..ops.intra import predict_all_modes, substitute_references
 
     g = enc.geom
     n = 16
@@ -97,11 +109,14 @@ def build_p_pipeline(enc):
     nb = gh * gw
     cn = n // 2
     cph, cpw = ph // 2, pw // 2
-    ridx, avails = enc._mode_gather_tables(n, gh, gw, ph, pw)
     scan = enc._get_ctu_scan()
-    run_scan = scan.scan_fn(inter=True)
+    decide = bool(scan.t["has32"]) and not enc.force_cu16
+    run_scan = scan.scan_fn(inter=True, decide32=decide)
     B32 = scan.t["b32_n"]
     nctb = g.n_ctbs
+    analyse16 = _analyse_builder(enc, n, gh, gw, ph, pw)
+    analyse32 = (_analyse_builder(enc, 32, ph // 32, pw // 32, ph, pw)
+                 if decide else None)
 
     offs = np.array([(dy, dx) for dy in range(-R, R + 1)
                      for dx in range(-R, R + 1)], np.int32)
@@ -113,14 +128,8 @@ def build_p_pipeline(enc):
             0, 2, 1, 3).reshape(-1, bn, bn)
 
     def analyse(y):
-        refs = y.reshape(-1)[jnp.asarray(ridx)].astype(jnp.int32)
-        refs = substitute_references(refs, jnp.asarray(avails),
-                                     enc.bit_depth)
-        preds = predict_all_modes(refs, n, True, enc.bit_depth)
-        blocks = to_blocks(y.astype(jnp.int32), n)
-        costs = satd_fn(blocks[:, None], preds)
-        return (jnp.argmin(costs, axis=1).astype(jnp.int32),
-                jnp.min(costs, axis=1), blocks)
+        modes, icost = analyse16(y)
+        return modes, icost, to_blocks(y.astype(jnp.int32), n)
 
     def me(orig, ref_ext, ob, qp):
         def body(carry, off):
@@ -229,8 +238,12 @@ def build_p_pipeline(enc):
                                enc.bit_depth)
 
     def run(oy, ocb, ocr, ref_y_ext, ref_cb_ext, ref_cr_ext,
-            qpy, qpb, qpr):
+            qpy, qpb, qpr, lam):
         modes, icost, ob = analyse(oy)
+        if decide:
+            mode32, _c32 = analyse32(oy)
+        else:
+            mode32 = jnp.zeros((B32,), jnp.int32)
         mv, pcost, pred_y = me(oy.astype(jnp.int32),
                                ref_y_ext.astype(jnp.int32), ob, qpy)
         # intra blocks in P slices cost far more bits than SATD reflects
@@ -239,20 +252,19 @@ def build_p_pipeline(enc):
             icost.astype(jnp.int64) * 9) // 8
         pred_cb = chroma_pred(ref_cb_ext.astype(jnp.int32), mv)
         pred_cr = chroma_pred(ref_cr_ext.astype(jnp.int32), mv)
-        out = run_scan(oy, ocb, ocr, modes,
-                       jnp.zeros((B32,), jnp.int32),
+        out = run_scan(oy, ocb, ocr, modes, mode32,
                        jnp.zeros((B32,), bool),
                        jnp.full((nctb,), qpy, jnp.int32),
                        jnp.full((nctb,), qpb, jnp.int32),
                        jnp.full((nctb,), qpr, jnp.int32),
+                       lam=jnp.full((nctb,), lam, jnp.float32),
                        is_inter=inter, ipred_y=pred_y,
                        ipred_cb=pred_cb, ipred_cr=pred_cr)
-        rec_y, rec_cb, rec_cr, lv16_y, lv8_cb, lv8_cr = out[:6]
         # frame-level costs for the scenecut decision (x265 slicetype
         # analysis analogue): P cost = per-block best of inter/intra
         cost_p = jnp.sum(jnp.minimum(pcost.reshape(-1), icost))
         cost_i = jnp.sum(icost)
-        return (modes, mv.astype(jnp.int16), inter, rec_y, rec_cb, rec_cr,
-                lv16_y, lv8_cb, lv8_cr, cost_p, cost_i)
+        return (modes, mode32, out[9], mv.astype(jnp.int16), inter,
+                ) + out[:9] + (cost_p, cost_i)
 
     return jax.jit(run)

@@ -111,6 +111,7 @@ class Encoder:
         self.last_slice_type_str = "I"
         self.force_host_recon = False   # tests can force the numpy oracle
         self.force_python_entropy = False
+        self.force_cu16 = False         # tests: disable the 32-CU decision
         self._wf = {}                   # cached WavefrontIntraRecon per plane
         self._ctu_scan = None           # cached CtuScan (all-plane recon)
         self._mode_tables = {}          # cached mode-decision gather tables
@@ -421,38 +422,84 @@ class Encoder:
                     self.sps.strong_intra_smoothing))
         return self._ctu_scan
 
-    def _scatter_scan_outputs(self, ps, rec, out):
-        """CTU-scan outputs -> rec planes + coeff planes (16-grid)."""
-        rec_y, rec_cb, rec_cr, lv16_y, lv8_cb, lv8_cr = out[:6]
+    def _scatter_scan_outputs(self, ps, rec, out, use32=None):
+        """CTU-scan outputs -> rec planes + coeff planes.
+
+        out: (rec x3, lv16_y, lv8_cb, lv8_cr, lv32_y, lv16_cb, lv16_cr);
+        use32 [gh32, gw32] bool selects the 32x32-TU levels per quadrant.
+        """
+        (rec_y, rec_cb, rec_cr, lv16_y, lv8_cb, lv8_cr,
+         lv32_y, lv16_cb, lv16_cr) = out[:9]
         g = self.geom
         ph = g.ctbs_h << g.log2_ctb
         pw = g.ctbs_w << g.log2_ctb
         gh, gw = ph // 16, pw // 16
         for rpl, pl in zip(rec, (rec_y, rec_cb, rec_cr)):
             rpl[:] = np.asarray(pl).astype(rpl.dtype)
-        for cpl, lv, bn in ((ps.coeff_y, lv16_y, 16),
-                            (ps.coeff_cb, lv8_cb, 8),
-                            (ps.coeff_cr, lv8_cr, 8)):
-            cpl[:] = np.asarray(lv).astype(np.int32).reshape(
-                gh, gw, bn, bn).transpose(0, 2, 1, 3).reshape(
-                    gh * bn, gw * bn)
+
+        def to_plane(lv, gh_, gw_, bn):
+            return np.asarray(lv).astype(np.int32).reshape(
+                gh_, gw_, bn, bn).transpose(0, 2, 1, 3).reshape(
+                    gh_ * bn, gw_ * bn)
+
+        cy = to_plane(lv16_y, gh, gw, 16)
+        ccb = to_plane(lv8_cb, gh, gw, 8)
+        ccr = to_plane(lv8_cr, gh, gw, 8)
+        if use32 is not None and use32.any():
+            gh32, gw32 = ph // 32, pw // 32
+            m = np.kron(use32, np.ones((32, 32), bool))
+            cy = np.where(m, to_plane(lv32_y, gh32, gw32, 32), cy)
+            mc = np.kron(use32, np.ones((16, 16), bool))
+            ccb = np.where(mc, to_plane(lv16_cb, gh32, gw32, 16), ccb)
+            ccr = np.where(mc, to_plane(lv16_cr, gh32, gw32, 16), ccr)
+        ps.coeff_y[:] = cy
+        ps.coeff_cb[:] = ccb
+        ps.coeff_cr[:] = ccr
+
+    def _apply_cu32(self, ps, use32, mode32):
+        """Set the PicSyntax CU structure for chosen 32x32 intra CUs.
+
+        use32/mode32: [gh32, gw32] over the padded plane.  The quadrant
+        becomes one depth-(log2_ctb-5) intra CU with a 32x32 luma TU
+        (tu_depth stays 0); luma/chroma mode is the 32-mode (DM chroma).
+        """
+        if use32 is None or not use32.any():
+            return
+        g = self.geom
+        d32 = g.log2_ctb - 5
+        u8 = np.kron(use32, np.ones((8, 8), bool))        # 4x4-unit mask
+        m8 = np.kron(mode32.astype(np.uint8), np.ones((8, 8), np.uint8))
+        ps.depth[u8] = d32
+        ps.luma_mode[u8] = m8[u8]
+        ps.chroma_mode[u8] = m8[u8]
+        ps.tu_depth[u8] = 0
+        ps.part[u8] = 0
 
     def _run_i_pipeline(self, ps, orig, rec, cu_size, qps):
         from .device_pipeline import build_i_pipeline
+        from ..common.rdcost import lambda_ssd
 
         if self._i_pipeline is None:
             self._i_pipeline = build_i_pipeline(self)
         out = self._i_pipeline(
-            orig[0], orig[1], orig[2], *(np.int32(q) for q in qps))
-        modes = out[0]
+            orig[0], orig[1], orig[2], *(np.int32(q) for q in qps),
+            np.float32(lambda_ssd(self.qp)))
+        modes, mode32, use32 = out[0], out[1], out[2]
         g = self.geom
-        gh = (g.ctbs_h << g.log2_ctb) // 16
-        gw = (g.ctbs_w << g.log2_ctb) // 16
+        ph = g.ctbs_h << g.log2_ctb
+        pw = g.ctbs_w << g.log2_ctb
+        gh, gw = ph // 16, pw // 16
         modes = np.asarray(modes).reshape(gh, gw)
         s4 = cu_size // 4
         ps.luma_mode[:] = np.kron(modes, np.ones((s4, s4), np.uint8))
         ps.chroma_mode[:] = ps.luma_mode
-        self._scatter_scan_outputs(ps, rec, out[2:])
+        if self._ctu_scan.t["has32"]:
+            use32 = np.asarray(use32).reshape(ph // 32, pw // 32)
+            mode32 = np.asarray(mode32).reshape(ph // 32, pw // 32)
+            self._apply_cu32(ps, use32, mode32)
+        else:
+            use32 = None
+        self._scatter_scan_outputs(ps, rec, out[3:], use32)
         return modes
 
     def _run_p_pipeline(self, ps, orig, rec, cu_size, qps):
@@ -476,11 +523,12 @@ class Encoder:
         refs = (ext(self.ref[0], ph, pw, M),
                 ext(self.ref[1], ph // 2, pw // 2, CM),
                 ext(self.ref[2], ph // 2, pw // 2, CM))
+        from ..common.rdcost import lambda_ssd
         out = self._p_pipeline(
             orig[0], orig[1], orig[2], *refs,
-            *(np.int32(q) for q in qps))
-        modes, mv, inter = out[0], out[1], out[2]
-        cost_p, cost_i = out[9], out[10]
+            *(np.int32(q) for q in qps), np.float32(lambda_ssd(self.qp)))
+        modes, mode32, use32, mv, inter = out[:5]
+        cost_p, cost_i = out[14], out[15]
         self.last_frame_costs = (float(cost_p), float(cost_i))
         gh, gw = (ph // cu_size, pw // cu_size)
         modes = np.asarray(modes).reshape(gh, gw)
@@ -495,9 +543,15 @@ class Encoder:
         ps.mv0[:] = np.kron(
             mv.astype(np.int16).transpose(2, 0, 1),
             np.ones((1, s4, s4), np.int16)).transpose(1, 2, 0)
+        if self._ctu_scan.t["has32"]:
+            use32 = np.asarray(use32).reshape(ph // 32, pw // 32)
+            mode32 = np.asarray(mode32).reshape(ph // 32, pw // 32)
+            self._apply_cu32(ps, use32, mode32)
+        else:
+            use32 = None
         self._merge_inter_cus(ps, inter_mask, mv, n)
         self._derive_inter_syntax(ps)
-        self._scatter_scan_outputs(ps, rec, out[3:9])
+        self._scatter_scan_outputs(ps, rec, out[5:14], use32)
         self._derive_skip(ps)
         return inter_mask, modes
 
