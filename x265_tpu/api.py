@@ -58,8 +58,8 @@ class x265_stats:
 
 
 def x265_encoder_get_stats(enc: Encoder) -> x265_stats:
-    return x265_stats(encoded_picture_count=enc.rc.frame,
-                      accumulated_bits=int(enc.rc.bits_acc))
+    return x265_stats(encoded_picture_count=enc.rc.frames_done,
+                      accumulated_bits=int(enc.rc.total_bits))
 
 
 def x265_encoder_close(enc: Encoder) -> None:

@@ -17,6 +17,144 @@ from __future__ import annotations
 import numpy as np
 
 
+def _filter_stage_builder(enc):
+    """In-pipeline loop filters: coeff-plane merge + deblock + SAO.
+
+    Returns finish(oy3, scan_out, qp_base, dqp_cb, dqp_cr, sao_lam,
+    inter=None, mv=None) -> (final planes x3, coeff planes x3, sao params
+    x4) — everything the host needs, so per-frame device output is one
+    compact transfer (x265 frameFilter role, SURVEY §2.6 P7 as fused
+    stages instead of pipelined rows).
+    """
+    import jax.numpy as jnp
+
+    from ..ops.deblock import deblock_picture_jnp, edge_masks_np
+    from ..ops.sao import (eo_valid_masks_np, sao_apply_plane_jnp,
+                           sao_estimate_plane_jnp)
+
+    g = enc.geom
+    p = enc.params
+    bd = enc.bit_depth
+    ctb = 1 << g.log2_ctb
+    ph = g.ctbs_h << g.log2_ctb
+    pw = g.ctbs_w << g.log2_ctb
+    gh, gw = ph // 16, pw // 16
+    has32 = ctb >= 32
+    gh32, gw32 = (ph // 32, pw // 32) if has32 else (1, 1)
+    masks = edge_masks_np(g, g.log2_ctb)
+    eo_y, in_y = eo_valid_masks_np(ph, pw, g.width, g.height)
+    eo_c, in_c = eo_valid_masks_np(ph // 2, pw // 2, g.width // 2,
+                                   g.height // 2)
+    out_dtype = jnp.uint8 if bd == 8 else jnp.uint16
+
+    def to_plane(lv, gh_, gw_, bn):
+        return lv.reshape(gh_, gw_, bn, bn).transpose(0, 2, 1, 3).reshape(
+            gh_ * bn, gw_ * bn)
+
+    def rep(a, f):
+        return jnp.repeat(jnp.repeat(a, f, 0), f, 1)
+
+    def finish(oy3, scan_out, qp_base, dqp_cb, dqp_cr, sao_lam,
+               inter=None, mv=None):
+        (rec_y, rec_cb, rec_cr, lv16_y, lv8_cb, lv8_cr,
+         lv32_y, lv16_cb, lv16_cr, use32) = scan_out
+        # ---- coefficient planes (merged by the CU decision) ----
+        cy = to_plane(lv16_y, gh, gw, 16)
+        ccb = to_plane(lv8_cb, gh, gw, 8)
+        ccr = to_plane(lv8_cr, gh, gw, 8)
+        if has32:
+            u = use32.reshape(gh32, gw32)
+            m = rep(u, 32)
+            cy = jnp.where(m, to_plane(lv32_y, gh32, gw32, 32), cy)
+            mc = rep(u, 16)
+            ccb = jnp.where(mc, to_plane(lv16_cb, gh32, gw32, 16), ccb)
+            ccr = jnp.where(mc, to_plane(lv16_cr, gh32, gw32, 16), ccr)
+        planes = (rec_y.astype(jnp.int32), rec_cb.astype(jnp.int32),
+                  rec_cr.astype(jnp.int32))
+
+        # ---- deblocking ----
+        if p.deblock:
+            if inter is not None:
+                intra4 = rep(~inter.reshape(gh, gw), 4)
+                mv4 = jnp.repeat(jnp.repeat(
+                    mv.reshape(gh, gw, 2), 4, 0), 4, 1).astype(jnp.int32)
+            else:
+                intra4 = jnp.ones((ph // 4, pw // 4), bool)
+                mv4 = jnp.zeros((ph // 4, pw // 4, 2), jnp.int32)
+            cbf16 = jnp.any(lv16_y != 0, axis=(1, 2)).reshape(gh, gw)
+            cbf4 = rep(cbf16, 4)
+            if has32:
+                cbf32 = jnp.any(lv32_y != 0, axis=(1, 2)).reshape(gh32,
+                                                                  gw32)
+                cbf4 = jnp.where(rep(u, 8), rep(cbf32, 8), cbf4)
+            planes = deblock_picture_jnp(
+                planes, intra4, cbf4, mv4,
+                u if has32 else None, masks, qp_base, dqp_cb, dqp_cr,
+                bd, p.deblock_beta_offset, p.deblock_tc_offset)
+
+        # ---- SAO (estimate + joint decision + apply) ----
+        nctb = g.n_ctbs
+        if p.sao:
+            oy, ocb, ocr = (x.astype(jnp.int32) for x in oy3)
+            ch_, cw_ = g.ctbs_h, g.ctbs_w
+            dist, offs, bpos, bits = sao_estimate_plane_jnp(
+                oy, planes[0], ch_, cw_, ctb, jnp.asarray(eo_y),
+                jnp.asarray(in_y), bd)
+            cost = dist + sao_lam * bits
+            cost = cost.at[..., 0].set(0.0)
+            best = jnp.argmin(cost, axis=-1).astype(jnp.int32)
+            db, ob, pb, bb = sao_estimate_plane_jnp(
+                ocb, planes[1], ch_, cw_, ctb // 2, jnp.asarray(eo_c),
+                jnp.asarray(in_c), bd)
+            dr, orr, pr, br = sao_estimate_plane_jnp(
+                ocr, planes[2], ch_, cw_, ctb // 2, jnp.asarray(eo_c),
+                jnp.asarray(in_c), bd)
+            cost_c = db + dr + sao_lam * (bb + br)
+            cost_c = cost_c.at[..., 0].set(0.0)
+            best_c = jnp.argmin(cost_c, axis=-1).astype(jnp.int32)
+
+            def params_of(best_, offs_, bpos_):
+                types = jnp.where(best_ == 0, 0,
+                                  jnp.where(best_ == 5, 1, 2))
+                klass = jnp.clip(best_ - 1, 0, 3)
+                osel = jnp.take_along_axis(
+                    offs_, best_[..., None, None], axis=-2)[..., 0, :]
+                return types, klass, osel.astype(jnp.int32), bpos_
+
+            ty, ky, oy_sel, by_ = params_of(best, offs, bpos)
+            tc_, kc, ob_sel, bb_ = params_of(best_c, ob, pb)
+            _, _, or_sel, br_ = params_of(best_c, orr, pr)
+            y_f = sao_apply_plane_jnp(planes[0], ch_, cw_, ctb, ty, ky,
+                                      by_, oy_sel, jnp.asarray(eo_y), bd)
+            cb_f = sao_apply_plane_jnp(planes[1], ch_, cw_, ctb // 2, tc_,
+                                       kc, bb_, ob_sel,
+                                       jnp.asarray(eo_c), bd)
+            cr_f = sao_apply_plane_jnp(planes[2], ch_, cw_, ctb // 2, tc_,
+                                       kc, br_, or_sel,
+                                       jnp.asarray(eo_c), bd)
+            planes = (y_f, cb_f, cr_f)
+            sao_type = jnp.stack([ty.reshape(-1), tc_.reshape(-1)], axis=1)
+            sao_class = jnp.stack([ky.reshape(-1), kc.reshape(-1)], axis=1)
+            sao_bpos = jnp.stack([by_.reshape(-1), bb_.reshape(-1),
+                                  br_.reshape(-1)], axis=1)
+            sao_offs = jnp.stack([oy_sel.reshape(-1, 4),
+                                  ob_sel.reshape(-1, 4),
+                                  or_sel.reshape(-1, 4)], axis=1)
+        else:
+            sao_type = jnp.zeros((nctb, 2), jnp.int32)
+            sao_class = jnp.zeros((nctb, 2), jnp.int32)
+            sao_bpos = jnp.zeros((nctb, 3), jnp.int32)
+            sao_offs = jnp.zeros((nctb, 3, 4), jnp.int32)
+
+        return ((planes[0].astype(out_dtype), planes[1].astype(out_dtype),
+                 planes[2].astype(out_dtype),
+                 cy.astype(jnp.int16), ccb.astype(jnp.int16),
+                 ccr.astype(jnp.int16)),
+                (sao_type, sao_class, sao_bpos, sao_offs))
+
+    return finish
+
+
 def _analyse_builder(enc, n, gh, gw, ph, pw):
     """Open-loop all-modes SATD analysis at block size n (batched matmul
     over the 35-mode weight tensor; x265 intra analysis analogue)."""
@@ -43,11 +181,12 @@ def _analyse_builder(enc, n, gh, gw, ph, pw):
 
 def build_i_pipeline(enc):
     """I-frame device program: intra analysis (16 + 32) + CTU-wavefront
-    recon with the in-scan 32-vs-16 RD CU decision (encoder/ctu_scan.py).
+    recon with the in-scan 32-vs-16 RD CU decision (encoder/ctu_scan.py)
+    + in-pipeline deblock/SAO loop filters.
 
-    Returns fn(orig planes x3, qp x3, lam) -> (modes [B16], mode32 [B32],
-    use32 [B32], rec x3, lv16_y, lv8_cb, lv8_cr, lv32_y, lv16_cb,
-    lv16_cr).
+    Returns fn(orig planes x3, qp x3, lam, qp_base, dqp_cb, dqp_cr,
+    sao_lam) -> (modes [B16], mode32 [B32], use32 [B32],
+    final planes x3, coeff planes x3, sao params x4).
     """
     import jax
     import jax.numpy as jnp
@@ -65,8 +204,10 @@ def build_i_pipeline(enc):
     analyse = _analyse_builder(enc, n, gh, gw, ph, pw)
     analyse32 = (_analyse_builder(enc, 32, ph // 32, pw // 32, ph, pw)
                  if decide else None)
+    finish = _filter_stage_builder(enc)
 
-    def run(oy, ocb, ocr, qpy, qpb, qpr, lam):
+    def run(oy, ocb, ocr, qpy, qpb, qpr, lam, qp_base, dqp_cb, dqp_cr,
+            sao_lam):
         modes, _cost = analyse(oy)
         if decide:
             mode32, _c32 = analyse32(oy)
@@ -78,7 +219,9 @@ def build_i_pipeline(enc):
                        jnp.full((nctb,), qpb, jnp.int32),
                        jnp.full((nctb,), qpr, jnp.int32),
                        lam=jnp.full((nctb,), lam, jnp.float32))
-        return (modes, mode32, out[9]) + out[:9]
+        planes6, sao4 = finish((oy, ocb, ocr), out, qp_base, dqp_cb,
+                               dqp_cr, sao_lam)
+        return (modes, mode32, out[9]) + planes6 + sao4
 
     return jax.jit(run)
 
@@ -87,10 +230,9 @@ def build_p_pipeline(enc):
     """P-frame device program: intra analysis + full+subpel ME + chroma MC
     + inter/intra decision + CTU-wavefront recon (one lax.scan).
 
-    fn(orig x3, ref_y_ext, ref_cb_ext, ref_cr_ext, qps, lam) ->
+    fn(orig x3, ref_ext x3, qps, lam, qp_base, dqp_cb, dqp_cr, sao_lam) ->
        (modes, mode32, use32, mv_qpel [B, 2] (x, y), inter_mask [B],
-        rec x3, lv16_y, lv8_cb, lv8_cr, lv32_y, lv16_cb, lv16_cr,
-        cost_p, cost_i).
+        final planes x3, coeff planes x3, sao params x4, cost_p, cost_i).
     """
     import jax
     import jax.numpy as jnp
@@ -117,6 +259,7 @@ def build_p_pipeline(enc):
     analyse16 = _analyse_builder(enc, n, gh, gw, ph, pw)
     analyse32 = (_analyse_builder(enc, 32, ph // 32, pw // 32, ph, pw)
                  if decide else None)
+    finish = _filter_stage_builder(enc)
 
     offs = np.array([(dy, dx) for dy in range(-R, R + 1)
                      for dx in range(-R, R + 1)], np.int32)
@@ -238,7 +381,7 @@ def build_p_pipeline(enc):
                                enc.bit_depth)
 
     def run(oy, ocb, ocr, ref_y_ext, ref_cb_ext, ref_cr_ext,
-            qpy, qpb, qpr, lam):
+            qpy, qpb, qpr, lam, qp_base, dqp_cb, dqp_cr, sao_lam):
         modes, icost, ob = analyse(oy)
         if decide:
             mode32, _c32 = analyse32(oy)
@@ -260,11 +403,13 @@ def build_p_pipeline(enc):
                        lam=jnp.full((nctb,), lam, jnp.float32),
                        is_inter=inter, ipred_y=pred_y,
                        ipred_cb=pred_cb, ipred_cr=pred_cr)
+        planes6, sao4 = finish((oy, ocb, ocr), out, qp_base, dqp_cb,
+                               dqp_cr, sao_lam, inter=inter, mv=mv)
         # frame-level costs for the scenecut decision (x265 slicetype
         # analysis analogue): P cost = per-block best of inter/intra
         cost_p = jnp.sum(jnp.minimum(pcost.reshape(-1), icost))
         cost_i = jnp.sum(icost)
         return (modes, mode32, out[9], mv.astype(jnp.int16), inter,
-                ) + out[:9] + (cost_p, cost_i)
+                ) + planes6 + sao4 + (cost_p, cost_i)
 
     return jax.jit(run)

@@ -122,6 +122,7 @@ class Encoder:
         self.me_range = min(8, params.me_range)  # full-search reach (v1)
         from .ratecontrol import RateControl
         self.rc = RateControl(params)
+        self._prev_half = None          # half-res Y of the previous source
 
     # -- stream headers ------------------------------------------------------
 
@@ -142,6 +143,22 @@ class Encoder:
                                    uuid + info)])
             out += wrap_nal(NAL_PREFIX_SEI, sei)
         return out
+
+    def _complexity_estimate(self, orig, is_p: bool) -> float:
+        """Per-frame complexity for rate control (x265 lookahead SATD
+        analogue, slicetype.cpp m_currentSatd): half-res SAD vs the
+        previous source for P, gradient energy for I.  Replaced by the
+        device lowres lookahead when it lands."""
+        y = orig[0].astype(np.int32)
+        half = (y[0::2, 0::2] + y[1::2, 0::2]
+                + y[0::2, 1::2] + y[1::2, 1::2] + 2) >> 2
+        if is_p and self._prev_half is not None:
+            est = 1.5 * float(np.abs(half - self._prev_half).sum())
+        else:
+            est = 0.8 * float(np.abs(np.diff(half, axis=1)).sum()
+                              + np.abs(np.diff(half, axis=0)).sum())
+        self._prev_half = half
+        return est
 
     # -- pass A: batched mode decision --------------------------------------
 
@@ -259,7 +276,8 @@ class Encoder:
         # for Main10 until those land
         is_p = (self.ref is not None and self.poc % keyint != 0
                 and not self.force_all_intra and self.bit_depth == 8)
-        self.qp = self.rc.frame_qp(is_intra=not is_p)
+        cplx = self._complexity_estimate(orig, is_p)
+        self.qp = self.rc.frame_qp(is_intra=not is_p, satd=cplx)
 
         cu_size = min(16, 1 << g.log2_ctb)
         cu_log2 = cu_size.bit_length() - 1
@@ -302,7 +320,8 @@ class Encoder:
                 is_p = False
                 inter_mask = None
                 self.poc = 0
-                self.qp = self.rc.frame_qp(is_intra=True)
+                # satd=0: the complexity blur was already fed this frame
+                self.qp = self.rc.frame_qp(is_intra=True, satd=0.0)
                 qp_y = self.qp + bd_off
                 qp_cb = chroma_qp(self.qp, self.pps.cb_qp_offset) + bd_off
                 qp_cr = chroma_qp(self.qp, self.pps.cr_qp_offset) + bd_off
@@ -327,21 +346,24 @@ class Encoder:
             self._recon_host_fallback(ps, orig, rec, modes, cu_size,
                                       (qp_y, qp_cb, qp_cr))
         # in-loop filters run on the coded-size picture; intra prediction
-        # above used the unfiltered planes, so filter a copy (§8.4.4.2.1)
+        # above used the unfiltered planes, so filter a copy (§8.4.4.2.1).
+        # The device pipelines already applied deblock + SAO on device.
         cw, ch_ = self.sps.pic_width, self.sps.pic_height
         rec = (rec[0][:ch_, :cw], rec[1][:ch_ // 2, :cw // 2],
                rec[2][:ch_ // 2, :cw // 2])
-        if p.deblock:
-            # deblocking beta/tc derivation indexes by the BASE QpY (no
-            # QpBdOffset — the tables are clipped to 0..51, §8.7.2.5.3)
-            rec = deblock_intra_picture_np(
-                ps, rec, self.qp, self.bit_depth,
-                p.deblock_beta_offset, p.deblock_tc_offset,
-                self.pps.cb_qp_offset, self.pps.cr_qp_offset)
-        if self.sps.sao_enabled:
-            orig_coded = (orig[0][:ch_, :cw], orig[1][:ch_ // 2, :cw // 2],
-                          orig[2][:ch_ // 2, :cw // 2])
-            rec = self._sao_decide_apply(ps, orig_coded, rec)
+        if not use_pipeline:
+            if p.deblock:
+                # deblocking beta/tc derivation indexes by the BASE QpY (no
+                # QpBdOffset — the tables are clipped to 0..51, §8.7.2.5.3)
+                rec = deblock_intra_picture_np(
+                    ps, rec, self.qp, self.bit_depth,
+                    p.deblock_beta_offset, p.deblock_tc_offset,
+                    self.pps.cb_qp_offset, self.pps.cr_qp_offset)
+            if self.sps.sao_enabled:
+                orig_coded = (orig[0][:ch_, :cw],
+                              orig[1][:ch_ // 2, :cw // 2],
+                              orig[2][:ch_ // 2, :cw // 2])
+                rec = self._sao_decide_apply(ps, orig_coded, rec)
 
         au = self._entropy_encode(ps, SLICE_P if is_p else SLICE_I,
                                   self.poc % keyint)
@@ -422,39 +444,20 @@ class Encoder:
                     self.sps.strong_intra_smoothing))
         return self._ctu_scan
 
-    def _scatter_scan_outputs(self, ps, rec, out, use32=None):
-        """CTU-scan outputs -> rec planes + coeff planes.
-
-        out: (rec x3, lv16_y, lv8_cb, lv8_cr, lv32_y, lv16_cb, lv16_cr);
-        use32 [gh32, gw32] bool selects the 32x32-TU levels per quadrant.
-        """
-        (rec_y, rec_cb, rec_cr, lv16_y, lv8_cb, lv8_cr,
-         lv32_y, lv16_cb, lv16_cr) = out[:9]
-        g = self.geom
-        ph = g.ctbs_h << g.log2_ctb
-        pw = g.ctbs_w << g.log2_ctb
-        gh, gw = ph // 16, pw // 16
-        for rpl, pl in zip(rec, (rec_y, rec_cb, rec_cr)):
+    def _scatter_device_outputs(self, ps, rec, outs):
+        """Device finish-stage outputs -> rec planes + coeff planes +
+        SAO syntax.  outs: (final x3, coeff x3, sao x4)."""
+        (fy, fcb, fcr, cy, ccb, ccr, st, sc, sb, so) = outs[:10]
+        for rpl, pl in zip(rec, (fy, fcb, fcr)):
             rpl[:] = np.asarray(pl).astype(rpl.dtype)
-
-        def to_plane(lv, gh_, gw_, bn):
-            return np.asarray(lv).astype(np.int32).reshape(
-                gh_, gw_, bn, bn).transpose(0, 2, 1, 3).reshape(
-                    gh_ * bn, gw_ * bn)
-
-        cy = to_plane(lv16_y, gh, gw, 16)
-        ccb = to_plane(lv8_cb, gh, gw, 8)
-        ccr = to_plane(lv8_cr, gh, gw, 8)
-        if use32 is not None and use32.any():
-            gh32, gw32 = ph // 32, pw // 32
-            m = np.kron(use32, np.ones((32, 32), bool))
-            cy = np.where(m, to_plane(lv32_y, gh32, gw32, 32), cy)
-            mc = np.kron(use32, np.ones((16, 16), bool))
-            ccb = np.where(mc, to_plane(lv16_cb, gh32, gw32, 16), ccb)
-            ccr = np.where(mc, to_plane(lv16_cr, gh32, gw32, 16), ccr)
-        ps.coeff_y[:] = cy
-        ps.coeff_cb[:] = ccb
-        ps.coeff_cr[:] = ccr
+        ps.coeff_y[:] = np.asarray(cy).astype(np.int32)
+        ps.coeff_cb[:] = np.asarray(ccb).astype(np.int32)
+        ps.coeff_cr[:] = np.asarray(ccr).astype(np.int32)
+        if self.sps.sao_enabled:
+            ps.sao_type[:] = np.asarray(st).astype(np.int8)
+            ps.sao_eo_class[:] = np.asarray(sc).astype(np.int8)
+            ps.sao_band_pos[:] = np.asarray(sb).astype(np.int8)
+            ps.sao_offsets[:] = np.asarray(so).astype(np.int8)
 
     def _apply_cu32(self, ps, use32, mode32):
         """Set the PicSyntax CU structure for chosen 32x32 intra CUs.
@@ -475,6 +478,14 @@ class Encoder:
         ps.tu_depth[u8] = 0
         ps.part[u8] = 0
 
+    def _filter_qps(self):
+        """(qp_base, deblock chroma QPs, SAO lambda) device inputs."""
+        dq_cb = chroma_qp(self.qp, self.pps.cb_qp_offset)
+        dq_cr = chroma_qp(self.qp, self.pps.cr_qp_offset)
+        sao_lam = 0.72 * 2.0 ** ((self.qp - 12) / 3.0)
+        return (np.int32(self.qp), np.int32(dq_cb), np.int32(dq_cr),
+                np.float32(sao_lam))
+
     def _run_i_pipeline(self, ps, orig, rec, cu_size, qps):
         from .device_pipeline import build_i_pipeline
         from ..common.rdcost import lambda_ssd
@@ -483,7 +494,7 @@ class Encoder:
             self._i_pipeline = build_i_pipeline(self)
         out = self._i_pipeline(
             orig[0], orig[1], orig[2], *(np.int32(q) for q in qps),
-            np.float32(lambda_ssd(self.qp)))
+            np.float32(lambda_ssd(self.qp)), *self._filter_qps())
         modes, mode32, use32 = out[0], out[1], out[2]
         g = self.geom
         ph = g.ctbs_h << g.log2_ctb
@@ -497,9 +508,7 @@ class Encoder:
             use32 = np.asarray(use32).reshape(ph // 32, pw // 32)
             mode32 = np.asarray(mode32).reshape(ph // 32, pw // 32)
             self._apply_cu32(ps, use32, mode32)
-        else:
-            use32 = None
-        self._scatter_scan_outputs(ps, rec, out[3:], use32)
+        self._scatter_device_outputs(ps, rec, out[3:])
         return modes
 
     def _run_p_pipeline(self, ps, orig, rec, cu_size, qps):
@@ -526,9 +535,10 @@ class Encoder:
         from ..common.rdcost import lambda_ssd
         out = self._p_pipeline(
             orig[0], orig[1], orig[2], *refs,
-            *(np.int32(q) for q in qps), np.float32(lambda_ssd(self.qp)))
+            *(np.int32(q) for q in qps), np.float32(lambda_ssd(self.qp)),
+            *self._filter_qps())
         modes, mode32, use32, mv, inter = out[:5]
-        cost_p, cost_i = out[14], out[15]
+        cost_p, cost_i = out[15], out[16]
         self.last_frame_costs = (float(cost_p), float(cost_i))
         gh, gw = (ph // cu_size, pw // cu_size)
         modes = np.asarray(modes).reshape(gh, gw)
@@ -547,11 +557,9 @@ class Encoder:
             use32 = np.asarray(use32).reshape(ph // 32, pw // 32)
             mode32 = np.asarray(mode32).reshape(ph // 32, pw // 32)
             self._apply_cu32(ps, use32, mode32)
-        else:
-            use32 = None
         self._merge_inter_cus(ps, inter_mask, mv, n)
         self._derive_inter_syntax(ps)
-        self._scatter_scan_outputs(ps, rec, out[5:14], use32)
+        self._scatter_device_outputs(ps, rec, out[5:15])
         self._derive_skip(ps)
         return inter_mask, modes
 

@@ -1,18 +1,19 @@
-"""Rate control: CQP / CRF / ABR.
+"""Rate control: CQP / CRF / ABR with frame-level VBV.
 
-Role parity with x265's RateControl (x265_1.9/source/encoder/
-ratecontrol.cpp:1061 rateControlStart / :2317 rateControlEnd), as the host
-scalar state machine between device frame steps (SURVEY.md §7 design
-stance).  This v1 implements:
+Port of the 1-pass core of x265's RateControl state machine
+(x265_1.9/source/encoder/ratecontrol.cpp): rateEstimateQscale (:1463),
+getQScale's qComp complexity curve (:2243), tuneAbrQScaleFromFeedback
+(:1436), frame-level clipQscale VBV (:1870) with x264-style frame-size
+predictors, and the rateControlEnd accumulators (cplxrSum /
+wantedBitsWindow / accumPQp).  Runs as host scalar state between device
+frame steps (SURVEY.md §7 design stance).
 
-  * CQP  — constant QP, with the I-frame offset from ipratio,
-  * CRF  — constant rate factor: fixed quality target mapped to QP
-           (complexity-adaptive qComp weighting arrives with the lookahead),
-  * ABR  — average bitrate via multiplicative feedback on the accumulated
-           bits-vs-target error (the core of x265's
-           tuneAbrQScaleFromFeedback, without VBV).
+The per-frame complexity input (x265's lowres lookahead SATD,
+m_currentSatd) is supplied by the encoder's half-res host estimate until
+the device lookahead lands; the qComp power curve only needs relative
+complexity, so the estimate's scale is absorbed by BASE_CPLX.
 
-2-pass, VBV and cu-tree arrive with the lookahead subsystem.
+cu-tree offsets and 2-pass arrive with the lookahead subsystem.
 """
 
 from __future__ import annotations
@@ -28,53 +29,193 @@ def qscale_to_qp(qs: float) -> float:
     return 12.0 + 6.0 * math.log2(qs / 0.85)
 
 
+MIN_QPSCALE = qp_to_qscale(0)
+MAX_QPSCALE = qp_to_qscale(51)
+
+
+class Predictor:
+    """x264-style frame-size predictor: bits ~= coeff * satd / qscale."""
+
+    def __init__(self, coeff: float = 1.0):
+        self.coeff = coeff
+        self.count = 1.0
+        self.decay = 0.5
+
+    def predict(self, satd: float, qscale: float) -> float:
+        return self.coeff * satd / max(qscale, 1e-4) / self.count
+
+    def update(self, bits: float, satd: float, qscale: float) -> None:
+        if satd <= 0 or bits <= 0:
+            return
+        self.count *= self.decay
+        self.coeff *= self.decay
+        self.count += 1.0
+        self.coeff += bits * qscale / satd
+
+
 class RateControl:
     def __init__(self, params):
         from ..common.params import RC_ABR, RC_CQP, RC_CRF
         self.p = params
         self.fps = params.fps_num / max(1, params.fps_denom)
+        self.frame_duration = 1.0 / self.fps
         self.mode = {RC_CQP: "cqp", RC_CRF: "crf",
                      RC_ABR: "abr"}[params.rc_mode]
         if self.mode == "abr" and params.bitrate <= 0:
             self.mode = "cqp"
-        # I frames get a lower QP by ~6*log2(ipratio) (x265 ipratio default)
-        ip = getattr(params, "ip_factor", 1.4) or 1.4
-        self.ip_offset = max(0, round(6.0 * math.log2(ip)))
-        self.frame = 0
-        self.bits_acc = 0.0
-        self.qp_prev = float(params.qp)
-        if self.mode == "abr":
-            self.target_bps = params.bitrate * 1000.0
-            self.target_per_frame = self.target_bps / self.fps
-            # bootstrap QP from bits-per-pixel (x265 ABR init heuristic)
-            bpp = self.target_per_frame / max(
-                1, params.source_width * params.source_height)
-            qs = 0.9 / max(bpp, 1e-4) ** 0.6 * 0.3
-            self.qp_prev = min(48.0, max(10.0, qscale_to_qp(qs)))
+        self.qcomp = params.qcomp
+        self.ip_factor = abs(getattr(params, "ip_factor", 1.4) or 1.4)
+        self.ip_offset = 6.0 * math.log2(self.ip_factor)
+        self.lstep = 2.0 ** (params.qp_step / 6.0)
+        w, h = params.source_width, params.source_height
+        self.ncu = (w * h) // 256 or 1
 
-    def frame_qp(self, is_intra: bool) -> int:
+        self.frames_done = 0
+        self.total_bits = 0.0
+        # complexity blur (rateEstimateQscale 1-pass ABR section)
+        self.short_cplx_sum = 0.0
+        self.short_cplx_count = 0.0
+        self.last_satd = 0.0
+        # CRF: rate factor from the target "quality" QP
+        base_cplx = self.ncu * 80.0
+        self.rate_factor_const = (base_cplx ** (1.0 - self.qcomp)
+                                  / qp_to_qscale(params.crf))
+        # ABR accumulators (init: ratecontrol.cpp:377)
+        self.bitrate = params.bitrate * 1000.0
+        self.rate_tolerance = 1.0
+        self.cplxr_sum = (0.01 * (7.0e5 ** self.qcomp)
+                          * (self.ncu ** 0.5))
+        self.wanted_bits_window = self.bitrate / self.fps
+        self.accum_p_qp = 0.01 * (params.qp if self.mode == "cqp"
+                                  else params.crf)
+        self.accum_p_norm = 0.01
+        self.last_qscale_for = {"I": qp_to_qscale(26),
+                                "P": qp_to_qscale(26)}
+        if self.mode == "abr":
+            bpp = self.bitrate / self.fps / max(1, w * h)
+            qs = 0.3 * (0.9 / max(bpp, 1e-4)) ** 0.6
+            q0 = min(48.0, max(10.0, qscale_to_qp(qs)))
+            self.accum_p_qp = q0 * self.accum_p_norm
+            self.last_qscale_for = {"I": qp_to_qscale(q0 - self.ip_offset),
+                                    "P": qp_to_qscale(q0)}
+
+        # VBV (frame level)
+        self.vbv = (params.vbv_buffer_size > 0
+                    and params.vbv_max_bitrate > 0
+                    and self.mode != "cqp")
+        if self.vbv:
+            self.buffer_size = params.vbv_buffer_size * 1000.0
+            self.buffer_rate = (params.vbv_max_bitrate * 1000.0 / self.fps)
+            self.buffer_fill = self.buffer_size * params.vbv_buffer_init
+        self.pred = {"I": Predictor(2.0), "P": Predictor(1.0)}
+        self._last = None           # (type, qscale, satd) of current frame
+
+    # -- per-frame decision --------------------------------------------------
+
+    def _rceq(self) -> float:
+        """qComp complexity curve value for the current blur state."""
+        blurred = (self.short_cplx_sum / max(self.short_cplx_count, 1e-9)
+                   if self.short_cplx_count > 0 else 1.0)
+        return max(blurred, 1.0) ** (1.0 - self.qcomp)
+
+    def frame_qp(self, is_intra: bool, satd: float = 0.0) -> int:
+        """QP for the next frame.  ``satd`` is the frame complexity
+        estimate (lookahead cost analogue); 0 keeps the previous blur."""
+        ftype = "I" if is_intra else "P"
         if self.mode == "cqp":
-            q = self.p.qp
-        elif self.mode == "crf":
-            q = self.p.crf
-        else:  # abr
-            q = self.qp_prev
-            if self.frame > 0:
-                # multiplicative feedback on accumulated error
-                expected = self.target_per_frame * self.frame
-                ratio = self.bits_acc / max(1.0, expected)
-                q = qscale_to_qp(qp_to_qscale(self.qp_prev)
-                                 * min(4.0, max(0.25, ratio)) ** 0.5)
-                q = min(self.qp_prev + self.p.qp_step,
-                        max(self.qp_prev - self.p.qp_step, q))
-        q = float(q)
+            q = self.p.qp - (round(self.ip_offset) if is_intra else 0)
+            self._last = (ftype, qp_to_qscale(q), satd)
+            return int(min(51, max(0, q)))
+
+        if satd > 0:
+            self.short_cplx_sum *= 0.5
+            self.short_cplx_count *= 0.5
+            self.short_cplx_sum += satd
+            self.short_cplx_count += 1
+            self.last_satd = satd
+        rceq = self._rceq()
+
+        if self.mode == "crf":
+            qs = rceq / self.rate_factor_const
+        else:
+            # 1-pass ABR (rateEstimateQscale:1646)
+            qs = rceq / (self.wanted_bits_window / self.cplxr_sum)
+            qs = self._abr_feedback(qs)
+
+        if is_intra and self.frames_done > 0:
+            # I frames track the accumulated P QP / ipfactor (:1682)
+            qs = qp_to_qscale(self.accum_p_qp / self.accum_p_norm)
+            qs /= self.ip_factor
+        elif self.frames_done > 0 and self.mode == "abr":
+            lqmin = self.last_qscale_for[ftype] / self.lstep
+            lqmax = self.last_qscale_for[ftype] * self.lstep
+            qs = min(lqmax, max(lqmin, qs))
+        elif self.frames_done == 0 and self.mode == "crf":
+            qs = qp_to_qscale(self.p.crf) / self.ip_factor
+
+        qs = min(MAX_QPSCALE, max(MIN_QPSCALE, qs))
+        qs = self._clip_qscale_vbv(qs, satd, ftype)
+        self.last_qscale_for[ftype] = qs
         if is_intra:
-            q -= self.ip_offset
-        return int(min(51, max(0, round(q))))
+            self.last_qscale_for["P"] = max(
+                self.last_qscale_for["P"], qs * self.ip_factor)
+        self._last = (ftype, qs, satd)
+        return int(min(51, max(0, round(qscale_to_qp(qs)))))
+
+    def _abr_feedback(self, qs: float) -> float:
+        """tuneAbrQScaleFromFeedback (:1436)."""
+        if self.last_satd <= 0 or self.frames_done == 0:
+            return qs
+        abr_buffer = 2.0 * self.rate_tolerance * self.bitrate
+        time_done = self.frames_done * self.frame_duration
+        wanted = time_done * self.bitrate
+        if wanted > 0 and self.total_bits > 0:
+            abr_buffer *= max(1.0, math.sqrt(time_done))
+            overflow = min(2.0, max(
+                0.5, 1.0 + (self.total_bits - wanted) / abr_buffer))
+            qs *= overflow
+        return qs
+
+    def _clip_qscale_vbv(self, qs: float, satd: float,
+                         ftype: str) -> float:
+        """Frame-level clipQscale (:1870): keep the predicted frame size
+        inside the buffer; raise q on underflow risk, lower on overflow."""
+        if not self.vbv or satd <= 0:
+            return qs
+        pred = self.pred[ftype]
+        # underflow guard: frame must leave >= 10% buffer
+        max_bits = self.buffer_fill + self.buffer_rate \
+            - 0.1 * self.buffer_size
+        if max_bits > 0:
+            size = pred.predict(satd, qs)
+            if size > max_bits:
+                qs = pred.coeff / pred.count * satd / max_bits
+        # overflow guard: don't let the buffer overflow (pad with quality)
+        min_bits = self.buffer_fill + self.buffer_rate - self.buffer_size
+        if min_bits > 0:
+            size = pred.predict(satd, qs)
+            if size < min_bits:
+                qs = pred.coeff / pred.count * satd / min_bits
+        return min(MAX_QPSCALE, max(MIN_QPSCALE, qs))
+
+    # -- post-frame accounting ----------------------------------------------
 
     def update(self, bits: int, qp_used: int, is_intra: bool) -> None:
-        self.bits_acc += bits
-        self.frame += 1
-        if self.mode == "abr":
-            self.qp_prev = float(qp_used + (self.ip_offset if is_intra
-                                            else 0))
+        """rateControlEnd: accumulate bits / complexity ratios / VBV."""
+        ftype, qs, satd = self._last or ("I", qp_to_qscale(qp_used), 0.0)
+        self.total_bits += bits
+        self.frames_done += 1
+        if self.mode != "cqp":
+            rceq = self._rceq()
+            self.cplxr_sum += bits * qp_to_qscale(qp_used) / max(rceq,
+                                                                 1e-9)
+            self.wanted_bits_window += self.bitrate / self.fps
+            if not is_intra:
+                self.accum_p_qp = 0.95 * self.accum_p_qp + qp_used
+                self.accum_p_norm = 0.95 * self.accum_p_norm + 1.0
+        if satd > 0:
+            self.pred[ftype].update(bits, satd, qs)
+        if self.vbv:
+            self.buffer_fill = min(
+                self.buffer_size,
+                max(0.0, self.buffer_fill - bits + self.buffer_rate))

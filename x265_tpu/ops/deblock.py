@@ -275,3 +275,235 @@ def deblock_picture_np(ps, planes, qp_y: int, bit_depth: int = 8,
 
 # backward-compatible name (I-slice pictures derive BS=2 automatically)
 deblock_intra_picture_np = deblock_picture_np
+
+
+# ---------------------------------------------------------------------------
+# device (jnp) path — same math, whole-plane regular tiling
+# ---------------------------------------------------------------------------
+# The 8-px deblocking grid makes every vertical edge's read window
+# [8k-4, 8k+4) tile the plane exactly (stride == width), so the whole
+# vertical pass is reshape -> batched segment filter -> reshape, with NO
+# gathers; the horizontal pass runs the same on the transposed output.
+# This replaces the reference's per-CTU loop (x265_1.9
+# source/common/deblock.cpp deblockCTU) with two dense device passes.
+
+def _luma_seg_filter_jnp(seg, bs, qp, bit_depth, beta_off, tc_off):
+    """seg: [E, 4, 8] int32; bs: [E] int32 (0 = skip).  Returns [E, 4, 8]."""
+    import jax.numpy as jnp
+
+    shift = bit_depth - 8
+    qb = jnp.clip(qp + beta_off * 2, 0, 51)
+    qt = jnp.clip(qp + 2 * (bs - 1) + tc_off * 2, 0, 53)
+    beta = (jnp.asarray(BETA_TABLE)[qb] << shift)
+    tc = (jnp.asarray(TC_TABLE)[qt] << shift)
+    if beta.ndim == 0:
+        beta = jnp.broadcast_to(beta, bs.shape)
+    beta = beta[:, None]
+    tc = tc[:, None]
+
+    p3, p2, p1, p0 = (seg[:, :, i] for i in range(4))
+    q0, q1, q2, q3 = (seg[:, :, i] for i in range(4, 8))
+
+    dp0 = jnp.abs(p2[:, 0] - 2 * p1[:, 0] + p0[:, 0])
+    dp3 = jnp.abs(p2[:, 3] - 2 * p1[:, 3] + p0[:, 3])
+    dq0 = jnp.abs(q2[:, 0] - 2 * q1[:, 0] + q0[:, 0])
+    dq3 = jnp.abs(q2[:, 3] - 2 * q1[:, 3] + q0[:, 3])
+    dpq0, dpq3 = dp0 + dq0, dp3 + dq3
+    dp, dq = dp0 + dp3, dq0 + dq3
+    d = dpq0 + dpq3
+    b1 = beta[:, 0]
+    t1 = tc[:, 0]
+    filter_on = (d < b1) & (bs > 0) & (t1 > 0)
+
+    def strong_cond(dpq, i):
+        return ((2 * dpq < (b1 >> 2))
+                & (jnp.abs(p3[:, i] - p0[:, i])
+                   + jnp.abs(q0[:, i] - q3[:, i]) < (b1 >> 3))
+                & (jnp.abs(p0[:, i] - q0[:, i]) < ((5 * t1 + 1) >> 1)))
+
+    strong = strong_cond(dpq0, 0) & strong_cond(dpq3, 3)
+
+    c3 = lambda lo, hi, v: jnp.clip(v, lo, hi)  # noqa: E731
+    sp0 = c3(p0 - 2 * tc, p0 + 2 * tc,
+             (p2 + 2 * p1 + 2 * p0 + 2 * q0 + q1 + 4) >> 3)
+    sp1 = c3(p1 - 2 * tc, p1 + 2 * tc, (p2 + p1 + p0 + q0 + 2) >> 2)
+    sp2 = c3(p2 - 2 * tc, p2 + 2 * tc,
+             (2 * p3 + 3 * p2 + p1 + p0 + q0 + 4) >> 3)
+    sq0 = c3(q0 - 2 * tc, q0 + 2 * tc,
+             (p1 + 2 * p0 + 2 * q0 + 2 * q1 + q2 + 4) >> 3)
+    sq1 = c3(q1 - 2 * tc, q1 + 2 * tc, (p0 + q0 + q1 + q2 + 2) >> 2)
+    sq2 = c3(q2 - 2 * tc, q2 + 2 * tc,
+             (p0 + q0 + q1 + 3 * q2 + 2 * q3 + 4) >> 3)
+
+    delta = (9 * (q0 - p0) - 3 * (q1 - p1) + 8) >> 4
+    w_on = jnp.abs(delta) < tc * 10
+    dlt = jnp.clip(delta, -tc, tc)
+    maxval = (1 << bit_depth) - 1
+    wp0 = jnp.clip(p0 + dlt, 0, maxval)
+    wq0 = jnp.clip(q0 - dlt, 0, maxval)
+    side_thresh = (b1 + (b1 >> 1)) >> 3
+    dEp1 = (dp < side_thresh)[:, None]
+    dEq1 = (dq < side_thresh)[:, None]
+    tc2 = tc >> 1
+    dp1 = jnp.clip((((p2 + p0 + 1) >> 1) - p1 + dlt) >> 1, -tc2, tc2)
+    dq1 = jnp.clip((((q2 + q0 + 1) >> 1) - q1 - dlt) >> 1, -tc2, tc2)
+    wp1 = jnp.clip(p1 + dp1, 0, maxval)
+    wq1 = jnp.clip(q1 + dq1, 0, maxval)
+
+    on = filter_on[:, None]
+    st = strong[:, None] & on
+    wk = (~strong[:, None]) & on & w_on
+
+    out = seg
+    out = out.at[:, :, 1].set(jnp.where(st, sp2, p2))
+    out = out.at[:, :, 2].set(
+        jnp.where(st, sp1, jnp.where(wk & dEp1, wp1, p1)))
+    out = out.at[:, :, 3].set(jnp.where(st, sp0, jnp.where(wk, wp0, p0)))
+    out = out.at[:, :, 4].set(jnp.where(st, sq0, jnp.where(wk, wq0, q0)))
+    out = out.at[:, :, 5].set(
+        jnp.where(st, sq1, jnp.where(wk & dEq1, wq1, q1)))
+    out = out.at[:, :, 6].set(jnp.where(st, sq2, q2))
+    return out
+
+
+def _chroma_seg_filter_jnp(seg, bs, qp, bit_depth, tc_off):
+    """seg: [E, 4, 4] int32 (p1 p0 q0 q1); bs: [E] (2 filters)."""
+    import jax.numpy as jnp
+
+    shift = bit_depth - 8
+    qt = jnp.clip(qp + 2 + tc_off * 2, 0, 53)
+    tc = (jnp.asarray(TC_TABLE)[qt] << shift)
+    tc = jnp.where(bs == 2, tc, 0)[:, None]
+    p1, p0, q0, q1 = (seg[:, :, i] for i in range(4))
+    delta = jnp.clip((((q0 - p0) << 2) + p1 - q1 + 4) >> 3, -tc, tc)
+    maxval = (1 << bit_depth) - 1
+    out = seg
+    out = out.at[:, :, 1].set(jnp.clip(p0 + delta, 0, maxval))
+    out = out.at[:, :, 2].set(jnp.clip(q0 - delta, 0, maxval))
+    return out
+
+
+def _deblock_dir_jnp(plane, bs_edge, qp, bit_depth, beta_off, tc_off,
+                     chroma):
+    """One direction (vertical edges) over the whole plane.
+
+    plane: [H, W] int32; bs_edge: [H//4, nk] per-edge BS for edges at
+    x = 8(k+1).  Returns the filtered plane.
+    """
+    import jax.numpy as jnp
+
+    H, W = plane.shape
+    G = 8
+    R = 2 if chroma else 4
+    nk = W // G - 1
+    if nk < 1:
+        return plane
+    x0 = G - R
+    span = plane[:, x0:x0 + nk * G]
+    win = span.reshape(H, nk, G)
+    seg = win.reshape(H // 4, 4, nk, G).transpose(0, 2, 1, 3).reshape(
+        -1, 4, G)
+    bs = bs_edge.reshape(-1)
+    f = (_chroma_seg_filter_jnp(seg[:, :, :2 * R], bs, qp, bit_depth,
+                                tc_off) if chroma
+         else _luma_seg_filter_jnp(seg, bs, qp, bit_depth, beta_off,
+                                   tc_off))
+    seg = seg.at[:, :, :2 * R].set(f) if chroma else f
+    win = seg.reshape(H // 4, nk, 4, G).transpose(0, 2, 1, 3).reshape(
+        H, nk * G)
+    return plane.at[:, x0:x0 + nk * G].set(win)
+
+
+def deblock_plane_jnp(plane, bs_v, bs_h, qp, bit_depth=8, beta_off=0,
+                      tc_off=0, *, chroma=False):
+    """Device deblocking of one plane (both directions, §8.7.2 order).
+
+    plane [H, W] int32; bs_v/bs_h [H//4, W//4] BS at 4-granularity with
+    grid restrictions and picture-boundary masking already applied (same
+    contract as deblock_plane_np).
+    """
+    import jax.numpy as jnp
+
+    H, W = plane.shape
+    nkv = W // 8 - 1
+    nkh = H // 8 - 1
+    # per-edge BS: edge k at x = 8(k+1) -> bs at x4 = 2(k+1)
+    if nkv >= 1:
+        bsv = bs_v[:, 2::2][:, :nkv]
+        plane = _deblock_dir_jnp(plane, bsv, qp, bit_depth, beta_off,
+                                 tc_off, chroma)
+    if nkh >= 1:
+        bsh = bs_h[2::2, :][:nkh].T
+        plane = _deblock_dir_jnp(plane.T, bsh, qp, bit_depth, beta_off,
+                                 tc_off, chroma).T
+    return plane
+
+
+def edge_masks_np(geom, log2_ctb: int):
+    """Static 16-grid TU edge masks over the PADDED plane, with picture
+    (coded-size) boundary edges excluded.  [h4p, w4p] bool x2 + a mask of
+    4x4 units inside the coded picture (for BS gating)."""
+    ph = geom.ctbs_h << log2_ctb
+    pw = geom.ctbs_w << log2_ctb
+    h4p, w4p = ph // 4, pw // 4
+    x4 = np.arange(w4p)[None, :]
+    y4 = np.arange(h4p)[:, None]
+    inside = (x4 * 4 < geom.width) & (y4 * 4 < geom.height)
+    ev = (x4 % 4 == 0) & (x4 > 0) & inside
+    eh = (y4 % 4 == 0) & (y4 > 0) & inside
+    return (np.broadcast_to(ev, (h4p, w4p)).copy(),
+            np.broadcast_to(eh, (h4p, w4p)).copy(),
+            np.broadcast_to(inside, (h4p, w4p)).copy())
+
+
+def deblock_picture_jnp(planes, intra4, cbf4, mv4, use32, static_masks,
+                        qp_y, qp_cb, qp_cr, bit_depth=8, beta_off=0,
+                        tc_off=0):
+    """Device deblocking of a whole reconstructed picture (padded planes).
+
+    planes: (Y [PH, PW], Cb, Cr) int32; intra4/cbf4 [h4p, w4p] bool;
+    mv4 [h4p, w4p, 2] int32 qpel; use32 [PH//32, PW//32] bool or None;
+    static_masks from edge_masks_np.  qps are Python ints or traced
+    scalars (beta/tc lookup domain 0..53).  Mirrors deblock_picture_np.
+    """
+    import jax.numpy as jnp
+
+    ev0, eh0, inside = (jnp.asarray(m) for m in static_masks)
+    h4p, w4p = ev0.shape
+    if use32 is not None:
+        u4 = jnp.repeat(jnp.repeat(use32, 8, 0), 8, 1)
+        x4 = jnp.arange(w4p)[None, :]
+        y4 = jnp.arange(h4p)[:, None]
+        ev = ev0 & ~(u4 & (x4 % 8 == 4))
+        eh = eh0 & ~(u4 & (y4 % 8 == 4))
+    else:
+        ev, eh = ev0, eh0
+
+    mv = mv4.astype(jnp.int32)
+
+    def bs_dir(edge, axis):
+        p_intra = jnp.roll(intra4, 1, axis=axis)
+        p_cbf = jnp.roll(cbf4, 1, axis=axis)
+        p_mv = jnp.roll(mv, 1, axis=axis)
+        mv_big = jnp.any(jnp.abs(mv - p_mv) >= 4, axis=-1)
+        bs = jnp.where(intra4 | p_intra, 2,
+                       jnp.where(cbf4 | p_cbf | mv_big, 1, 0))
+        return jnp.where(edge, bs, 0).astype(jnp.int32)
+
+    bs_v = bs_dir(ev, axis=1)
+    bs_h = bs_dir(eh, axis=0)
+    # luma 8-px grid restriction (edges only on even 4-cols by
+    # construction, but keep parity with the numpy contract)
+    y = deblock_plane_jnp(planes[0].astype(jnp.int32), bs_v, bs_h, qp_y,
+                          bit_depth, beta_off, tc_off)
+    # chroma: 16-luma-px grid, BS==2 only
+    h4c, w4c = h4p // 2, w4p // 2
+    cv = jnp.zeros((h4c, w4c), jnp.int32)
+    ch = jnp.zeros((h4c, w4c), jnp.int32)
+    cv = cv.at[:, 0::2].set(jnp.where(bs_v[::2, 0::4] == 2, 2, 0))
+    ch = ch.at[0::2, :].set(jnp.where(bs_h[0::4, ::2] == 2, 2, 0))
+    cb = deblock_plane_jnp(planes[1].astype(jnp.int32), cv, ch, qp_cb,
+                           bit_depth, tc_off=tc_off, chroma=True)
+    cr = deblock_plane_jnp(planes[2].astype(jnp.int32), cv, ch, qp_cr,
+                           bit_depth, tc_off=tc_off, chroma=True)
+    return y, cb, cr

@@ -192,3 +192,165 @@ def sao_estimate_plane_np(orig: np.ndarray, rec: np.ndarray, ctb_size: int,
     bits[..., 5] = (2 + 5 + np.abs(bo_sel).sum(axis=1)
                     + 8).reshape(ch, cw)
     return dist, offs, band_pos, bits
+
+
+# ---------------------------------------------------------------------------
+# device (jnp) path — estimation, decision, apply
+# ---------------------------------------------------------------------------
+# The whole SAO stage runs as dense whole-plane math on device: per-class
+# category planes via shifts, per-CTB statistics via reshape reductions,
+# the x265-style offset walk as a short static loop, and apply via flat
+# table gathers.  Replaces the host passes above in the fused per-frame
+# pipeline (x265_1.9 source/encoder/sao.cpp calcSaoStatsCu/rdoSaoUnitRow
+# role, re-cast as batched tensor ops).
+
+def _eo_category_jnp(p, klass, valid):
+    """Per-sample EO category on a padded plane (0 = unfiltered)."""
+    import jax.numpy as jnp
+
+    (dy0, dx0), (dy1, dx1) = EO_NEIGHBORS[klass]
+    n0 = jnp.roll(jnp.roll(p, -dy0, axis=0), -dx0, axis=1)
+    n1 = jnp.roll(jnp.roll(p, -dy1, axis=0), -dx1, axis=1)
+    cat = jnp.asarray(EDGE_CAT)[2 + jnp.sign(p - n0) + jnp.sign(p - n1)]
+    return jnp.where(valid, cat, 0)
+
+
+def eo_valid_masks_np(ph, pw, coded_w, coded_h):
+    """Static per-class EO validity masks on the padded plane: the sample
+    and both its neighbors must lie inside the CODED picture."""
+    out = []
+    xx = np.arange(pw)[None, :]
+    yy = np.arange(ph)[:, None]
+    inside = (xx < coded_w) & (yy < coded_h)
+    for (dy0, dx0), (dy1, dx1) in EO_NEIGHBORS:
+        v = inside.copy()
+        for (dy, dx) in ((dy0, dx0), (dy1, dx1)):
+            if dy == -1:
+                v &= yy > 0
+            if dy == 1:
+                v &= yy < coded_h - 1
+            if dx == -1:
+                v &= xx > 0
+            if dx == 1:
+                v &= xx < coded_w - 1
+        out.append(np.broadcast_to(v, (ph, pw)).copy())
+    return np.stack(out), np.broadcast_to(inside, (ph, pw)).copy()
+
+
+def _best_offsets_jnp(cnt, dsum, lo, hi):
+    """Vectorized x265 estIterOffset walk: returns (offset, dist_delta)."""
+    import jax.numpy as jnp
+
+    o0 = jnp.where(cnt > 0, jnp.round(dsum / jnp.maximum(cnt, 1.0)), 0.0)
+    o0 = jnp.clip(o0, lo, hi)
+    best_o = jnp.zeros_like(o0)
+    best_d = jnp.zeros_like(o0)
+    for mag in range(7, 0, -1):
+        for sgn in (-1.0, 1.0):
+            o = sgn * mag
+            valid = (jnp.sign(o0) == sgn) & (jnp.abs(o0) >= mag)
+            d = cnt * o * o - 2.0 * o * dsum
+            take = valid & (d < best_d)
+            best_d = jnp.where(take, d, best_d)
+            best_o = jnp.where(take, o, best_o)
+    return best_o, best_d
+
+
+def sao_estimate_plane_jnp(orig, rec, ctbs_h, ctbs_w, ctb, eo_valid,
+                           inside, bit_depth=8):
+    """Device per-CTB SAO statistics for one (padded) plane.
+
+    orig/rec: [PH, PW] int32; eo_valid [4, PH, PW] + inside [PH, PW] from
+    eo_valid_masks_np.  Returns (dist [ch, cw, 6] f32, offs [ch, cw, 6, 4]
+    f32, band_pos [ch, cw] int32, bits [ch, cw, 6] f32) — same layout as
+    sao_estimate_plane_np (option 0 = off, 1..4 = EO class, 5 = BO).
+    """
+    import jax.numpy as jnp
+
+    diff = (orig - rec).astype(jnp.float32)
+    shift = bit_depth - 5
+
+    def ctb_sum_k(x):
+        """[PH, PW, K] -> [ch, cw, K] per-CTB sums."""
+        k = x.shape[-1]
+        return x.reshape(ctbs_h, ctb, ctbs_w, ctb, k).sum(axis=(1, 3))
+
+    dist = [jnp.zeros((ctbs_h, ctbs_w), jnp.float32)]
+    offs = [jnp.zeros((ctbs_h, ctbs_w, 4), jnp.float32)]
+    bits = [jnp.zeros((ctbs_h, ctbs_w), jnp.float32)]
+    lohi = ((0.0, 7.0), (0.0, 7.0), (-7.0, 0.0), (-7.0, 0.0))
+    for k in range(4):
+        cat = _eo_category_jnp(rec, k, eo_valid[k])
+        oh = (cat[..., None] == jnp.arange(1, 5)).astype(jnp.float32)
+        cnt = ctb_sum_k(oh)                       # [ch, cw, 4]
+        dsum = ctb_sum_k(oh * diff[..., None])
+        lo = jnp.asarray([v[0] for v in lohi])
+        hi = jnp.asarray([v[1] for v in lohi])
+        o, dd = _best_offsets_jnp(cnt, dsum, lo, hi)
+        dist.append(dd.sum(axis=-1))
+        offs.append(o)
+        bits.append(2.0 + (jnp.abs(o) + 1.0).sum(axis=-1))
+
+    # BO: 32-band stats, best 4-band window
+    band = (rec >> shift)
+    oh = ((band[..., None] == jnp.arange(32)) & inside[..., None]
+          ).astype(jnp.float32)
+    bcnt = ctb_sum_k(oh)                          # [ch, cw, 32]
+    bsum = ctb_sum_k(oh * diff[..., None])
+    bo, bdd = _best_offsets_jnp(bcnt, bsum, -7.0, 7.0)
+    wnd_dd = jnp.stack(
+        [sum(bdd[..., (pos + i) & 31] for i in range(4))
+         for pos in range(32)], axis=-1)     # [ch, cw, 32]
+    best_pos = jnp.argmin(wnd_dd, axis=-1).astype(jnp.int32)
+    best_dd = jnp.minimum(jnp.min(wnd_dd, axis=-1), 0.0)
+    wnd_idx = (best_pos[..., None] + jnp.arange(4)[None, None, :]) & 31
+    bo_sel = jnp.take_along_axis(bo, wnd_idx, axis=-1)
+    dist.append(best_dd)
+    offs.append(bo_sel)
+    bits.append(2.0 + 5.0 + jnp.abs(bo_sel).sum(axis=-1) + 8.0)
+    return (jnp.stack(dist, axis=-1), jnp.stack(offs, axis=-2),
+            best_pos, jnp.stack(bits, axis=-1))
+
+
+def sao_apply_plane_jnp(plane, ctbs_h, ctbs_w, ctb, types, classes,
+                        band_pos, offsets, eo_valid, bit_depth=8):
+    """Device SAO apply on a padded plane.
+
+    types/classes/band_pos [ch, cw] int32; offsets [ch, cw, 4] (signed
+    applied values); eo_valid [4, PH, PW].  Returns the filtered plane.
+    """
+    import jax.numpy as jnp
+
+    ph, pw = plane.shape
+    maxval = (1 << bit_depth) - 1
+    nctb = ctbs_h * ctbs_w
+    iy = jnp.arange(ph)[:, None] // ctb
+    ix = jnp.arange(pw)[None, :] // ctb
+    ctb_map = iy * ctbs_w + ix                        # [PH, PW]
+
+    # per-pixel EO category under each CTB's class
+    cats = jnp.stack([_eo_category_jnp(plane, k, eo_valid[k])
+                      for k in range(4)])             # [4, PH, PW]
+    kmap = classes.reshape(-1)[ctb_map]               # class per pixel
+    cat = sum(jnp.where(kmap == k, cats[k], 0) for k in range(4))
+
+    # EO offsets: flat gather from [nctb, 5]
+    eo_tab = jnp.concatenate(
+        [jnp.zeros((nctb, 1), jnp.int32),
+         offsets.reshape(nctb, 4).astype(jnp.int32)], axis=1)
+    eo_off = eo_tab.reshape(-1)[ctb_map * 5 + cat]
+
+    # BO offsets: band table [nctb, 32] built by one-hot accumulate
+    band_tab = jnp.zeros((nctb, 32), jnp.int32)
+    bp = band_pos.reshape(-1)
+    for i in range(4):
+        pos = (bp + i) & 31
+        band_tab = band_tab + (
+            (jnp.arange(32)[None, :] == pos[:, None]).astype(jnp.int32)
+            * offsets.reshape(nctb, 4)[:, i:i + 1].astype(jnp.int32))
+    band = plane >> (bit_depth - 5)
+    bo_off = band_tab.reshape(-1)[ctb_map * 32 + band]
+
+    tmap = types.reshape(-1)[ctb_map]
+    off = jnp.where(tmap == 2, eo_off, jnp.where(tmap == 1, bo_off, 0))
+    return jnp.clip(plane + off, 0, maxval)
