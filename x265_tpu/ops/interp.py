@@ -64,12 +64,16 @@ def mc_luma_np(ref: np.ndarray, x0: int, y0: int, w: int, h: int,
         win = _clip_gather(ref, iy, ix - 3, h, w + 7)
         f = LUMA_FILTERS[fx]
         acc = sum(int(f[k]) * win[:, k:k + w] for k in range(8))
-        return np.clip((acc + (1 << (5 + shift1))) >> (6 + shift1), 0, maxv)
+        # == ps (acc >> shift1) then uni round (+off1 >> 14-bd); single-shift
+        # form is exact by the no-remainder-crossing argument
+        return np.clip((acc + 32) >> 6, 0, maxv)
     if fx == 0:
         win = _clip_gather(ref, iy - 3, ix, h + 7, w)
         f = LUMA_FILTERS[fy]
         acc = sum(int(f[k]) * win[k:k + h, :] for k in range(8))
-        return np.clip((acc + (1 << (5 + shift1))) >> (6 + shift1), 0, maxv)
+        # == ps (acc >> shift1) then uni round (+off1 >> 14-bd); single-shift
+        # form is exact by the no-remainder-crossing argument
+        return np.clip((acc + 32) >> 6, 0, maxv)
     # separable: horizontal to intermediate (shift bit_depth-8), then vertical
     win = _clip_gather(ref, iy - 3, ix - 3, h + 7, w + 7)
     fh = LUMA_FILTERS[fx]
@@ -93,18 +97,96 @@ def mc_chroma_np(ref: np.ndarray, x0: int, y0: int, w: int, h: int,
         win = _clip_gather(ref, iy, ix - 1, h, w + 3)
         f = CHROMA_FILTERS[fx]
         acc = sum(int(f[k]) * win[:, k:k + w] for k in range(4))
-        return np.clip((acc + (1 << (5 + shift1))) >> (6 + shift1), 0, maxv)
+        # == ps (acc >> shift1) then uni round (+off1 >> 14-bd); single-shift
+        # form is exact by the no-remainder-crossing argument
+        return np.clip((acc + 32) >> 6, 0, maxv)
     if fx == 0:
         win = _clip_gather(ref, iy - 1, ix, h + 3, w)
         f = CHROMA_FILTERS[fy]
         acc = sum(int(f[k]) * win[k:k + h, :] for k in range(4))
-        return np.clip((acc + (1 << (5 + shift1))) >> (6 + shift1), 0, maxv)
+        # == ps (acc >> shift1) then uni round (+off1 >> 14-bd); single-shift
+        # form is exact by the no-remainder-crossing argument
+        return np.clip((acc + 32) >> 6, 0, maxv)
     win = _clip_gather(ref, iy - 1, ix - 1, h + 3, w + 3)
     fh = CHROMA_FILTERS[fx]
     tmp = sum(int(fh[k]) * win[:, k:k + w] for k in range(4)) >> shift1
     fv = CHROMA_FILTERS[fy]
     acc = sum(int(fv[k]) * tmp[k:k + h, :] for k in range(4))
     return np.clip((acc + (1 << (11 - shift1))) >> (12 - shift1), 0, maxv)
+
+
+# ---------------------------------------------------------------------------
+# ps-domain (14-bit intermediate) variants for bi-prediction
+# ---------------------------------------------------------------------------
+# Spec §8.5.4.2.2: fractional interpolation keeps a 14-bit intermediate
+# (shift1 = BitDepth-8 after the horizontal pass, shift2 = 6 after the
+# vertical, integer positions << shift3 = 14-BitDepth); §8.5.3.3.3.2
+# then combines: uni (pred + off1) >> (14-bd), bi (p0 + p1 + off2) >>
+# (15-bd).  Reference embodiment: ipfilter.cpp interp_*_ps/sp/ss chains.
+
+
+def mc_luma_ps_np(ref: np.ndarray, x0: int, y0: int, w: int, h: int,
+                  mv_x: int, mv_y: int, bit_depth: int = 8) -> np.ndarray:
+    """Luma MC to the 14-bit intermediate domain (no final round/clip)."""
+    ix, fx = x0 + (mv_x >> 2), mv_x & 3
+    iy, fy = y0 + (mv_y >> 2), mv_y & 3
+    shift1 = bit_depth - 8
+    shift3 = 14 - bit_depth
+    if fx == 0 and fy == 0:
+        return _clip_gather(ref, iy, ix, h, w) << shift3
+    if fy == 0:
+        win = _clip_gather(ref, iy, ix - 3, h, w + 7)
+        f = LUMA_FILTERS[fx]
+        return sum(int(f[k]) * win[:, k:k + w] for k in range(8)) >> shift1
+    if fx == 0:
+        win = _clip_gather(ref, iy - 3, ix, h + 7, w)
+        f = LUMA_FILTERS[fy]
+        return sum(int(f[k]) * win[k:k + h, :] for k in range(8)) >> shift1
+    win = _clip_gather(ref, iy - 3, ix - 3, h + 7, w + 7)
+    fh = LUMA_FILTERS[fx]
+    tmp = sum(int(fh[k]) * win[:, k:k + w] for k in range(8)) >> shift1
+    fv = LUMA_FILTERS[fy]
+    return sum(int(fv[k]) * tmp[k:k + h, :] for k in range(8)) >> 6
+
+
+def mc_chroma_ps_np(ref: np.ndarray, x0: int, y0: int, w: int, h: int,
+                    mv_x: int, mv_y: int, bit_depth: int = 8) -> np.ndarray:
+    """Chroma MC to the 14-bit intermediate domain (mv in eighth-pel)."""
+    ix, fx = x0 + (mv_x >> 3), mv_x & 7
+    iy, fy = y0 + (mv_y >> 3), mv_y & 7
+    shift1 = bit_depth - 8
+    shift3 = 14 - bit_depth
+    if fx == 0 and fy == 0:
+        return _clip_gather(ref, iy, ix, h, w) << shift3
+    if fy == 0:
+        win = _clip_gather(ref, iy, ix - 1, h, w + 3)
+        f = CHROMA_FILTERS[fx]
+        return sum(int(f[k]) * win[:, k:k + w] for k in range(4)) >> shift1
+    if fx == 0:
+        win = _clip_gather(ref, iy - 1, ix, h + 3, w)
+        f = CHROMA_FILTERS[fy]
+        return sum(int(f[k]) * win[k:k + h, :] for k in range(4)) >> shift1
+    win = _clip_gather(ref, iy - 1, ix - 1, h + 3, w + 3)
+    fh = CHROMA_FILTERS[fx]
+    tmp = sum(int(fh[k]) * win[:, k:k + w] for k in range(4)) >> shift1
+    fv = CHROMA_FILTERS[fy]
+    return sum(int(fv[k]) * tmp[k:k + h, :] for k in range(4)) >> 6
+
+
+def bi_avg_np(p0: np.ndarray, p1: np.ndarray, bit_depth: int = 8):
+    """Default bi-prediction combine of two 14-bit predictions
+    (§8.5.3.3.3.2): (p0 + p1 + off2) >> (15-bd), clipped."""
+    shift2 = 15 - bit_depth
+    off2 = 1 << (shift2 - 1)
+    return np.clip((p0.astype(np.int64) + p1 + off2) >> shift2,
+                   0, (1 << bit_depth) - 1).astype(np.int32)
+
+
+def uni_round_np(p: np.ndarray, bit_depth: int = 8):
+    """Uni-prediction final round of a 14-bit prediction (§8.5.3.3.3.2)."""
+    shift1 = 14 - bit_depth
+    off1 = 1 << (shift1 - 1)
+    return np.clip((p + off1) >> shift1, 0, (1 << bit_depth) - 1)
 
 
 # ---------------------------------------------------------------------------
@@ -138,6 +220,56 @@ def mc_luma_batch(windows: jax.Array, frac_x: jax.Array, frac_y: jax.Array,
     rows = jnp.stack([tmp[:, k:k + h, :] for k in range(8)], axis=-1)
     acc = jnp.einsum("byxk,bk->byx", rows, fy)
     return jnp.clip((acc + (1 << (11 - shift1))) >> (12 - shift1), 0, maxv)
+
+
+@functools.partial(jax.jit, static_argnames=("w", "h", "bit_depth"))
+def mc_luma_batch_ps(windows: jax.Array, frac_x: jax.Array,
+                     frac_y: jax.Array, w: int, h: int,
+                     bit_depth: int = 8) -> jax.Array:
+    """Batched luma MC to the 14-bit domain from [B, h+7, w+7] windows.
+
+    The uniform two-pass pipeline (h-pass >> shift1, v-pass >> 6) is exact
+    for ALL phase combinations at any bit depth: frac==0 selects the
+    [..64..] filter, so the two passes multiply by 64*64 and ``>> 6``
+    lands each case on the spec's §8.5.4.2.2.1 value exactly.
+    """
+    fx = jnp.asarray(LUMA_FILTERS)[frac_x]
+    fy = jnp.asarray(LUMA_FILTERS)[frac_y]
+    shift1 = bit_depth - 8
+    win = windows.astype(jnp.int32)
+    cols = jnp.stack([win[:, :, k:k + w] for k in range(8)], axis=-1)
+    tmp = jnp.einsum("byxk,bk->byx", cols, fx) >> shift1
+    rows = jnp.stack([tmp[:, k:k + h, :] for k in range(8)], axis=-1)
+    return jnp.einsum("byxk,bk->byx", rows, fy) >> 6
+
+
+@functools.partial(jax.jit, static_argnames=("w", "h", "bit_depth"))
+def mc_chroma_batch_ps(windows: jax.Array, frac_x: jax.Array,
+                       frac_y: jax.Array, w: int, h: int,
+                       bit_depth: int = 8) -> jax.Array:
+    """Batched chroma MC to the 14-bit domain from [B, h+3, w+3] windows."""
+    fx = jnp.asarray(CHROMA_FILTERS)[frac_x]
+    fy = jnp.asarray(CHROMA_FILTERS)[frac_y]
+    shift1 = bit_depth - 8
+    win = windows.astype(jnp.int32)
+    cols = jnp.stack([win[:, :, k:k + w] for k in range(4)], axis=-1)
+    tmp = jnp.einsum("byxk,bk->byx", cols, fx) >> shift1
+    rows = jnp.stack([tmp[:, k:k + h, :] for k in range(4)], axis=-1)
+    return jnp.einsum("byxk,bk->byx", rows, fy) >> 6
+
+
+def bi_avg(p0: jax.Array, p1: jax.Array, bit_depth: int = 8) -> jax.Array:
+    """Batched default bi-prediction combine (§8.5.3.3.3.2)."""
+    shift2 = 15 - bit_depth
+    off2 = 1 << (shift2 - 1)
+    return jnp.clip((p0 + p1 + off2) >> shift2, 0, (1 << bit_depth) - 1)
+
+
+def uni_round(p: jax.Array, bit_depth: int = 8) -> jax.Array:
+    """Batched uni-prediction final round of a 14-bit prediction."""
+    shift1 = 14 - bit_depth
+    off1 = 1 << (shift1 - 1)
+    return jnp.clip((p + off1) >> shift1, 0, (1 << bit_depth) - 1)
 
 
 @functools.partial(jax.jit, static_argnames=("w", "h", "bit_depth"))
