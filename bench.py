@@ -41,7 +41,8 @@ def main():
     frames = [(np.roll(base[0], 3 * t, axis=1), base[1], base[2])
               for t in range(n_frames)]
 
-    p = Params(source_width=w, source_height=h, qp=32, decoded_picture_hash=1)
+    p = Params(bframes=0, source_width=w, source_height=h, qp=32,
+               decoded_picture_hash=1)
     enc = Encoder(p)
     # warmup: compile both the I and P device pipelines
     enc.headers()

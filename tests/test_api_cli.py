@@ -66,7 +66,7 @@ def test_repeat_headers_mid_stream_join():
     frames = [(rng.randint(0, 256, (64, 64), np.uint8),
                rng.randint(0, 256, (32, 32), np.uint8),
                rng.randint(0, 256, (32, 32), np.uint8)) for _ in range(4)]
-    p = Params(source_width=64, source_height=64, qp=33, keyint_max=2,
+    p = Params(bframes=0, source_width=64, source_height=64, qp=33, keyint_max=2,
                repeat_headers=True, decoded_picture_hash=1,
                scenecut_threshold=0)
     enc = Encoder(p)

@@ -23,7 +23,7 @@ def _frames(w, h, seed=3):
 @pytest.mark.parametrize("w,h", [(64, 64), (96, 64), (128, 128)])
 @pytest.mark.parametrize("sign_hide", [False, True])
 def test_ctu_scan_matches_block_wavefront_i(w, h, sign_hide):
-    p = Params(source_width=w, source_height=h, qp=30, sao=False,
+    p = Params(bframes=0, source_width=w, source_height=h, qp=30, sao=False,
                deblock=False, sign_hide=sign_hide)
     enc = Encoder(p)
     enc.force_cu16 = True      # compare against the fixed-16 configuration
@@ -91,7 +91,7 @@ def test_cu32_decision_roundtrip(w, h):
     from x265_tpu.decoder import decode_annexb
     from x265_tpu.encoder import encode_sequence
 
-    p = Params(source_width=w, source_height=h, qp=32,
+    p = Params(bframes=0, source_width=w, source_height=h, qp=32,
                decoded_picture_hash=1)
     frame = _smooth_frame(w, h)
     stream, recons = encode_sequence([frame], p)
@@ -120,7 +120,7 @@ def test_cu32_decision_roundtrip_p_frames():
         # scene-change band forces intra CUs inside the P frame
         y[:, :32] = rng.integers(0, 255, (h, 32), dtype=np.uint8)
         frames.append((y, base[1], base[2]))
-    p = Params(source_width=w, source_height=h, qp=32,
+    p = Params(bframes=0, source_width=w, source_height=h, qp=32,
                decoded_picture_hash=1, scenecut_threshold=0)
     stream, recons = encode_sequence(frames, p)
     pics = decode_annexb(stream)

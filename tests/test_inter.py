@@ -40,7 +40,7 @@ def make_clip(kind, w, h, n_frames, seed=0):
 
 
 def roundtrip(frames, w, h, qp, **kw):
-    p = Params(source_width=w, source_height=h, qp=qp,
+    p = Params(bframes=0, source_width=w, source_height=h, qp=qp,
                decoded_picture_hash=1, **kw)
     enc = Encoder(p)
     stream = enc.headers()

@@ -35,7 +35,7 @@ def frames_for(kind, w, h, seed=0):
 def test_native_matches_python(kind, qp):
     w, h = 96, 64
     frame = frames_for(kind, w, h, seed=qp)
-    p = Params(source_width=w, source_height=h, qp=qp,
+    p = Params(bframes=0, source_width=w, source_height=h, qp=qp,
                decoded_picture_hash=1)
 
     enc_n = Encoder(p)
@@ -51,7 +51,7 @@ def test_native_matches_python(kind, qp):
 def test_native_stream_decodes():
     w, h = 64, 64
     frame = frames_for("random", w, h, seed=1)
-    p = Params(source_width=w, source_height=h, qp=26,
+    p = Params(bframes=0, source_width=w, source_height=h, qp=26,
                decoded_picture_hash=1)
     enc = Encoder(p)
     stream = enc.headers()
@@ -64,7 +64,7 @@ def test_native_matches_python_p_slices():
     from test_inter import make_clip
     w, h = 96, 64
     frames = make_clip("mixed", w, h, 3, seed=4)
-    p = Params(source_width=w, source_height=h, qp=27,
+    p = Params(bframes=0, source_width=w, source_height=h, qp=27,
                decoded_picture_hash=1)
     enc_n = Encoder(p)
     aus_n = [enc_n.encode_frame(fr)[0] for fr in frames]

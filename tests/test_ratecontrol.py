@@ -9,7 +9,7 @@ from x265_tpu.encoder import Encoder
 
 
 def test_param_parse_sets_rc_mode():
-    p = Params(source_width=64, source_height=64)
+    p = Params(bframes=0, source_width=64, source_height=64)
     param_parse(p, "crf", "23")
     assert p.rc_mode == RC_CRF and p.crf == 23
     param_parse(p, "bitrate", "800")
@@ -19,7 +19,7 @@ def test_param_parse_sets_rc_mode():
 def test_abr_tracks_target():
     w, h, n = 96, 64, 12
     frames = make_clip("mixed", w, h, n, seed=3)
-    p = Params(source_width=w, source_height=h, fps_num=25,
+    p = Params(bframes=0, source_width=w, source_height=h, fps_num=25,
                rc_mode=RC_ABR, bitrate=260, decoded_picture_hash=1)
     enc = Encoder(p)
     bits = 0

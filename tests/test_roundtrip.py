@@ -42,7 +42,7 @@ def make_frame(w, h, kind, seed=0):
 
 
 def encode_one(frame, w, h, qp=30, **kw):
-    p = Params(source_width=w, source_height=h, qp=qp,
+    p = Params(bframes=0, source_width=w, source_height=h, qp=qp,
                decoded_picture_hash=1, **kw)
     enc = Encoder(p)
     stream = enc.headers()
@@ -121,7 +121,7 @@ def test_main10_roundtrip():
          + rng.randint(-20, 20, (h, w))).clip(0, 1023).astype(np.uint16)
     u = (512 + 100 * np.sin(xx[::2, ::2] / 21.0)).astype(np.uint16)
     v = np.full((h // 2, w // 2), 300, np.uint16)
-    p = Params(source_width=w, source_height=h, qp=30,
+    p = Params(bframes=0, source_width=w, source_height=h, qp=30,
                decoded_picture_hash=1, internal_bit_depth=10)
     enc = Encoder(p)
     stream = enc.headers()

@@ -23,7 +23,7 @@ def run_both(w, h, qp, seed, n=16):
     u = np.full((h // 2, w // 2), 99, np.uint8)
     v = np.full((h // 2, w // 2), 188, np.uint8)
 
-    p = Params(source_width=w, source_height=h, qp=qp)
+    p = Params(bframes=0, source_width=w, source_height=h, qp=qp)
     enc = Encoder(p)
     g = enc.geom
     ph = g.ctbs_h << g.log2_ctb
@@ -81,7 +81,7 @@ def test_wavefront_chroma_bit_exact():
     u = rng.randint(0, 256, (h // 2, w // 2)).astype(np.int16)
     g = PictureGeometry(w, h, 6, 3)
     n = 8
-    p = Params(source_width=w, source_height=h, qp=qp)
+    p = Params(bframes=0, source_width=w, source_height=h, qp=qp)
     enc = Encoder(p)
     modes = rng.randint(0, 35, ((h // 2) // n, (w // 2) // n)).astype(np.int32)
 

@@ -56,11 +56,14 @@ def run_ours(frames, w, h, qp, fps=25):
     bits = 0
     ps = []
     t0 = time.time()
+    efs = []
     for fr in frames:
-        au, rec = enc.encode_frame(fr)
-        bits += len(au) * 8
-        ps.append(psnr(rec[0], fr[0]))
+        efs += enc.push_frame(fr)
+    efs += enc.flush()
     el = time.time() - t0
+    for ef in sorted(efs, key=lambda e: e.display_idx):
+        bits += len(ef.au) * 8
+        ps.append(psnr(ef.recon[0], frames[ef.display_idx][0]))
     kbps = bits * fps / (len(frames) * 1000)
     return kbps, float(np.mean(ps)), len(frames) / el
 

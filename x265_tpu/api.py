@@ -45,10 +45,21 @@ def x265_encoder_headers(enc: Encoder) -> bytes:
 
 
 def x265_encoder_encode(enc: Encoder, pic_in):
-    """Returns (annexb_bytes, recon_planes).  No frame lag in this
-    implementation (zero-latency semantics; B-frame reordering arrives
-    with the B path)."""
-    return enc.encode_frame(pic_in)
+    """Feed one picture (or None to flush); returns (annexb_bytes,
+    recon_planes) for the next output picture in ENCODE order, or
+    (b"", None) when the encoder is buffering (B-frame lag) / drained.
+    Mirrors the x265_encoder_encode outNal/pic_out contract
+    (x265.h:1334: *pi_nal==0 while the lookahead fills)."""
+    if not hasattr(enc, "_api_out_fifo"):
+        enc._api_out_fifo = []
+    if pic_in is not None:
+        enc._api_out_fifo.extend(enc.push_frame(pic_in))
+    else:
+        enc._api_out_fifo.extend(enc.flush())
+    if not enc._api_out_fifo:
+        return b"", None
+    ef = enc._api_out_fifo.pop(0)
+    return ef.au, ef.recon
 
 
 @dataclass

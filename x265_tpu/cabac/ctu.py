@@ -74,26 +74,39 @@ class PicSyntax:
 
     # inter fields (P/B slices): per-4x4 motion + decision state
     mv0: np.ndarray = field(default=None)          # [h4, w4, 2] int16 qpel
+    mv1: np.ndarray = field(default=None)          # [h4, w4, 2] (L1)
+    inter_dir: np.ndarray = field(default=None)    # 1=L0, 2=L1, 3=bi
+    ref_idx0: np.ndarray = field(default=None)
+    ref_idx1: np.ndarray = field(default=None)
     skip: np.ndarray = field(default=None)         # cu_skip_flag
     merge_flag: np.ndarray = field(default=None)
     merge_idx: np.ndarray = field(default=None)
-    mvp_flag: np.ndarray = field(default=None)
-    mvd: np.ndarray = field(default=None)          # [h4, w4, 2] int16
+    mvp_flag: np.ndarray = field(default=None)     # mvp_l0_flag
+    mvp_flag1: np.ndarray = field(default=None)    # mvp_l1_flag
+    mvd: np.ndarray = field(default=None)          # [h4, w4, 2] int16 (L0)
+    mvd1: np.ndarray = field(default=None)         # [h4, w4, 2] (L1)
     max_tr_depth_inter: int = 0
     max_merge_cand: int = 5
+    # slice-level reference info (NORMATIVE inputs to the MV derivations):
+    # POCs of the active reference pictures per list + current POC
+    cur_poc: int = 0
+    ref_pocs_l0: tuple = ()
+    ref_pocs_l1: tuple = ()
 
     def __post_init__(self):
         g = self.geom
         h4, w4 = g.h4, g.w4
         for name in ("depth", "part", "pred_mode", "luma_mode",
                      "chroma_mode", "tu_depth", "skip", "merge_flag",
-                     "merge_idx", "mvp_flag"):
+                     "merge_idx", "mvp_flag", "mvp_flag1", "inter_dir",
+                     "ref_idx0", "ref_idx1"):
             if getattr(self, name) is None:
                 setattr(self, name, np.zeros((h4, w4), dtype=np.uint8))
-        if self.mv0 is None:
-            self.mv0 = np.zeros((h4, w4, 2), dtype=np.int16)
-        if self.mvd is None:
-            self.mvd = np.zeros((h4, w4, 2), dtype=np.int16)
+        for name in ("mv0", "mv1", "mvd", "mvd1"):
+            if getattr(self, name) is None:
+                setattr(self, name, np.zeros((h4, w4, 2), dtype=np.int16))
+        if not self.ref_pocs_l0:
+            self.ref_pocs_l0 = (max(0, self.cur_poc - 1),)
         nctb = g.n_ctbs
         if self.sao_type is None:
             self.sao_type = np.zeros((nctb, 2), dtype=np.int8)
@@ -177,7 +190,9 @@ class CtuCoder:
     def __init__(self, ps: PicSyntax, log2_min_cb: int = 3,
                  log2_min_tb: int = 2, log2_max_tb: int = 5,
                  slice_type: int = SLICE_I, sao_luma: bool = False,
-                 sao_chroma: bool = False, bit_depth: int = 8):
+                 sao_chroma: bool = False, bit_depth: int = 8,
+                 num_ref_l0: int = 1, num_ref_l1: int = 1,
+                 mvd_l1_zero: bool = False):
         self.ps = ps
         self.g = ps.geom
         self.log2_min_cb = log2_min_cb
@@ -187,6 +202,9 @@ class CtuCoder:
         self.sao_luma = sao_luma
         self.sao_chroma = sao_chroma
         self.bit_depth = bit_depth
+        self.num_ref_l0 = num_ref_l0
+        self.num_ref_l1 = num_ref_l1
+        self.mvd_l1_zero = mvd_l1_zero
 
     # -- shared context helpers ---------------------------------------------
 
@@ -374,6 +392,48 @@ class CtuCoder:
                     enc.encode_eg_k(a - 2, 1)
                 enc.encode_bypass(1 if v < 0 else 0)
 
+    def _enc_inter_pred_idc(self, enc: CabacEncoder, d: int,
+                            depth: int) -> None:
+        """inter_pred_idc for a 2Nx2N PU (§9.3.3.7: bin0 ctx = CtDepth,
+        bin1 ctx = 4).  d: 1 = L0, 2 = L1, 3 = bi."""
+        base = CTX_OFFSET["INTER_PRED_IDC"]
+        enc.encode_bin(base + depth, 1 if d == 3 else 0)
+        if d != 3:
+            enc.encode_bin(base + 4, 1 if d == 2 else 0)
+
+    def _dec_inter_pred_idc(self, dec: CabacDecoder, depth: int) -> int:
+        base = CTX_OFFSET["INTER_PRED_IDC"]
+        if dec.decode_bin(base + depth):
+            return 3
+        return 2 if dec.decode_bin(base + 4) else 1
+
+    def _enc_ref_idx(self, enc: CabacEncoder, idx: int, num: int) -> None:
+        """ref_idx_lX: TR binarization, cMax = num-1; bins 0/1 context-coded,
+        the rest bypass (§9.3.3.2, Table 9-37)."""
+        if num <= 1:
+            return
+        cmax = num - 1
+        enc.encode_bin(CTX_OFFSET["REF_IDX"], 1 if idx > 0 else 0)
+        if idx > 0 and cmax > 1:
+            enc.encode_bin(CTX_OFFSET["REF_IDX"] + 1, 1 if idx > 1 else 0)
+            for k in range(2, idx):
+                enc.encode_bypass(1)
+            if 1 < idx < cmax:
+                enc.encode_bypass(0)
+
+    def _dec_ref_idx(self, dec: CabacDecoder, num: int) -> int:
+        if num <= 1:
+            return 0
+        cmax = num - 1
+        if not dec.decode_bin(CTX_OFFSET["REF_IDX"]):
+            return 0
+        if cmax == 1 or not dec.decode_bin(CTX_OFFSET["REF_IDX"] + 1):
+            return 1
+        idx = 2
+        while idx < cmax and dec.decode_bypass():
+            idx += 1
+        return idx
+
     def _dec_mvd(self, dec: CabacDecoder) -> tuple[int, int]:
         base = CTX_OFFSET["MVD_GREATER"]
         gx0 = dec.decode_bin(base)
@@ -412,11 +472,25 @@ class CtuCoder:
                 if merge:
                     self._enc_merge_idx(enc, int(ps.merge_idx[y4, x4]))
                 else:
-                    # P slice: inter_pred_idc not coded; 1 ref: no ref_idx
-                    self._enc_mvd(enc, int(ps.mvd[y4, x4, 0]),
-                                  int(ps.mvd[y4, x4, 1]))
-                    enc.encode_bin(CTX_OFFSET["MVP_FLAG"],
-                                   int(ps.mvp_flag[y4, x4]))
+                    d = int(ps.inter_dir[y4, x4]) or 1
+                    if self.slice_type == SLICE_B:
+                        self._enc_inter_pred_idc(enc, d,
+                                                 int(ps.depth[y4, x4]))
+                    if d & 1:
+                        self._enc_ref_idx(enc, int(ps.ref_idx0[y4, x4]),
+                                          self.num_ref_l0)
+                        self._enc_mvd(enc, int(ps.mvd[y4, x4, 0]),
+                                      int(ps.mvd[y4, x4, 1]))
+                        enc.encode_bin(CTX_OFFSET["MVP_FLAG"],
+                                       int(ps.mvp_flag[y4, x4]))
+                    if d & 2:
+                        self._enc_ref_idx(enc, int(ps.ref_idx1[y4, x4]),
+                                          self.num_ref_l1)
+                        if not (self.mvd_l1_zero and d == 3):
+                            self._enc_mvd(enc, int(ps.mvd1[y4, x4, 0]),
+                                          int(ps.mvd1[y4, x4, 1]))
+                        enc.encode_bin(CTX_OFFSET["MVP_FLAG"],
+                                       int(ps.mvp_flag1[y4, x4]))
                 root_cbf = (
                     self._cbf_region_nz(ps.coeff_y, x0, y0, size)
                     or self._cbf_region_nz(ps.coeff_cb, x0 >> 1, y0 >> 1,
@@ -599,22 +673,33 @@ class CtuCoder:
             ps.set_region(ps.depth, x0, y0, size, depth)
             self._dec_cu(dec, x0, y0, log2_size)
 
+    def _apply_motion(self, x0: int, y0: int, size: int, cand) -> None:
+        """Write a MotionCand's full motion into the 4x4 region."""
+        ps = self.ps
+        sl = (slice(y0 >> 2, (y0 + size) >> 2),
+              slice(x0 >> 2, (x0 + size) >> 2))
+        ps.inter_dir[sl] = cand.dir
+        ps.mv0[sl] = cand.mv0 if cand.dir & 1 else (0, 0)
+        ps.ref_idx0[sl] = cand.ref0 if cand.dir & 1 else 0
+        ps.mv1[sl] = cand.mv1 if cand.dir & 2 else (0, 0)
+        ps.ref_idx1[sl] = cand.ref1 if cand.dir & 2 else 0
+
     def _dec_cu(self, dec: CabacDecoder, x0: int, y0: int,
                 log2_size: int) -> None:
         ps = self.ps
         size = 1 << log2_size
         if self.slice_type != SLICE_I:
-            from ..common.motion import amvp_candidates, merge_candidates
+            from ..common.motion import (MotionCand, amvp_candidates,
+                                         merge_candidates)
             skip = dec.decode_bin(self._skip_ctx(x0, y0))
             if skip:
                 idx = self._dec_merge_idx(dec)
-                mv = merge_candidates(ps, x0, y0, size, size,
-                                      ps.max_merge_cand)[idx]
+                cand = merge_candidates(ps, x0, y0, size, size,
+                                        ps.max_merge_cand)[idx]
                 ps.set_region(ps.skip, x0, y0, size, 1)
                 ps.set_region(ps.pred_mode, x0, y0, size, MODE_INTER)
                 ps.set_region(ps.merge_idx, x0, y0, size, idx)
-                ps.mv0[y0 >> 2:(y0 + size) >> 2,
-                       x0 >> 2:(x0 + size) >> 2] = mv
+                self._apply_motion(x0, y0, size, cand)
                 return
             is_intra = dec.decode_bin(CTX_OFFSET["PRED_MODE"])
             if not is_intra:
@@ -623,21 +708,42 @@ class CtuCoder:
                 merge = dec.decode_bin(CTX_OFFSET["MERGE_FLAG"])
                 if merge:
                     idx = self._dec_merge_idx(dec)
-                    mv = merge_candidates(ps, x0, y0, size, size,
-                                          ps.max_merge_cand)[idx]
+                    cand = merge_candidates(ps, x0, y0, size, size,
+                                            ps.max_merge_cand)[idx]
                     ps.set_region(ps.merge_flag, x0, y0, size, 1)
                     ps.set_region(ps.merge_idx, x0, y0, size, idx)
                 else:
-                    mvd = self._dec_mvd(dec)
-                    mvp = dec.decode_bin(CTX_OFFSET["MVP_FLAG"])
-                    cand = amvp_candidates(ps, x0, y0, size, size)[mvp]
-                    mv = (cand[0] + mvd[0], cand[1] + mvd[1])
-                    ps.set_region(ps.mvp_flag, x0, y0, size, mvp)
-                    ps.mvd[y0 >> 2:(y0 + size) >> 2,
-                           x0 >> 2:(x0 + size) >> 2] = mvd
+                    d = 1
+                    if self.slice_type == SLICE_B:
+                        d = self._dec_inter_pred_idc(
+                            dec, self.g.log2_ctb - log2_size)
+                    mv0 = mv1 = (0, 0)
+                    ref0 = ref1 = 0
+                    if d & 1:
+                        ref0 = self._dec_ref_idx(dec, self.num_ref_l0)
+                        mvd = self._dec_mvd(dec)
+                        mvp = dec.decode_bin(CTX_OFFSET["MVP_FLAG"])
+                        pred = amvp_candidates(ps, x0, y0, size, size,
+                                               0, ref0)[mvp]
+                        mv0 = (pred[0] + mvd[0], pred[1] + mvd[1])
+                        ps.set_region(ps.mvp_flag, x0, y0, size, mvp)
+                        ps.mvd[y0 >> 2:(y0 + size) >> 2,
+                               x0 >> 2:(x0 + size) >> 2] = mvd
+                    if d & 2:
+                        ref1 = self._dec_ref_idx(dec, self.num_ref_l1)
+                        mvd1 = (0, 0)
+                        if not (self.mvd_l1_zero and d == 3):
+                            mvd1 = self._dec_mvd(dec)
+                        mvp1 = dec.decode_bin(CTX_OFFSET["MVP_FLAG"])
+                        pred = amvp_candidates(ps, x0, y0, size, size,
+                                               1, ref1)[mvp1]
+                        mv1 = (pred[0] + mvd1[0], pred[1] + mvd1[1])
+                        ps.set_region(ps.mvp_flag1, x0, y0, size, mvp1)
+                        ps.mvd1[y0 >> 2:(y0 + size) >> 2,
+                                x0 >> 2:(x0 + size) >> 2] = mvd1
+                    cand = MotionCand(d, mv0, ref0, mv1, ref1)
                 ps.set_region(ps.pred_mode, x0, y0, size, MODE_INTER)
-                ps.mv0[y0 >> 2:(y0 + size) >> 2,
-                       x0 >> 2:(x0 + size) >> 2] = mv
+                self._apply_motion(x0, y0, size, cand)
                 ps.set_region(ps.tu_depth, x0, y0, size, 0)
                 root_cbf = 1 if merge else dec.decode_bin(
                     CTX_OFFSET["RQT_ROOT_CBF"])

@@ -107,29 +107,47 @@ def main(argv=None):
     total_bits = 0
     psnr_acc = np.zeros(3)
     t0 = time.time()
+    srcs = {}          # display_idx -> source frame (until PSNR'd)
+    pending = {}       # display_idx -> EncodedFrame (until recon written)
+    next_disp = 0      # next display index to write/log
+
+    def drain(efs):
+        """AUs go out in encode order; recon/CSV in display order."""
+        nonlocal n, total_bits, next_disp
+        for ef in efs:
+            out.write(ef.au)
+            total_bits += len(ef.au) * 8
+            n += 1
+            pending[ef.display_idx] = ef
+        while next_disp in pending:
+            ef = pending.pop(next_disp)
+            src = srcs.pop(next_disp)
+            ps = [_psnr(r, f, maxval) for r, f in zip(ef.recon, src)] \
+                if p.psnr else [0, 0, 0]
+            psnr_acc[:] += ps
+            if recon_w:
+                recon_w.write(ef.recon)
+            if csv:
+                csv.write(f"{next_disp},{ef.kind},{ef.qp},"
+                          f"{len(ef.au) * 8},"
+                          f"{ps[0]:.4f},{ps[1]:.4f},{ps[2]:.4f}\n")
+            next_disp += 1
+
+    n_in = 0
     for idx, frame in enumerate(rd):
         if idx < args.seek:
             continue
-        if args.frames and n >= args.frames:
+        if args.frames and n_in >= args.frames:
             break
-        au, rec = enc.encode_frame(frame)
-        out.write(au)
-        total_bits += len(au) * 8
-        ps = [_psnr(r, f, maxval) for r, f in zip(rec, frame)] \
-            if p.psnr else [0, 0, 0]
-        psnr_acc += ps
-        if recon_w:
-            recon_w.write(rec)
-        if csv:
-            csv.write(f"{n},{enc.last_slice_type_str},{enc.qp},"
-                      f"{len(au) * 8},"
-                      f"{ps[0]:.4f},{ps[1]:.4f},{ps[2]:.4f}\n")
-        n += 1
-        if not args.no_progress and sys.stderr.isatty():
+        srcs[n_in] = frame
+        n_in += 1
+        drain(enc.push_frame(frame))
+        if not args.no_progress and n and sys.stderr.isatty():
             el = time.time() - t0
             sys.stderr.write(f"\r[{n} frames, {n / el:.2f} fps, "
                              f"{total_bits * p.fps_num / (p.fps_denom * n * 1000):.2f} kb/s]")
             sys.stderr.flush()
+    drain(enc.flush())
 
     el = time.time() - t0
     if n:

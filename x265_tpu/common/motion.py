@@ -1,81 +1,190 @@
-"""Motion vector prediction: merge candidate list and AMVP derivation.
+"""Motion vector prediction: merge candidate list and AMVP derivation,
+generalized to two reference lists (P and B slices).
 
-Spec: ITU-T H.265 §8.5.3.2.3 (merge, spatial), §8.5.3.2.6 (AMVP).
-Reference embodiments: x265_1.9/source/common/cudata.cpp
-getInterMergeCandidates / fillMvpCand (SURVEY.md §2.1) and libde265's
-motion.cc derivations.
+Spec: ITU-T H.265 §8.5.3.2.3 (merge, spatial), §8.5.3.2.4 (combined
+bi-predictive candidates), §8.5.3.2.5 (zero candidates), §8.5.3.2.6-7
+(AMVP incl. spatial MV scaling).  Reference embodiments:
+x265_1.9/source/common/cudata.cpp getInterMergeCandidates / fillMvpCand
+(SURVEY.md §2.1) and libde265's motion.cc derivations.
 
-Scope (grows with the inter toolset): single reference list L0, single
-reference picture, TMVP disabled (SPS flag 0), 2Nx2N PUs.  Under these
-constraints no MV scaling arises, and the spec's scaled second passes
-reduce to the same-reference first passes implemented here.  These
-derivations are NORMATIVE — encoder and decoder must call the same code.
+Scope: TMVP disabled (SPS flag 0), 2Nx2N PUs.  Reference pictures are
+identified by POC through the slice-level lists carried on ``PicSyntax``
+(``ref_pocs_l0`` / ``ref_pocs_l1`` / ``cur_poc``); all references are
+short-term.  These derivations are NORMATIVE — encoder and decoder call
+the same code.
 """
 
 from __future__ import annotations
+
+from dataclasses import dataclass
 
 import numpy as np
 
 MODE_INTRA = 1  # must match cabac.ctu
 
 
-def _cand(ps, xc, yc, xn, yn):
-    """Motion candidate at neighbor position, or None (z-scan availability +
-    inter-coded requirement, §8.5.3.2.3 step availableFlagN)."""
+@dataclass(frozen=True)
+class MotionCand:
+    """Full motion of a merge candidate: prediction direction (1 = L0,
+    2 = L1, 3 = bi) + per-list MV and reference index."""
+    dir: int
+    mv0: tuple = (0, 0)
+    ref0: int = 0
+    mv1: tuple = (0, 0)
+    ref1: int = 0
+
+    def key(self):
+        """Comparison key per §8.5.3.2.3 pruning (entire motion data)."""
+        k = [self.dir]
+        k += list(self.mv0) + [self.ref0] if self.dir & 1 else [0, 0, -1]
+        k += list(self.mv1) + [self.ref1] if self.dir & 2 else [0, 0, -1]
+        return tuple(k)
+
+
+def _neighbor_motion(ps, xc, yc, xn, yn):
+    """Full motion at a neighbor position, or None (z-scan availability +
+    inter-coded requirement)."""
     g = ps.geom
-    if not g.available(xc, yc, xn, yn):
+    if xn < 0 or yn < 0 or not g.available(xc, yc, xn, yn):
         return None
-    if ps.pred_mode[yn >> 2, xn >> 2] == MODE_INTRA:
+    y4, x4 = yn >> 2, xn >> 2
+    if ps.pred_mode[y4, x4] == MODE_INTRA:
         return None
-    mv = ps.mv0[yn >> 2, xn >> 2]
-    return (int(mv[0]), int(mv[1]))
+    d = int(ps.inter_dir[y4, x4])
+    if d == 0:
+        d = 1          # legacy P-only state: mv0 valid, dir implicit L0
+    return MotionCand(
+        d,
+        (int(ps.mv0[y4, x4, 0]), int(ps.mv0[y4, x4, 1])),
+        int(ps.ref_idx0[y4, x4]),
+        (int(ps.mv1[y4, x4, 0]), int(ps.mv1[y4, x4, 1])),
+        int(ps.ref_idx1[y4, x4]))
 
 
 def merge_candidates(ps, x0: int, y0: int, w: int, h: int,
-                     max_cand: int = 5) -> list[tuple[int, int]]:
-    """Spatial merge list for a 2Nx2N PU (TMVP off) + zero fill.
-
-    Returns ``max_cand`` (mvx, mvy) tuples (ref idx is always 0)."""
-    a1 = _cand(ps, x0, y0, x0 - 1, y0 + h - 1)
-    b1 = _cand(ps, x0, y0, x0 + w - 1, y0 - 1)
-    b0 = _cand(ps, x0, y0, x0 + w, y0 - 1)
-    a0 = _cand(ps, x0, y0, x0 - 1, y0 + h)
+                     max_cand: int = 5) -> list[MotionCand]:
+    """Merge list for a 2Nx2N PU (TMVP off): spatial A1 B1 B0 A0 (B2) +
+    combined bi (B slices) + zero fill.  §8.5.3.2.3-5."""
+    a1 = _neighbor_motion(ps, x0, y0, x0 - 1, y0 + h - 1)
+    b1 = _neighbor_motion(ps, x0, y0, x0 + w - 1, y0 - 1)
+    b0 = _neighbor_motion(ps, x0, y0, x0 + w, y0 - 1)
+    a0 = _neighbor_motion(ps, x0, y0, x0 - 1, y0 + h)
     cands = []
     if a1 is not None:
         cands.append(a1)
-    if b1 is not None and b1 != a1:
+    if b1 is not None and (a1 is None or b1.key() != a1.key()):
         cands.append(b1)
-    if b0 is not None and b0 != b1:
+    if b0 is not None and (b1 is None or b0.key() != b1.key()):
         cands.append(b0)
-    if a0 is not None and a0 != a1:
+    if a0 is not None and (a1 is None or a0.key() != a1.key()):
         cands.append(a0)
     if len(cands) < 4:
-        b2 = _cand(ps, x0, y0, x0 - 1, y0 - 1)
-        if b2 is not None and b2 != a1 and b2 != b1:
+        b2 = _neighbor_motion(ps, x0, y0, x0 - 1, y0 - 1)
+        if b2 is not None and (a1 is None or b2.key() != a1.key()) \
+                and (b1 is None or b2.key() != b1.key()):
             cands.append(b2)
+    cands = cands[:max_cand]
+
+    is_b = len(ps.ref_pocs_l1) > 0
+    if is_b and 1 < len(cands) < max_cand:
+        # §8.5.3.2.4 combined bi-predictive candidates
+        L0IDX = (0, 1, 0, 2, 1, 2, 0, 3, 1, 3, 2, 3)
+        L1IDX = (1, 0, 2, 0, 2, 1, 3, 0, 3, 1, 3, 2)
+        n_orig = len(cands)
+        for comb in range(n_orig * (n_orig - 1)):
+            c0, c1 = cands[L0IDX[comb]], cands[L1IDX[comb]]
+            if not (c0.dir & 1 and c1.dir & 2):
+                continue
+            ref_poc0 = ps.ref_pocs_l0[c0.ref0]
+            ref_poc1 = ps.ref_pocs_l1[c1.ref1]
+            if ref_poc0 == ref_poc1 and c0.mv0 == c1.mv1:
+                continue
+            cands.append(MotionCand(3, c0.mv0, c0.ref0, c1.mv1, c1.ref1))
+            if len(cands) == max_cand:
+                break
+
+    # §8.5.3.2.5 zero candidates
+    num_refs = (min(len(ps.ref_pocs_l0), len(ps.ref_pocs_l1)) if is_b
+                else len(ps.ref_pocs_l0))
+    zero_idx = 0
     while len(cands) < max_cand:
-        cands.append((0, 0))
-    return cands[:max_cand]
+        r = zero_idx if zero_idx < num_refs else 0
+        cands.append(MotionCand(3 if is_b else 1, (0, 0), r, (0, 0), r))
+        zero_idx += 1
+    return cands
 
 
-def amvp_candidates(ps, x0: int, y0: int, w: int,
-                    h: int) -> list[tuple[int, int]]:
-    """AMVP predictor pair [mvp0, mvp1] (§8.5.3.2.6, same-ref passes)."""
-    # candidate A: A0 then A1
+def _scale_mv(mv, tb: int, td: int):
+    """Spatial/temporal MV scaling (§8.5.3.2.8 math)."""
+    if td == tb:
+        return mv
+    tb = max(-128, min(127, tb))
+    td = max(-128, min(127, td))
+    tx = (16384 + (abs(td) >> 1)) // td if td > 0 else \
+        -((16384 + (abs(td) >> 1)) // -td)
+    dsf = max(-4096, min(4095, (tb * tx + 32) >> 6))
+    out = []
+    for c in mv:
+        v = dsf * c
+        out.append(max(-32768, min(32767,
+                                   (abs(v) + 127 >> 8) * (1 if v >= 0 else -1))))
+    return (out[0], out[1])
+
+
+def _amvp_from(ps, cand: MotionCand, lx: int, ref_idx: int, scaled: bool):
+    """Try to take list-lx AMVP from a neighbor's motion (§8.5.3.2.7):
+    first the same list, then the other, requiring an identical reference
+    picture unless ``scaled``."""
+    target_poc = (ps.ref_pocs_l0, ps.ref_pocs_l1)[lx][ref_idx]
+    for ly in (lx, 1 - lx):
+        if not cand.dir & (1 << ly):
+            continue
+        mv = cand.mv0 if ly == 0 else cand.mv1
+        ref = cand.ref0 if ly == 0 else cand.ref1
+        pocs = (ps.ref_pocs_l0, ps.ref_pocs_l1)[ly]
+        nb_poc = pocs[ref] if ref < len(pocs) else pocs[0]
+        if nb_poc == target_poc:
+            return mv
+        if scaled:
+            return _scale_mv(mv, ps.cur_poc - target_poc,
+                             ps.cur_poc - nb_poc)
+    return None
+
+
+def amvp_candidates(ps, x0: int, y0: int, w: int, h: int,
+                    lx: int = 0, ref_idx: int = 0) -> list[tuple[int, int]]:
+    """AMVP predictor pair [mvp0, mvp1] for list ``lx`` (§8.5.3.2.6-7,
+    TMVP off)."""
+    a0 = _neighbor_motion(ps, x0, y0, x0 - 1, y0 + h)
+    a1 = _neighbor_motion(ps, x0, y0, x0 - 1, y0 + h - 1)
+    is_scaled = a0 is not None or a1 is not None
+
     mv_a = None
-    for (xn, yn) in ((x0 - 1, y0 + h), (x0 - 1, y0 + h - 1)):
-        c = _cand(ps, x0, y0, xn, yn)
-        if c is not None:
-            mv_a = c
-            break
-    # candidate B: B0 then B1 then B2
+    for c in (a0, a1):
+        if c is not None and mv_a is None:
+            mv_a = _amvp_from(ps, c, lx, ref_idx, scaled=False)
+    if mv_a is None:
+        for c in (a0, a1):
+            if c is not None and mv_a is None:
+                mv_a = _amvp_from(ps, c, lx, ref_idx, scaled=True)
+
+    bs = (_neighbor_motion(ps, x0, y0, x0 + w, y0 - 1),
+          _neighbor_motion(ps, x0, y0, x0 + w - 1, y0 - 1),
+          _neighbor_motion(ps, x0, y0, x0 - 1, y0 - 1))
     mv_b = None
-    for (xn, yn) in ((x0 + w, y0 - 1), (x0 + w - 1, y0 - 1),
-                     (x0 - 1, y0 - 1)):
-        c = _cand(ps, x0, y0, xn, yn)
-        if c is not None:
-            mv_b = c
-            break
+    for c in bs:
+        if c is not None and mv_b is None:
+            mv_b = _amvp_from(ps, c, lx, ref_idx, scaled=False)
+    if not is_scaled:
+        # §8.5.3.2.7: with no A neighbors, the unscaled B moves to the A
+        # slot and the B slot re-derives with scaling
+        if mv_a is None and mv_b is not None:
+            mv_a, mv_b = mv_b, None
+        if mv_b is None:
+            for c in bs:
+                if c is not None and mv_b is None:
+                    mv_b = _amvp_from(ps, c, lx, ref_idx, scaled=True)
+
     cands = []
     if mv_a is not None:
         cands.append(mv_a)

@@ -175,29 +175,62 @@ def add_residual(plane, coeff, pred, x0, y0, n, qp, bit_depth, *, dst=False):
     plane[y0:y0 + n, x0:x0 + n] = rec.astype(plane.dtype)
 
 
-def reconstruct_inter_cu(ps: PicSyntax, planes, ref_planes, cx: int, cy: int,
-                         log2_cb: int, qps, bit_depth: int = 8) -> None:
-    """MC prediction + residual for one 2Nx2N inter CU (single ref L0).
-    The residual is added per TU LEAF (the TU tree may split while the
-    prediction covers the whole CU)."""
-    from ..ops.interp import mc_chroma_np, mc_luma_np
+def _inter_pred(ps: PicSyntax, refs_l0, refs_l1, cx, cy, size, bit_depth):
+    """Uni- or bi-directional MC prediction for a 2Nx2N PU (§8.5.3.3.3):
+    uni uses the pp path; bi combines two 14-bit intermediates."""
+    from ..ops.interp import (bi_avg_np, mc_chroma_np, mc_chroma_ps_np,
+                              mc_luma_np, mc_luma_ps_np)
 
+    y4, x4 = cy >> 2, cx >> 2
+    d = int(ps.inter_dir[y4, x4]) or 1
+    csz = size >> 1
+    if d != 3:
+        refs = refs_l0 if d == 1 else refs_l1
+        mv = ps.mv0[y4, x4] if d == 1 else ps.mv1[y4, x4]
+        ref = refs[int((ps.ref_idx0 if d == 1 else ps.ref_idx1)[y4, x4])]
+        mvx, mvy = int(mv[0]), int(mv[1])
+        return (mc_luma_np(ref[0], cx, cy, size, size, mvx, mvy, bit_depth),
+                mc_chroma_np(ref[1], cx >> 1, cy >> 1, csz, csz, mvx, mvy,
+                             bit_depth),
+                mc_chroma_np(ref[2], cx >> 1, cy >> 1, csz, csz, mvx, mvy,
+                             bit_depth))
+    r0 = refs_l0[int(ps.ref_idx0[y4, x4])]
+    r1 = refs_l1[int(ps.ref_idx1[y4, x4])]
+    mv0, mv1 = ps.mv0[y4, x4], ps.mv1[y4, x4]
+    x0i, y0i = int(mv0[0]), int(mv0[1])
+    x1i, y1i = int(mv1[0]), int(mv1[1])
+    out = []
+    for pl, fn, (px, py, n) in (
+            (0, mc_luma_ps_np, (cx, cy, size)),
+            (1, mc_chroma_ps_np, (cx >> 1, cy >> 1, csz)),
+            (2, mc_chroma_ps_np, (cx >> 1, cy >> 1, csz))):
+        p0 = fn(r0[pl], px, py, n, n, x0i, y0i, bit_depth)
+        p1 = fn(r1[pl], px, py, n, n, x1i, y1i, bit_depth)
+        out.append(bi_avg_np(p0, p1, bit_depth))
+    return tuple(out)
+
+
+def reconstruct_inter_cu(ps: PicSyntax, planes, ref_planes, cx: int, cy: int,
+                         log2_cb: int, qps, bit_depth: int = 8,
+                         refs_l1=None) -> None:
+    """MC prediction + residual for one 2Nx2N inter CU (uni L0/L1 or bi).
+    The residual is added per TU LEAF (the TU tree may split while the
+    prediction covers the whole CU).
+
+    ``ref_planes``: either a single (Y, Cb, Cr) tuple (legacy P, one ref)
+    or a list of such tuples (L0); ``refs_l1``: list for L1 (B slices).
+    """
     qp_y, qp_cb, qp_cr = qps
     size = 1 << log2_cb
-    mv = ps.mv0[cy >> 2, cx >> 2]
-    mvx, mvy = int(mv[0]), int(mv[1])
-    pred_y = mc_luma_np(ref_planes[0], cx, cy, size, size, mvx, mvy,
-                        bit_depth)
+    refs_l0 = (ref_planes if isinstance(ref_planes, list)
+               else [ref_planes])
+    pred_y, pred_cb, pred_cr = _inter_pred(
+        ps, refs_l0, refs_l1 or [], cx, cy, size, bit_depth)
     for (tx, ty, log2_tb, _d) in tu_leaves(ps, cx, cy, log2_cb):
         n = 1 << log2_tb
         add_residual(planes[0], ps.coeff_y,
                      pred_y[ty - cy:ty - cy + n, tx - cx:tx - cx + n],
                      tx, ty, n, qp_y, bit_depth)
-    csz = size >> 1
-    pred_cb = mc_chroma_np(ref_planes[1], cx >> 1, cy >> 1, csz, csz,
-                           mvx, mvy, bit_depth)
-    pred_cr = mc_chroma_np(ref_planes[2], cx >> 1, cy >> 1, csz, csz,
-                           mvx, mvy, bit_depth)
     for (tx, ty, clog2) in chroma_tu_leaves(ps, cx, cy, log2_cb):
         n = 1 << clog2
         ox, oy = (tx - cx) >> 1, (ty - cy) >> 1
@@ -210,11 +243,12 @@ def reconstruct_inter_cu(ps: PicSyntax, planes, ref_planes, cx: int, cy: int,
 def reconstruct_picture(ps: PicSyntax, planes, qp_y: int, bit_depth: int = 8,
                         cb_qp_offset: int = 0, cr_qp_offset: int = 0,
                         strong_smoothing: bool = False,
-                        ref_planes=None) -> None:
+                        ref_planes=None, refs_l1=None) -> None:
     """Full decoder-side reconstruction of a picture, in place.
 
     ``planes`` = (Y, Cb, Cr) int16 numpy arrays at coded (padded) size;
-    ``ref_planes`` = same for the L0[0] reference (P slices).
+    ``ref_planes`` = L0 reference(s): one (Y, Cb, Cr) tuple or a list of
+    them; ``refs_l1`` = list of L1 references (B slices).
     """
     from ..cabac.ctu import MODE_INTRA as _INTRA
 
@@ -229,7 +263,7 @@ def reconstruct_picture(ps: PicSyntax, planes, qp_y: int, bit_depth: int = 8,
             if ps.pred_mode[cy >> 2, cx >> 2] != _INTRA:
                 reconstruct_inter_cu(ps, planes, ref_planes, cx, cy,
                                      log2_cb, (qp_y, qp_cb, qp_cr),
-                                     bit_depth)
+                                     bit_depth, refs_l1=refs_l1)
                 continue
             for (tx, ty, log2_tb, _d) in tu_leaves(ps, cx, cy, log2_cb):
                 mode = int(ps.luma_mode[ty >> 2, tx >> 2])

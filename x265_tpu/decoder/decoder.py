@@ -25,7 +25,7 @@ from ..common.bitstream import (NAL_PPS, NAL_PREFIX_SEI, NAL_SPS,
                                 NAL_SUFFIX_SEI, NAL_VPS, BitReader,
                                 split_annexb)
 from ..common.geometry import PictureGeometry
-from ..common.headers import (SLICE_I, SLICE_P, parse_pps,
+from ..common.headers import (SLICE_B, SLICE_I, SLICE_P, parse_pps,
                               parse_slice_header, parse_sps, parse_vps)
 from ..common.recon import reconstruct_picture
 from ..ops.deblock import deblock_intra_picture_np
@@ -55,11 +55,15 @@ class Decoder:
         self.vps = {}
         self.sps = {}
         self.pps = {}
-        self.pictures: list[DecodedPicture] = []
+        self.pictures: list[DecodedPicture] = []  # display (output) order
         self.check_hashes = check_hashes
         self._pending_hash = None
         self._cur: DecodedPicture | None = None
-        self._last_ref = None   # coded-size planes of the last picture
+        self._cur_is_ref = True
+        self._dpb = {}          # poc -> coded-size planes (reference pics)
+        self._reorder = []      # decoded pictures awaiting output bumping
+        self._num_reorder = 0   # max pics that may precede in decode order
+        self._prev_poc = 0      # PicOrderCntVal of the previous picture
         self._wf_cache = {}     # wavefront decode scans per geometry
 
     def push_bytes(self, data: bytes) -> None:
@@ -75,6 +79,10 @@ class Decoder:
     def flush(self) -> None:
         if self._cur is not None:
             self._finish_picture()
+        # end of stream: drain the reorder buffer (C.5.2.2 bumping)
+        self._reorder.sort(key=lambda p: p.poc)
+        self.pictures.extend(self._reorder)
+        self._reorder = []
 
     def push_nal(self, nal_type: int, rbsp: bytes) -> None:
         if nal_type == NAL_VPS:
@@ -110,7 +118,55 @@ class Decoder:
 
         br = BitReader(rbsp)
         sh = parse_slice_header(br, sps, pps, nal_type)
-        assert sh.slice_type in (SLICE_I, SLICE_P), "B slices not yet"
+
+        # PicOrderCntVal (§8.3.1): msb continuation from the previous
+        # picture; IDR resets to 0
+        is_idr = 16 <= nal_type <= 23
+        if is_idr:
+            poc = 0
+            # IDR starts a new CVS: output everything pending, clear refs
+            self._reorder.sort(key=lambda p: p.poc)
+            self.pictures.extend(self._reorder)
+            self._reorder = []
+            self._dpb.clear()
+        else:
+            max_lsb = 1 << sps.log2_max_poc_lsb
+            lsb = sh.pic_order_cnt_lsb
+            prev_lsb = self._prev_poc % max_lsb
+            prev_msb = self._prev_poc - prev_lsb
+            if lsb < prev_lsb and prev_lsb - lsb >= max_lsb // 2:
+                msb = prev_msb + max_lsb
+            elif lsb > prev_lsb and lsb - prev_lsb > max_lsb // 2:
+                msb = prev_msb - max_lsb
+            else:
+                msb = prev_msb
+            poc = msb + lsb
+        # TRAIL_N and other *_N types are never referenced (§7.4.2.2)
+        self._cur_is_ref = nal_type % 2 == 1 or is_idr
+        self._num_reorder = max(
+            self._num_reorder, sps.num_reorder_pics,
+            *(v.num_reorder_pics for v in self.vps.values()))
+
+        # reference lists from the slice RPS (§8.3.2-3, no modification)
+        refs_l0, refs_l1 = [], []
+        pocs_l0, pocs_l1 = [], []
+        if sh.slice_type != SLICE_I and sh.rps is not None:
+            before = [poc + d for d, u in zip(sh.rps.delta_pocs_s0,
+                                              sh.rps.used_s0) if u]
+            after = [poc + d for d, u in zip(sh.rps.delta_pocs_s1,
+                                             sh.rps.used_s1) if u]
+            # l0 = before (closest first) then after; l1 = after then before
+            l0 = before + after
+            l1 = after + before
+            for rp in l0[:sh.num_ref_idx_l0]:
+                assert rp in self._dpb, f"missing reference POC {rp}"
+                refs_l0.append(self._dpb[rp])
+                pocs_l0.append(rp)
+            if sh.slice_type == SLICE_B:
+                for rp in l1[:sh.num_ref_idx_l1]:
+                    assert rp in self._dpb, f"missing reference POC {rp}"
+                    refs_l1.append(self._dpb[rp])
+                    pocs_l1.append(rp)
 
         geom = PictureGeometry(sps.pic_width, sps.pic_height,
                                sps.log2_ctb_size, sps.log2_min_cb_size)
@@ -120,14 +176,20 @@ class Decoder:
             max_tr_depth_inter=sps.max_transform_hierarchy_depth_inter,
             sign_hiding=bool(pps.sign_data_hiding))
         ps.max_merge_cand = sh.max_num_merge_cand
+        ps.cur_poc = poc
+        ps.ref_pocs_l0 = tuple(pocs_l0)
+        ps.ref_pocs_l1 = tuple(pocs_l1)
         coder = CtuCoder(ps, sps.log2_min_cb_size, sps.log2_min_tb_size,
                          sps.log2_max_tb_size, slice_type=sh.slice_type,
                          sao_luma=bool(sh.sao_luma),
                          sao_chroma=bool(sh.sao_chroma),
-                         bit_depth=sps.bit_depth_luma)
+                         bit_depth=sps.bit_depth_luma,
+                         num_ref_l0=max(1, len(pocs_l0)),
+                         num_ref_l1=max(1, len(pocs_l1)),
+                         mvd_l1_zero=bool(sh.mvd_l1_zero))
 
-        # CABAC init (§9.3.2.2): I -> initType 0; P -> 1 (cabac_init_flag 0)
-        init_type = 0 if sh.slice_type == SLICE_I else 1
+        # CABAC init (§9.3.2.2, cabac_init_flag 0): I->0, P->1, B->2
+        init_type = {SLICE_I: 0, SLICE_P: 1, SLICE_B: 2}[sh.slice_type]
         ctx = init_context_states(init_type, sh.slice_qp)
         data = rbsp[br.bit_pos >> 3:]  # slice data starts byte-aligned
         dec = CabacDecoder(BitReader(data), ctx)
@@ -145,17 +207,15 @@ class Decoder:
         planes = (np.zeros((h, w), np.int16),
                   np.zeros((h // 2, w // 2), np.int16),
                   np.zeros((h // 2, w // 2), np.int16))
-        ref = None
-        if sh.slice_type == SLICE_P:
-            assert self._last_ref is not None, "P slice without reference"
-            ref = self._last_ref
+        if sh.slice_type != SLICE_I:
+            assert refs_l0, "inter slice without reference"
         if not (sh.slice_type == SLICE_I
                 and self._wavefront_decode(ps, planes, sh, sps, pps, geom)):
             reconstruct_picture(
                 ps, planes, sh.slice_qp, bd,
                 pps.cb_qp_offset, pps.cr_qp_offset,
                 strong_smoothing=bool(sps.strong_intra_smoothing),
-                ref_planes=ref)
+                ref_planes=refs_l0 or None, refs_l1=refs_l1 or None)
 
         # decoded picture = coded size; output view = conformance-cropped
         cw, ch = sps.pic_width, sps.pic_height
@@ -192,7 +252,9 @@ class Decoder:
         y = coded[0][2 * ct:2 * ct + hl, 2 * cl:2 * cl + wl]
         u = coded[1][ct:ct + hl // 2, cl:cl + wl // 2]
         v = coded[2][ct:ct + hl // 2, cl:cl + wl // 2]
-        self._cur = DecodedPicture(poc=sh.pic_order_cnt_lsb,
+        if self._cur_is_ref:
+            self._prev_poc = poc     # §8.3.1 prevTid0Pic
+        self._cur = DecodedPicture(poc=poc,
                                    planes=(y, u, v), syntax=ps,
                                    qp=sh.slice_qp, bit_depth=bd,
                                    coded_planes=coded)
@@ -266,8 +328,19 @@ class Decoder:
                 fn(p.astype(dt), pic.bit_depth) == d
                 for p, d in zip(pic.coded_planes, digests))
         self._pending_hash = None
-        self._last_ref = pic.coded_planes   # post-filter picture = reference
-        self.pictures.append(pic)
+        if self._cur_is_ref:
+            # post-filter picture joins the DPB as a reference; bound the
+            # buffer (sps max_dec_pic_buffering analogue)
+            self._dpb[pic.poc] = pic.coded_planes
+            if len(self._dpb) > 8:
+                del self._dpb[min(self._dpb)]
+        # output bumping (C.5.2.2): emit lowest-POC pictures once more
+        # than num_reorder are waiting
+        self._reorder.append(pic)
+        while len(self._reorder) > self._num_reorder:
+            nxt = min(range(len(self._reorder)),
+                      key=lambda i: self._reorder[i].poc)
+            self.pictures.append(self._reorder.pop(nxt))
 
 
 def decode_annexb(data: bytes, check_hashes: bool = True):

@@ -55,7 +55,7 @@ def _filter_stage_builder(enc):
         return jnp.repeat(jnp.repeat(a, f, 0), f, 1)
 
     def finish(oy3, scan_out, qp_base, dqp_cb, dqp_cr, sao_lam,
-               inter=None, mv=None):
+               inter=None, mv=None, motion_b=None):
         (rec_y, rec_cb, rec_cr, lv16_y, lv8_cb, lv8_cr,
          lv32_y, lv16_cb, lv16_cr, use32) = scan_out
         # ---- coefficient planes (merged by the CU decision) ----
@@ -90,7 +90,8 @@ def _filter_stage_builder(enc):
             planes = deblock_picture_jnp(
                 planes, intra4, cbf4, mv4,
                 u if has32 else None, masks, qp_base, dqp_cb, dqp_cr,
-                bd, p.deblock_beta_offset, p.deblock_tc_offset)
+                bd, p.deblock_beta_offset, p.deblock_tc_offset,
+                motion_b=motion_b)
 
         # ---- SAO (estimate + joint decision + apply) ----
         nctb = g.n_ctbs
@@ -226,19 +227,17 @@ def build_i_pipeline(enc):
     return jax.jit(run)
 
 
-def build_p_pipeline(enc):
-    """P-frame device program: intra analysis + full+subpel ME + chroma MC
-    + inter/intra decision + CTU-wavefront recon (one lax.scan).
-
-    fn(orig x3, ref_ext x3, qps, lam, qp_base, dqp_cb, dqp_cr, sao_lam) ->
-       (modes, mode32, use32, mv_qpel [B, 2] (x, y), inter_mask [B],
-        final planes x3, coeff planes x3, sao params x4, cost_p, cost_i).
+def _inter_tools_builder(enc):
+    """Shared inter machinery for the P/B device pipelines: full-search +
+    subpel ME, MV-coherence passes, and pp/ps luma+chroma MC evaluation
+    at arbitrary per-block MVs (windows gathered from the extended ref).
     """
     import jax
     import jax.numpy as jnp
 
     from ..ops.cost import satd as satd_fn
-    from ..ops.interp import mc_chroma_batch, mc_luma_batch
+    from ..ops.interp import (bi_avg, mc_chroma_batch, mc_chroma_batch_ps,
+                              mc_luma_batch, mc_luma_batch_ps)
 
     g = enc.geom
     n = 16
@@ -250,29 +249,12 @@ def build_p_pipeline(enc):
     gh, gw = ph // n, pw // n
     nb = gh * gw
     cn = n // 2
-    cph, cpw = ph // 2, pw // 2
-    scan = enc._get_ctu_scan()
-    decide = bool(scan.t["has32"]) and not enc.force_cu16
-    run_scan = scan.scan_fn(inter=True, decide32=decide)
-    B32 = scan.t["b32_n"]
-    nctb = g.n_ctbs
-    analyse16 = _analyse_builder(enc, n, gh, gw, ph, pw)
-    analyse32 = (_analyse_builder(enc, 32, ph // 32, pw // 32, ph, pw)
-                 if decide else None)
-    finish = _filter_stage_builder(enc)
+    bd = enc.bit_depth
 
     offs = np.array([(dy, dx) for dy in range(-R, R + 1)
                      for dx in range(-R, R + 1)], np.int32)
     deltas = [(dy, dx) for dy in (-1, 0, 1) for dx in (-1, 0, 1)
               if (dy, dx) != (0, 0)]
-
-    def to_blocks(pl, bn):
-        return pl.reshape(gh, bn, gw, bn).transpose(
-            0, 2, 1, 3).reshape(-1, bn, bn)
-
-    def analyse(y):
-        modes, icost = analyse16(y)
-        return modes, icost, to_blocks(y.astype(jnp.int32), n)
 
     def me(orig, ref_ext, ob, qp):
         def body(carry, off):
@@ -367,8 +349,20 @@ def build_p_pipeline(enc):
             mvxy, pred, cost = adopt(mvxy, pred, cost, shift_axis=0)
         return mvxy, cost, pred
 
-    def chroma_pred(ref_ext, mv):
-        # mv [B, 2] (x, y) qpel == chroma eighth-pel
+    def eval_mv_ps(ref_ext, mv):
+        """14-bit-domain luma prediction at per-block (x, y) qpel MVs
+        (window gather from the extended plane)."""
+        oy2 = np.arange(n + 7)
+        byb = jnp.asarray(np.repeat(np.arange(gh), gw) * n + M)
+        bxb = jnp.asarray(np.tile(np.arange(gw), gh) * n + M)
+        iy = mv[:, 1] >> 2
+        ix = mv[:, 0] >> 2
+        rows = (byb + iy - 3)[:, None] + oy2[None, :]
+        cols = (bxb + ix - 3)[:, None] + oy2[None, :]
+        win = ref_ext[rows[:, :, None], cols[:, None, :]]
+        return mc_luma_batch_ps(win, mv[:, 0] & 3, mv[:, 1] & 3, n, n, bd)
+
+    def _chroma_windows(ref_ext, mv):
         icx = mv[:, 0] >> 3
         icy = mv[:, 1] >> 3
         oy = np.arange(cn + 3)
@@ -376,25 +370,70 @@ def build_p_pipeline(enc):
         bx = (np.tile(np.arange(gw), gh) * cn + CM - 1)
         rows = (jnp.asarray(by) + icy)[:, None] + oy[None, :]
         cols = (jnp.asarray(bx) + icx)[:, None] + oy[None, :]
-        wins = ref_ext[rows[:, :, None], cols[:, None, :]]
-        return mc_chroma_batch(wins, mv[:, 0] & 7, mv[:, 1] & 7, cn, cn,
-                               enc.bit_depth)
+        return ref_ext[rows[:, :, None], cols[:, None, :]]
+
+    def chroma_pred(ref_ext, mv):
+        # mv [B, 2] (x, y) qpel == chroma eighth-pel
+        wins = _chroma_windows(ref_ext, mv)
+        return mc_chroma_batch(wins, mv[:, 0] & 7, mv[:, 1] & 7, cn, cn, bd)
+
+    def chroma_pred_ps(ref_ext, mv):
+        wins = _chroma_windows(ref_ext, mv)
+        return mc_chroma_batch_ps(wins, mv[:, 0] & 7, mv[:, 1] & 7, cn, cn,
+                                  bd)
+
+    return dict(me=me, eval_mv_ps=eval_mv_ps, chroma_pred=chroma_pred,
+                chroma_pred_ps=chroma_pred_ps, satd=satd_fn,
+                bi_avg=lambda a, b: bi_avg(a, b, bd), R=R, M=M, CM=CM)
+
+
+def build_p_pipeline(enc):
+    """P-frame device program: intra analysis + full+subpel ME + chroma MC
+    + inter/intra decision + CTU-wavefront recon (one lax.scan).
+
+    fn(orig x3, ref_ext x3, qps, lam, qp_base, dqp_cb, dqp_cr, sao_lam) ->
+       (modes, mode32, use32, mv_qpel [B, 2] (x, y), inter_mask [B],
+        final planes x3, coeff planes x3, sao params x4, cost_p, cost_i).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    g = enc.geom
+    n = 16
+    ph = g.ctbs_h << g.log2_ctb
+    pw = g.ctbs_w << g.log2_ctb
+    gh, gw = ph // n, pw // n
+    scan = enc._get_ctu_scan()
+    decide = bool(scan.t["has32"]) and not enc.force_cu16
+    run_scan = scan.scan_fn(inter=True, decide32=decide)
+    B32 = scan.t["b32_n"]
+    nctb = g.n_ctbs
+    analyse16 = _analyse_builder(enc, n, gh, gw, ph, pw)
+    analyse32 = (_analyse_builder(enc, 32, ph // 32, pw // 32, ph, pw)
+                 if decide else None)
+    finish = _filter_stage_builder(enc)
+    tools = _inter_tools_builder(enc)
+
+    def to_blocks(pl, bn):
+        return pl.reshape(gh, bn, gw, bn).transpose(
+            0, 2, 1, 3).reshape(-1, bn, bn)
 
     def run(oy, ocb, ocr, ref_y_ext, ref_cb_ext, ref_cr_ext,
             qpy, qpb, qpr, lam, qp_base, dqp_cb, dqp_cr, sao_lam):
-        modes, icost, ob = analyse(oy)
+        modes, icost = analyse16(oy)
+        ob = to_blocks(oy.astype(jnp.int32), n)
         if decide:
             mode32, _c32 = analyse32(oy)
         else:
             mode32 = jnp.zeros((B32,), jnp.int32)
-        mv, pcost, pred_y = me(oy.astype(jnp.int32),
-                               ref_y_ext.astype(jnp.int32), ob, qpy)
+        mv, pcost, pred_y = tools["me"](oy.astype(jnp.int32),
+                                        ref_y_ext.astype(jnp.int32), ob, qpy)
         # intra blocks in P slices cost far more bits than SATD reflects
         # (mode + full coefficients); bias the decision toward inter
         inter = pcost.reshape(-1).astype(jnp.int64) <= (
             icost.astype(jnp.int64) * 9) // 8
-        pred_cb = chroma_pred(ref_cb_ext.astype(jnp.int32), mv)
-        pred_cr = chroma_pred(ref_cr_ext.astype(jnp.int32), mv)
+        pred_cb = tools["chroma_pred"](ref_cb_ext.astype(jnp.int32), mv)
+        pred_cr = tools["chroma_pred"](ref_cr_ext.astype(jnp.int32), mv)
         out = run_scan(oy, ocb, ocr, modes, mode32,
                        jnp.zeros((B32,), bool),
                        jnp.full((nctb,), qpy, jnp.int32),
@@ -411,5 +450,117 @@ def build_p_pipeline(enc):
         cost_i = jnp.sum(icost)
         return (modes, mode32, out[9], mv.astype(jnp.int16), inter,
                 ) + planes6 + sao4 + (cost_p, cost_i)
+
+    return jax.jit(run)
+
+
+def build_b_pipeline(enc):
+    """B-frame device program: intra analysis + per-list ME + bi-prediction
+    trial + direction decision + CTU-wavefront recon + in-loop filters.
+
+    fn(orig x3, ref0_ext x3, ref1_ext x3, qps, lam, qp_base, dqp_cb,
+       dqp_cr, sao_lam, poc_l0, poc_l1) ->
+       (modes, mode32, use32, mv0 [B, 2], mv1 [B, 2], dir [B] (1/2/3),
+        inter_mask [B], final planes x3, coeff planes x3, sao params x4).
+
+    TPU-first shape of x265's checkBidir2Nx2N (search.cpp:2013): both
+    list searches and the bi average are evaluated for EVERY block as
+    batched tensor ops, then an argmin picks the direction.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    g = enc.geom
+    n = 16
+    ph = g.ctbs_h << g.log2_ctb
+    pw = g.ctbs_w << g.log2_ctb
+    gh, gw = ph // n, pw // n
+    scan = enc._get_ctu_scan()
+    decide = bool(scan.t["has32"]) and not enc.force_cu16
+    run_scan = scan.scan_fn(inter=True, decide32=decide)
+    B32 = scan.t["b32_n"]
+    nctb = g.n_ctbs
+    analyse16 = _analyse_builder(enc, n, gh, gw, ph, pw)
+    analyse32 = (_analyse_builder(enc, 32, ph // 32, pw // 32, ph, pw)
+                 if decide else None)
+    finish = _filter_stage_builder(enc)
+    tools = _inter_tools_builder(enc)
+
+    def to_blocks(pl, bn):
+        return pl.reshape(gh, bn, gw, bn).transpose(
+            0, 2, 1, 3).reshape(-1, bn, bn)
+
+    def run(oy, ocb, ocr, r0y, r0cb, r0cr, r1y, r1cb, r1cr,
+            qpy, qpb, qpr, lam, qp_base, dqp_cb, dqp_cr, sao_lam,
+            poc_l0, poc_l1):
+        modes, icost = analyse16(oy)
+        ob = to_blocks(oy.astype(jnp.int32), n)
+        if decide:
+            mode32, _c32 = analyse32(oy)
+        else:
+            mode32 = jnp.zeros((B32,), jnp.int32)
+        oy32 = oy.astype(jnp.int32)
+        mv0, c0, p0 = tools["me"](oy32, r0y.astype(jnp.int32), ob, qpy)
+        mv1, c1, p1 = tools["me"](oy32, r1y.astype(jnp.int32), ob, qpy)
+        c0 = c0.astype(jnp.int32)
+        c1 = c1.astype(jnp.int32)
+        # bi trial at the two uni winners (x265 checkBidir shape)
+        ps0 = tools["eval_mv_ps"](r0y.astype(jnp.int32), mv0)
+        ps1 = tools["eval_mv_ps"](r1y.astype(jnp.int32), mv1)
+        pbi = tools["bi_avg"](ps0, ps1)
+        cbi = tools["satd"](ob, pbi).astype(jnp.int32)
+        # direction decision with a bits bias: bi codes two mvd/mvp sets
+        bi_bias = (8.0 * 2.0 ** ((qpy.astype(jnp.float32) - 12.0) / 6.0)
+                   ).astype(jnp.int32)
+        cbi_b = cbi + bi_bias
+        d = jnp.where(cbi_b <= jnp.minimum(c0, c1), 3,
+                      jnp.where(c0 <= c1, 1, 2)).astype(jnp.int32)
+        best = jnp.where(d == 3, cbi_b, jnp.minimum(c0, c1))
+        inter = best.reshape(-1).astype(jnp.int64) <= (
+            icost.astype(jnp.int64) * 9) // 8
+        d3 = (d == 3)[:, None, None]
+        pred_y = jnp.where(d3, pbi,
+                           jnp.where((d == 1)[:, None, None], p0, p1))
+        # chroma per direction
+        pc0 = tools["chroma_pred"](r0cb.astype(jnp.int32), mv0)
+        pc1 = tools["chroma_pred"](r1cb.astype(jnp.int32), mv1)
+        pcbi = tools["bi_avg"](
+            tools["chroma_pred_ps"](r0cb.astype(jnp.int32), mv0),
+            tools["chroma_pred_ps"](r1cb.astype(jnp.int32), mv1))
+        pred_cb = jnp.where(d3, pcbi,
+                            jnp.where((d == 1)[:, None, None], pc0, pc1))
+        pr0 = tools["chroma_pred"](r0cr.astype(jnp.int32), mv0)
+        pr1 = tools["chroma_pred"](r1cr.astype(jnp.int32), mv1)
+        prbi = tools["bi_avg"](
+            tools["chroma_pred_ps"](r0cr.astype(jnp.int32), mv0),
+            tools["chroma_pred_ps"](r1cr.astype(jnp.int32), mv1))
+        pred_cr = jnp.where(d3, prbi,
+                            jnp.where((d == 1)[:, None, None], pr0, pr1))
+        out = run_scan(oy, ocb, ocr, modes, mode32,
+                       jnp.zeros((B32,), bool),
+                       jnp.full((nctb,), qpy, jnp.int32),
+                       jnp.full((nctb,), qpb, jnp.int32),
+                       jnp.full((nctb,), qpr, jnp.int32),
+                       lam=jnp.full((nctb,), lam, jnp.float32),
+                       is_inter=inter, ipred_y=pred_y,
+                       ipred_cb=pred_cb, ipred_cr=pred_cr)
+        # normalized per-4x4 motion state for the in-pipeline deblock
+        def rep4(a):
+            return jnp.repeat(jnp.repeat(a.reshape(gh, gw, -1), 4, 0),
+                              4, 1)
+
+        dir_eff = jnp.where(inter, d, 1)
+        nmv = jnp.where(dir_eff == 3, 2, 1)
+        mva = jnp.where((dir_eff == 2)[:, None], mv1, mv0)
+        poca = jnp.where(dir_eff == 2, poc_l1, poc_l0)
+        mvb = jnp.where((dir_eff == 3)[:, None], mv1, mva)
+        pocb = jnp.where(dir_eff == 3, poc_l1, poca)
+        motion_b = (rep4(nmv)[:, :, 0], rep4(mva), rep4(mvb),
+                    rep4(poca)[:, :, 0], rep4(pocb)[:, :, 0])
+        planes6, sao4 = finish((oy, ocb, ocr), out, qp_base, dqp_cb,
+                               dqp_cr, sao_lam, inter=inter, mv=mv0,
+                               motion_b=motion_b)
+        return (modes, mode32, out[9], mv0.astype(jnp.int16),
+                mv1.astype(jnp.int16), d, inter) + planes6 + sao4
 
     return jax.jit(run)

@@ -28,7 +28,8 @@ from ..cabac.tables import init_context_states
 from ..common.bitstream import (NAL_IDR_W_RADL, NAL_PPS, NAL_SPS, NAL_TRAIL_R,
                                 NAL_SUFFIX_SEI, NAL_VPS, wrap_nal)
 from ..common.geometry import PictureGeometry
-from ..common.headers import (PPS, SPS, VPS, SLICE_I, SLICE_P, SliceHeader,
+from ..common.headers import (PPS, SPS, VPS, SLICE_B, SLICE_I, SLICE_P,
+                              SliceHeader,
                               write_pps, write_slice_header, write_sps,
                               write_vps)
 from ..common.params import Params
@@ -40,6 +41,21 @@ from ..ops.deblock import deblock_intra_picture_np
 from ..ops.intra import filter_flag, filter_reference_np, predict_intra_np
 from ..ops.quantize import dequant_np, quant_np
 from ..ops.transforms import forward_transform_np, inverse_transform_np
+
+
+from dataclasses import dataclass
+
+
+@dataclass
+class EncodedFrame:
+    """One encoded picture (x265_picture out-analogue, x265.h:155)."""
+    poc: int              # POC within its coded video sequence
+    display_idx: int      # global display-order index
+    au: bytes             # access unit (Annex-B)
+    recon: tuple          # conformance-cropped recon planes
+    coded: tuple          # full coded-size recon (reference domain)
+    kind: str             # "I" / "P" / "B"
+    qp: int
 
 
 def pad_plane(p: np.ndarray, h: int, w: int) -> np.ndarray:
@@ -117,12 +133,29 @@ class Encoder:
         self._mode_tables = {}          # cached mode-decision gather tables
         self._i_pipeline = None         # fused I-frame device program
         self._p_pipeline = None         # fused P-frame device program
+        self._b_pipeline = None         # fused B-frame device program
         self.ref = None                 # (Y, Cb, Cr) coded-size ref planes
         self.force_all_intra = False
         self.me_range = min(8, params.me_range)  # full-search reach (v1)
         from .ratecontrol import RateControl
         self.rc = RateControl(params)
         self._prev_half = None          # half-res Y of the previous source
+        # GOP structure (x265 slicetype role, fixed pattern = b-adapt 0):
+        # display-order input queue + mini-GOP reordering when bframes > 0
+        self.bframes = params.bframes if self.bit_depth == 8 else 0
+        self._queue = []                # [(poc, planes)] pending display order
+        self._next_poc = 0              # next display POC within the CVS
+        self._display_idx = 0           # global input counter (keyint)
+        self._cvs_base = 0              # global index of the current IDR
+        self.dpb = {}                   # poc -> coded-size recon planes
+        self.prev_anchor_poc = None
+        if self.bframes:
+            # one anchor precedes its Bs in decode order but follows in
+            # output order; libde265 bumps off the VPS value (decctx.cc:1959)
+            self.sps.num_reorder_pics = 1
+            self.sps.max_dec_pic_buffering = 4
+            self.vps.num_reorder_pics = 1
+            self.vps.max_dec_pic_buffering = 4
 
     # -- stream headers ------------------------------------------------------
 
@@ -261,7 +294,95 @@ class Encoder:
     def encode_frame(self, planes):
         """planes: (Y, Cb, Cr) uint8/uint16 source arrays.
 
+        Immediate-output path (bframes == 0 only; with B frames the
+        encode order differs from display order — use push_frame/flush).
         Returns (annexb_bytes, recon_planes_cropped).
+        """
+        if self.bframes:
+            raise ValueError(
+                "bframes > 0 reorders output; use push_frame()/flush()")
+        out = self.push_frame(planes)
+        assert len(out) == 1
+        return out[0].au, out[0].recon
+
+    def push_frame(self, planes) -> list:
+        """Feed one display-order frame; returns the EncodedFrame list
+        produced by this push (possibly empty, possibly a whole mini-GOP
+        in ENCODE order).  Mirrors x265_encoder_encode's delayed-output
+        contract (x265.h:1334; lookahead queue slicetype.cpp:649)."""
+        p = self.params
+        keyint = max(1, p.keyint_max)
+        out = []
+        gop_start = ((self._display_idx - self._cvs_base) % keyint == 0
+                     or self.prev_anchor_poc is None
+                     or self.force_all_intra or self.bit_depth > 8)
+        if self.bframes == 0:
+            poc = 0 if gop_start else self._next_poc
+            kind = "I" if gop_start else "P"
+            ef = self._encode_one(planes, poc, kind,
+                                  l0_poc=self.prev_anchor_poc)
+            self._after_anchor(ef, idr=ef.kind == "I")
+            self._display_idx += 1
+            return [ef]
+        if gop_start:
+            out += self._emit_minigop()     # pending frames end their GOP
+            self._cvs_base = self._display_idx  # before encode: display_idx
+            ef = self._encode_one(planes, 0, "I")  # = _cvs_base + poc
+            self._next_poc = 1
+            self._after_anchor(ef, idr=True)
+            out.append(ef)
+        else:
+            self._queue.append((self._next_poc, planes))
+            self._next_poc += 1
+            if len(self._queue) == self.bframes + 1:
+                out += self._emit_minigop()
+        self._display_idx += 1
+        return out
+
+    def flush(self) -> list:
+        """Encode any queued frames (end of stream)."""
+        return self._emit_minigop()
+
+    def _after_anchor(self, ef, idr: bool = False) -> None:
+        """DPB management after an anchor (I/P): anchors are the only
+        reference pictures (Bs are non-referenced, TRAIL_N)."""
+        if idr:
+            self.dpb.clear()
+            self._cvs_base = self._display_idx
+            self._next_poc = 1
+        else:
+            self._next_poc = ef.poc + 1
+        # keep only the new anchor (single active reference per list)
+        self.dpb = {ef.poc: ef.coded}
+        self.prev_anchor_poc = ef.poc
+        self.ref = ef.coded             # legacy alias (bframes == 0 path)
+
+    def _emit_minigop(self) -> list:
+        """Encode the queued mini-GOP: last frame as the P anchor first,
+        then the Bs (display order) against (prev anchor, new anchor)."""
+        if not self._queue:
+            return []
+        frames, self._queue = self._queue, []
+        anchor_poc, anchor_planes = frames[-1]
+        l0 = self.prev_anchor_poc
+        out = [self._encode_one(anchor_planes, anchor_poc,
+                                "P" if l0 is not None else "I", l0_poc=l0)]
+        prev_dpb = dict(self.dpb)
+        self._after_anchor(out[0])
+        self.dpb.update(prev_dpb)       # Bs still need the previous anchor
+        for poc, planes in frames[:-1]:
+            out.append(self._encode_one(planes, poc, "B", l0_poc=l0,
+                                        l1_poc=anchor_poc))
+        self.dpb = {anchor_poc: out[0].coded}
+        return out
+
+    def _encode_one(self, planes, poc: int, kind: str,
+                    l0_poc=None, l1_poc=None):
+        """Encode one picture of the given slice type against DPB refs.
+
+        Returns an EncodedFrame; does NOT advance GOP state (push_frame
+        owns the ordering).  A scenecut may upgrade a P to an IDR — the
+        returned .kind and .poc reflect what was coded.
         """
         g = self.geom
         p = self.params
@@ -272,12 +393,15 @@ class Encoder:
                 pad_plane(np.asarray(planes[2]), ph // 2, pw // 2))
 
         keyint = max(1, p.keyint_max)
-        # >8-bit inter needs per-phase MC pipelines on device — intra-only
-        # for Main10 until those land
-        is_p = (self.ref is not None and self.poc % keyint != 0
-                and not self.force_all_intra and self.bit_depth == 8)
-        cplx = self._complexity_estimate(orig, is_p)
-        self.qp = self.rc.frame_qp(is_intra=not is_p, satd=cplx)
+        if kind != "I" and (self.force_all_intra or self.bit_depth > 8
+                            or l0_poc is None):
+            kind = "I"      # Main10 inter lands with >8-bit MC pipelines
+            poc = 0
+        is_p = kind == "P"
+        is_b = kind == "B"
+        cplx = self._complexity_estimate(orig, kind != "I")
+        self.qp = self.rc.frame_qp(is_intra=kind == "I", satd=cplx,
+                                   is_b=is_b)
 
         cu_size = min(16, 1 << g.log2_ctb)
         cu_log2 = cu_size.bit_length() - 1
@@ -303,23 +427,35 @@ class Encoder:
         qp_cb = chroma_qp(self.qp, self.pps.cb_qp_offset) + bd_off
         qp_cr = chroma_qp(self.qp, self.pps.cr_qp_offset) + bd_off
 
+        # slice-level reference info for the NORMATIVE MV derivations
+        ps.cur_poc = poc
+        ps.ref_pocs_l0 = (l0_poc,) if l0_poc is not None else ()
+        ps.ref_pocs_l1 = (l1_poc,) if l1_poc is not None else ()
+
         inter_mask = None
         # the CTU scan handles partial CTBs natively (coded size is always
         # 16-aligned); the host fallback remains for tests/oracle runs
         use_pipeline = not self.force_host_recon
-        if is_p:
+        if is_b:
+            assert use_pipeline, "B frames require the device pipeline"
+            self._run_b_pipeline(ps, orig, rec, cu_size,
+                                 (qp_y, qp_cb, qp_cr), l0_poc, l1_poc)
+        elif is_p:
             assert use_pipeline, "P frames require the device pipeline"
             inter_mask, modes = self._run_p_pipeline(
-                ps, orig, rec, cu_size, (qp_y, qp_cb, qp_cr))
+                ps, orig, rec, cu_size, (qp_y, qp_cb, qp_cr),
+                self.dpb[l0_poc])
             cost_p, cost_i = self.last_frame_costs
             min_keyint = p.keyint_min if p.keyint_min > 0 else 2
-            if (p.scenecut_threshold and cost_p > 0.85 * cost_i
-                    and self.poc % keyint >= min_keyint):
+            if (p.scenecut_threshold and self.bframes == 0
+                    and cost_p > 0.85 * cost_i
+                    and poc % keyint >= min_keyint):
                 # scene change: most CUs went intra — restart the GOP with
                 # an IDR instead (x265 scenecut analogue)
                 is_p = False
+                kind = "I"
                 inter_mask = None
-                self.poc = 0
+                poc = 0
                 # satd=0: the complexity blur was already fed this frame
                 self.qp = self.rc.frame_qp(is_intra=True, satd=0.0)
                 qp_y = self.qp + bd_off
@@ -334,6 +470,7 @@ class Encoder:
                     sign_hiding=bool(self.pps.sign_data_hiding))
                 ps.depth[:] = cu_depth
                 ps.pred_mode[:] = MODE_INTRA
+                ps.cur_poc = 0
                 modes = self._run_i_pipeline(ps, orig, rec, cu_size,
                                              (qp_y, qp_cb, qp_cr))
         elif use_pipeline:
@@ -365,10 +502,9 @@ class Encoder:
                               orig[2][:ch_ // 2, :cw // 2])
                 rec = self._sao_decide_apply(ps, orig_coded, rec)
 
-        au = self._entropy_encode(ps, SLICE_P if is_p else SLICE_I,
-                                  self.poc % keyint)
-        # the filtered picture is the reference for the next frame
-        self.ref = tuple(pl.astype(np.int16) for pl in rec)
+        st = (SLICE_B if is_b else SLICE_P if is_p else SLICE_I)
+        au = self._entropy_encode(ps, st, poc, l0_poc, l1_poc)
+        coded_rec = tuple(pl.astype(np.int16) for pl in rec)
 
         # crop recon to conformance window
         cl, cr, ct, cb = self.sps.conf_win
@@ -390,27 +526,31 @@ class Encoder:
             sei = write_sei_rbsp([(SEI_DECODED_PICTURE_HASH, payload)])
             au += wrap_nal(NAL_SUFFIX_SEI, sei, long_start_code=False)
 
-        if p.repeat_headers and not is_p and self.frames_encoded > 0:
+        if p.repeat_headers and kind == "I" and self.frames_encoded > 0:
             # emit VPS/SPS/PPS before every non-first IDR (join-in-progress
             # decoding, x265 --repeat-headers); gated on a stream-global
             # counter so scenecut IDRs (which reset poc) get headers too
             au = self.headers() + au
         if p.aud:
-            # access unit delimiter (§7.3.2.5): pic_type 0=I, 1=I/P.
+            # access unit delimiter (§7.3.2.5): pic_type 0=I, 1=I/P, 2=I/P/B.
             # First NAL of the AU -> zero_byte (long start code, B.2.2);
             # parameter sets follow the AUD (§7.4.2.4.4 NAL order).
             from ..common.bitstream import NAL_AUD, BitWriter
             bw = BitWriter()
-            bw.write(1 if is_p else 0, 3)
+            bw.write(2 if is_b else 1 if is_p else 0, 3)
             bw.rbsp_trailing_bits()
             au = wrap_nal(NAL_AUD, bw.getvalue(),
                           long_start_code=True) + au
-        self.rc.update(len(au) * 8, self.qp, is_intra=not is_p)
-        self.poc += 1
+        self.rc.update(len(au) * 8, self.qp, is_intra=kind == "I")
         self.frames_encoded += 1
-        self.last_slice_type_str = "P" if is_p else "I"
+        self.last_slice_type_str = "B" if is_b else "P" if is_p else "I"
         self.last_ps = ps      # exposed for tests / debugging
-        return au, rec_crop
+        disp = (self._display_idx if self.bframes == 0
+                else self._cvs_base + poc)
+        return EncodedFrame(
+            poc=poc, display_idx=disp, au=au,
+            recon=rec_crop, coded=coded_rec, kind=self.last_slice_type_str,
+            qp=self.qp)
 
     # -- fused device pipelines ----------------------------------------------
 
@@ -511,27 +651,35 @@ class Encoder:
         self._scatter_device_outputs(ps, rec, out[3:])
         return modes
 
-    def _run_p_pipeline(self, ps, orig, rec, cu_size, qps):
+    def _extend_ref(self, ref):
+        """Edge-replicate a reference to coded size + ME/MC margin."""
+        g = self.geom
+        R = self.me_range
+        M, CM = R + 8, R // 2 + 4
+        ph = g.ctbs_h << g.log2_ctb
+        pw = g.ctbs_w << g.log2_ctb
+
+        def ext(pl, th, tw, m):
+            pad = np.pad(pl, ((0, th - pl.shape[0]),
+                              (0, tw - pl.shape[1])), mode="edge")
+            return np.pad(pad, m, mode="edge")
+
+        return (ext(ref[0], ph, pw, M),
+                ext(ref[1], ph // 2, pw // 2, CM),
+                ext(ref[2], ph // 2, pw // 2, CM))
+
+    def _run_p_pipeline(self, ps, orig, rec, cu_size, qps, ref):
         from .device_pipeline import build_p_pipeline
 
         g = self.geom
         n = cu_size
-        R = self.me_range
-        M, CM = R + 8, R // 2 + 4
         ph = g.ctbs_h << g.log2_ctb
         pw = g.ctbs_w << g.log2_ctb
 
         if self._p_pipeline is None:
             self._p_pipeline = build_p_pipeline(self)
 
-        def ext(ref, th, tw, m):
-            pad = np.pad(ref, ((0, th - ref.shape[0]),
-                               (0, tw - ref.shape[1])), mode="edge")
-            return np.pad(pad, m, mode="edge")
-
-        refs = (ext(self.ref[0], ph, pw, M),
-                ext(self.ref[1], ph // 2, pw // 2, CM),
-                ext(self.ref[2], ph // 2, pw // 2, CM))
+        refs = self._extend_ref(ref)
         from ..common.rdcost import lambda_ssd
         out = self._p_pipeline(
             orig[0], orig[1], orig[2], *refs,
@@ -563,7 +711,65 @@ class Encoder:
         self._derive_skip(ps)
         return inter_mask, modes
 
-    def _merge_inter_cus(self, ps, inter_mask, mv, cu_size):
+    def _run_b_pipeline(self, ps, orig, rec, cu_size, qps, l0_poc, l1_poc):
+        """B-frame device program dispatch: both list searches + bi trial
+        happen on device (device_pipeline.build_b_pipeline); this scatters
+        the chosen motion into PicSyntax and derives the merge/AMVP syntax.
+        TPU-first shape of x265 interModeBidir (search.cpp:2013)."""
+        from .device_pipeline import build_b_pipeline
+
+        g = self.geom
+        n = cu_size
+        ph = g.ctbs_h << g.log2_ctb
+        pw = g.ctbs_w << g.log2_ctb
+
+        if self._b_pipeline is None:
+            self._b_pipeline = build_b_pipeline(self)
+
+        refs0 = self._extend_ref(self.dpb[l0_poc])
+        refs1 = self._extend_ref(self.dpb[l1_poc])
+        from ..common.rdcost import lambda_ssd
+        out = self._b_pipeline(
+            orig[0], orig[1], orig[2], *refs0, *refs1,
+            *(np.int32(q) for q in qps), np.float32(lambda_ssd(self.qp)),
+            *self._filter_qps(), np.int32(l0_poc), np.int32(l1_poc))
+        modes, mode32, use32, mv0, mv1, dirs, inter = out[:7]
+        gh, gw = (ph // cu_size, pw // cu_size)
+        modes = np.asarray(modes).reshape(gh, gw)
+        mv0 = np.asarray(mv0).reshape(gh, gw, 2)
+        mv1 = np.asarray(mv1).reshape(gh, gw, 2)
+        dirs = np.asarray(dirs).reshape(gh, gw)
+        inter_mask = np.asarray(inter).reshape(gh, gw)
+        s4 = n // 4
+        ps.luma_mode[:] = np.kron(modes.astype(np.uint8),
+                                  np.ones((s4, s4), np.uint8))
+        ps.chroma_mode[:] = ps.luma_mode
+        pm = np.where(inter_mask, MODE_INTER, MODE_INTRA).astype(np.uint8)
+        ps.pred_mode[:] = np.kron(pm, np.ones((s4, s4), np.uint8))
+
+        def rep(a):
+            return np.kron(a.astype(np.int16).transpose(2, 0, 1),
+                           np.ones((1, s4, s4), np.int16)).transpose(1, 2, 0)
+
+        ps.mv0[:] = rep(mv0)
+        ps.mv1[:] = rep(mv1)
+        # uni blocks keep zeros in the unused list (normative neighbor state)
+        d_eff = np.where(inter_mask, dirs, 1).astype(np.uint8)
+        ps.inter_dir[:] = np.kron(d_eff, np.ones((s4, s4), np.uint8))
+        ps.mv0[ps.inter_dir == 2] = 0
+        ps.mv1[ps.inter_dir == 1] = 0
+        if self._ctu_scan.t["has32"]:
+            use32 = np.asarray(use32).reshape(ph // 32, pw // 32)
+            mode32 = np.asarray(mode32).reshape(ph // 32, pw // 32)
+            self._apply_cu32(ps, use32, mode32)
+        self._merge_inter_cus(ps, inter_mask, mv0, n,
+                              extra=(mv1, dirs))
+        self._derive_inter_syntax(ps)
+        self._scatter_device_outputs(ps, rec, out[7:17])
+        self._derive_skip(ps)
+        return inter_mask, modes
+
+    def _merge_inter_cus(self, ps, inter_mask, mv, cu_size, extra=()):
         """Merge aligned quads of inter CUs with identical MVs into 32/64
         CUs whose TU trees keep the analysis-grid 16x16 transforms — the
         reconstruction is IDENTICAL, only the syntax gets cheaper (one
@@ -589,8 +795,13 @@ class Encoder:
                     q = mergeable[ys:ys + f, xs:xs + f]
                     if not q.all():
                         continue
-                    mvs = mv[ys:ys + f, xs:xs + f]
-                    if not (mvs == mvs[0, 0]).all():
+                    same = True
+                    for m in (mv,) + tuple(extra):
+                        ms = m[ys:ys + f, xs:xs + f]
+                        if not (ms == ms[0, 0]).all():
+                            same = False
+                            break
+                    if not same:
                         mergeable[ys:ys + f, xs:xs + f] = False
                         continue
                     ps.set_region(ps.depth, x0, y0, size, depth)
@@ -622,10 +833,12 @@ class Encoder:
     # -- P frames ------------------------------------------------------------
 
     def _derive_inter_syntax(self, ps):
-        """Per inter CU leaf (any size): choose merge (mv equals a
-        candidate) or AMVP+MVD.  Reads only final neighbor state (z-scan
-        availability guarantees identical derivation at decode time)."""
-        from ..common.motion import amvp_candidates, merge_candidates
+        """Per inter CU leaf (any size): choose merge (full motion equals a
+        candidate) or AMVP+MVD per used list.  Reads only final neighbor
+        state (z-scan availability guarantees identical derivation at
+        decode time)."""
+        from ..common.motion import (MotionCand, amvp_candidates,
+                                     merge_candidates)
 
         g = self.geom
         for ctu in range(g.n_ctbs):
@@ -634,20 +847,38 @@ class Encoder:
                 if ps.pred_mode[y4, x4] == MODE_INTRA:
                     continue
                 n = 1 << log2_cb
-                mv = (int(ps.mv0[y4, x4, 0]), int(ps.mv0[y4, x4, 1]))
+                d = int(ps.inter_dir[y4, x4]) or 1
+                me = MotionCand(
+                    d,
+                    (int(ps.mv0[y4, x4, 0]), int(ps.mv0[y4, x4, 1])),
+                    int(ps.ref_idx0[y4, x4]),
+                    (int(ps.mv1[y4, x4, 0]), int(ps.mv1[y4, x4, 1])),
+                    int(ps.ref_idx1[y4, x4]))
                 cands = merge_candidates(ps, x0, y0, n, n,
                                          ps.max_merge_cand)
-                if mv in cands:
-                    idx = cands.index(mv)
+                keys = [c.key() for c in cands]
+                if me.key() in keys:
+                    idx = keys.index(me.key())
                     ps.set_region(ps.merge_flag, x0, y0, n, 1)
                     ps.set_region(ps.merge_idx, x0, y0, n, idx)
-                else:
-                    amvp = amvp_candidates(ps, x0, y0, n, n)
+                    continue
+                if d & 1:
+                    mv = me.mv0
+                    amvp = amvp_candidates(ps, x0, y0, n, n, 0, me.ref0)
                     costs = [abs(mv[0] - c[0]) + abs(mv[1] - c[1])
                              for c in amvp]
                     mvp = int(np.argmin(costs))
                     ps.set_region(ps.mvp_flag, x0, y0, n, mvp)
                     ps.mvd[y4:(y0 + n) >> 2, x4:(x0 + n) >> 2] = (
+                        mv[0] - amvp[mvp][0], mv[1] - amvp[mvp][1])
+                if d & 2:
+                    mv = me.mv1
+                    amvp = amvp_candidates(ps, x0, y0, n, n, 1, me.ref1)
+                    costs = [abs(mv[0] - c[0]) + abs(mv[1] - c[1])
+                             for c in amvp]
+                    mvp = int(np.argmin(costs))
+                    ps.set_region(ps.mvp_flag1, x0, y0, n, mvp)
+                    ps.mvd1[y4:(y0 + n) >> 2, x4:(x0 + n) >> 2] = (
                         mv[0] - amvp[mvp][0], mv[1] - amvp[mvp][1])
 
     def _derive_skip(self, ps):
@@ -728,7 +959,8 @@ class Encoder:
                 cr.astype(rec[2].dtype))
 
     def _entropy_encode(self, ps: PicSyntax, slice_type: int = SLICE_I,
-                        poc: int = 0) -> bytes:
+                        poc: int = 0, l0_poc=None, l1_poc=None) -> bytes:
+        from ..common.bitstream import NAL_TRAIL_N
         from ..common.headers import ShortTermRPS
 
         g = self.geom
@@ -739,18 +971,30 @@ class Encoder:
             nal_type = NAL_IDR_W_RADL
             init_type = 0
         else:
+            # explicit RPS naming the active references by delta POC
+            # (§7.4.8; x265 codeShortTermRefPicSet entropy.cpp:523)
+            s0 = [l0_poc - poc] if l0_poc is not None else [-1]
+            rps = ShortTermRPS(delta_pocs_s0=s0, used_s0=[1] * len(s0))
+            if slice_type == SLICE_B:
+                rps.delta_pocs_s1 = [l1_poc - poc]
+                rps.used_s1 = [1]
+                nal_type = NAL_TRAIL_N    # our Bs are never referenced
+                init_type = 2
+            else:
+                nal_type = NAL_TRAIL_R
+                init_type = 1
             sh = SliceHeader(
-                slice_type=SLICE_P, slice_qp=self.qp,
+                slice_type=slice_type, slice_qp=self.qp,
                 sao_luma=int(sao_on), sao_chroma=int(sao_on),
                 pic_order_cnt_lsb=poc % (1 << self.sps.log2_max_poc_lsb),
-                rps=ShortTermRPS(delta_pocs_s0=[-1], used_s0=[1]),
-                max_num_merge_cand=ps.max_merge_cand)
-            nal_type = NAL_TRAIL_R
-            init_type = 1
+                rps=rps, max_num_merge_cand=ps.max_merge_cand)
         bw = write_slice_header(sh, self.sps, self.pps, nal_type)
 
         data = None
-        if not self.force_python_entropy:
+        if slice_type == SLICE_B:
+            # B syntax not yet in the native serializer — Python CABAC
+            data = None
+        elif not self.force_python_entropy:
             from ..native import encode_slice_data_native
             data = encode_slice_data_native(
                 ps, self.qp, log2_min_cb=self.sps.log2_min_cb_size,
@@ -779,12 +1023,15 @@ class Encoder:
 
 
 def encode_sequence(frames, params: Params) -> tuple[bytes, list]:
-    """Encode a list of (Y, Cb, Cr) frames; returns (annexb stream, recons)."""
+    """Encode a list of (Y, Cb, Cr) frames; returns (annexb stream in
+    decode order, recons in DISPLAY order)."""
     enc = Encoder(params)
     out = enc.headers()
-    recons = []
+    efs = []
     for fr in frames:
-        au, rec = enc.encode_frame(fr)
-        out += au
-        recons.append(rec)
+        efs += enc.push_frame(fr)
+    efs += enc.flush()
+    for ef in efs:
+        out += ef.au
+    recons = [ef.recon for ef in sorted(efs, key=lambda e: e.display_idx)]
     return out, recons

@@ -65,7 +65,9 @@ class RateControl:
             self.mode = "cqp"
         self.qcomp = params.qcomp
         self.ip_factor = abs(getattr(params, "ip_factor", 1.4) or 1.4)
+        self.pb_factor = abs(getattr(params, "pb_factor", 1.3) or 1.3)
         self.ip_offset = 6.0 * math.log2(self.ip_factor)
+        self.pb_offset = 6.0 * math.log2(self.pb_factor)
         self.lstep = 2.0 ** (params.qp_step / 6.0)
         w, h = params.source_width, params.source_height
         self.ncu = (w * h) // 256 or 1
@@ -90,14 +92,16 @@ class RateControl:
                                   else params.crf)
         self.accum_p_norm = 0.01
         self.last_qscale_for = {"I": qp_to_qscale(26),
-                                "P": qp_to_qscale(26)}
+                                "P": qp_to_qscale(26),
+                                "B": qp_to_qscale(26)}
         if self.mode == "abr":
             bpp = self.bitrate / self.fps / max(1, w * h)
             qs = 0.3 * (0.9 / max(bpp, 1e-4)) ** 0.6
             q0 = min(48.0, max(10.0, qscale_to_qp(qs)))
             self.accum_p_qp = q0 * self.accum_p_norm
             self.last_qscale_for = {"I": qp_to_qscale(q0 - self.ip_offset),
-                                    "P": qp_to_qscale(q0)}
+                                    "P": qp_to_qscale(q0),
+                                    "B": qp_to_qscale(q0 + self.pb_offset)}
 
         # VBV (frame level)
         self.vbv = (params.vbv_buffer_size > 0
@@ -107,7 +111,8 @@ class RateControl:
             self.buffer_size = params.vbv_buffer_size * 1000.0
             self.buffer_rate = (params.vbv_max_bitrate * 1000.0 / self.fps)
             self.buffer_fill = self.buffer_size * params.vbv_buffer_init
-        self.pred = {"I": Predictor(2.0), "P": Predictor(1.0)}
+        self.pred = {"I": Predictor(2.0), "P": Predictor(1.0),
+                     "B": Predictor(0.8)}
         self._last = None           # (type, qscale, satd) of current frame
 
     # -- per-frame decision --------------------------------------------------
@@ -118,14 +123,24 @@ class RateControl:
                    if self.short_cplx_count > 0 else 1.0)
         return max(blurred, 1.0) ** (1.0 - self.qcomp)
 
-    def frame_qp(self, is_intra: bool, satd: float = 0.0) -> int:
+    def frame_qp(self, is_intra: bool, satd: float = 0.0,
+                 is_b: bool = False) -> int:
         """QP for the next frame.  ``satd`` is the frame complexity
-        estimate (lookahead cost analogue); 0 keeps the previous blur."""
-        ftype = "I" if is_intra else "P"
+        estimate (lookahead cost analogue); 0 keeps the previous blur.
+        Non-referenced B frames ride pbFactor above their anchors
+        (ratecontrol.cpp:1540 B-frame qscale interpolation, flat case)."""
+        ftype = "B" if is_b else "I" if is_intra else "P"
         if self.mode == "cqp":
-            q = self.p.qp - (round(self.ip_offset) if is_intra else 0)
+            q = self.p.qp + (round(self.pb_offset) if is_b
+                             else -round(self.ip_offset) if is_intra else 0)
             self._last = (ftype, qp_to_qscale(q), satd)
             return int(min(51, max(0, q)))
+        if is_b:
+            # B QP from the surrounding anchor qscale * pbFactor
+            qs = self.last_qscale_for["P"] * self.pb_factor
+            qs = min(MAX_QPSCALE, max(MIN_QPSCALE, qs))
+            self._last = (ftype, qs, satd)
+            return int(min(51, max(0, round(qscale_to_qp(qs)))))
 
         if satd > 0:
             self.short_cplx_sum *= 0.5
@@ -210,7 +225,7 @@ class RateControl:
             self.cplxr_sum += bits * qp_to_qscale(qp_used) / max(rceq,
                                                                  1e-9)
             self.wanted_bits_window += self.bitrate / self.fps
-            if not is_intra:
+            if ftype == "P":
                 self.accum_p_qp = 0.95 * self.accum_p_qp + qp_used
                 self.accum_p_norm = 0.95 * self.accum_p_norm + 1.0
         if satd > 0:

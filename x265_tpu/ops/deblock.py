@@ -219,22 +219,73 @@ def derive_edge_flags(ps):
     return ev, eh, cbf4
 
 
+def motion_bs_planes(ps):
+    """Per-4x4 motion-comparison state for the BS derivation (§8.7.2.4):
+
+    Returns (nmv, mva, mvb, poca, pocb) where nmv is 1/2, mva/mvb the
+    (up to) two MVs with their reference POCs; uni-predicted blocks
+    duplicate their single (mv, poc) into both slots.
+    """
+    d = np.where(ps.inter_dir == 0, 1, ps.inter_dir).astype(np.int32)
+    pocs0 = np.asarray(ps.ref_pocs_l0 if len(ps.ref_pocs_l0) else [0],
+                       np.int32)
+    pocs1 = np.asarray(ps.ref_pocs_l1 if len(ps.ref_pocs_l1) else [0],
+                       np.int32)
+    poc_l0 = pocs0[np.minimum(ps.ref_idx0.astype(np.int32),
+                              len(pocs0) - 1)]
+    poc_l1 = pocs1[np.minimum(ps.ref_idx1.astype(np.int32),
+                              len(pocs1) - 1)]
+    mv0 = ps.mv0.astype(np.int32)
+    mv1 = ps.mv1.astype(np.int32)
+    nmv = np.where(d == 3, 2, 1)
+    # slot A: L0 motion unless the block is uni-L1
+    use_l1a = d == 2
+    mva = np.where(use_l1a[..., None], mv1, mv0)
+    poca = np.where(use_l1a, poc_l1, poc_l0)
+    # slot B: L1 motion for bi, duplicate of A for uni
+    mvb = np.where((d == 3)[..., None], mv1, mva)
+    pocb = np.where(d == 3, poc_l1, poca)
+    return nmv, mva, mvb, poca, pocb
+
+
 def derive_bs(ps, ev, eh, cbf4):
     """Boundary strength per edge (§8.7.2.4): (bs_v, bs_h) uint8 arrays.
 
-    2 = either side intra; 1 = nonzero luma coeffs in either TU, or MV delta
-    >= 1 luma sample (4 qpel); 0 = no filtering.  Single-ref L0 only.
+    2 = either side intra; 1 = nonzero luma coeffs in either TU, or
+    motion mismatch: different MV count, different reference pictures,
+    or any MV delta >= 1 luma sample (4 qpel) — with the both-orderings
+    check when a bi block's two references are the same picture.
     """
     from ..cabac.ctu import MODE_INTRA as _INTRA
 
     intra4 = ps.pred_mode == _INTRA
-    mv = ps.mv0.astype(np.int32)
+    nmv, mva, mvb, poca, pocb = motion_bs_planes(ps)
+
+    def ge4(a, b):
+        return np.any(np.abs(a - b) >= 4, axis=-1)
 
     def bs_dir(edge, axis):
         p_intra = np.roll(intra4, 1, axis=axis)
         p_cbf = np.roll(cbf4, 1, axis=axis)
-        p_mv = np.roll(mv, 1, axis=axis)
-        mv_big = np.any(np.abs(mv - p_mv) >= 4, axis=-1)
+        pn = np.roll(nmv, 1, axis=axis)
+        pmva = np.roll(mva, 1, axis=axis)
+        pmvb = np.roll(mvb, 1, axis=axis)
+        ppoca = np.roll(poca, 1, axis=axis)
+        ppocb = np.roll(pocb, 1, axis=axis)
+        # reference-picture set comparison (order-free)
+        set_eq = (((poca == ppoca) & (pocb == ppocb))
+                  | ((poca == ppocb) & (pocb == ppoca)))
+        aligned = ge4(mva, pmva) | ge4(mvb, pmvb)
+        crossed = ge4(mva, pmvb) | ge4(mvb, pmva)
+        # when the two references differ, MVs pair by picture; when both
+        # point at the same picture, BS=1 only if both orderings exceed
+        same_pair = poca == pocb
+        align_ok = np.where(
+            poca == ppoca, aligned,
+            np.where(poca == ppocb, crossed, True))
+        bi_diff = np.where(same_pair, aligned & crossed, align_ok)
+        mv_big = np.where(nmv != pn, True,
+                          np.where(~set_eq, True, bi_diff))
         bs = np.where(intra4 | p_intra, 2,
                       np.where(cbf4 | p_cbf | mv_big, 1, 0)).astype(np.uint8)
         return np.where(edge, bs, 0).astype(np.uint8)
@@ -458,13 +509,16 @@ def edge_masks_np(geom, log2_ctb: int):
 
 def deblock_picture_jnp(planes, intra4, cbf4, mv4, use32, static_masks,
                         qp_y, qp_cb, qp_cr, bit_depth=8, beta_off=0,
-                        tc_off=0):
+                        tc_off=0, motion_b=None):
     """Device deblocking of a whole reconstructed picture (padded planes).
 
     planes: (Y [PH, PW], Cb, Cr) int32; intra4/cbf4 [h4p, w4p] bool;
     mv4 [h4p, w4p, 2] int32 qpel; use32 [PH//32, PW//32] bool or None;
     static_masks from edge_masks_np.  qps are Python ints or traced
     scalars (beta/tc lookup domain 0..53).  Mirrors deblock_picture_np.
+
+    motion_b (B slices): (nmv, mva, mvb, poca, pocb) per-4x4 planes as in
+    motion_bs_planes; when None, single-list L0 comparison (P slices).
     """
     import jax.numpy as jnp
 
@@ -481,11 +535,31 @@ def deblock_picture_jnp(planes, intra4, cbf4, mv4, use32, static_masks,
 
     mv = mv4.astype(jnp.int32)
 
+    def ge4(a, b):
+        return jnp.any(jnp.abs(a - b) >= 4, axis=-1)
+
     def bs_dir(edge, axis):
         p_intra = jnp.roll(intra4, 1, axis=axis)
         p_cbf = jnp.roll(cbf4, 1, axis=axis)
-        p_mv = jnp.roll(mv, 1, axis=axis)
-        mv_big = jnp.any(jnp.abs(mv - p_mv) >= 4, axis=-1)
+        if motion_b is None:
+            mv_big = ge4(mv, jnp.roll(mv, 1, axis=axis))
+        else:
+            nmv, mva, mvb, poca, pocb = motion_b
+            pn = jnp.roll(nmv, 1, axis=axis)
+            pmva = jnp.roll(mva, 1, axis=axis)
+            pmvb = jnp.roll(mvb, 1, axis=axis)
+            ppoca = jnp.roll(poca, 1, axis=axis)
+            ppocb = jnp.roll(pocb, 1, axis=axis)
+            set_eq = (((poca == ppoca) & (pocb == ppocb))
+                      | ((poca == ppocb) & (pocb == ppoca)))
+            aligned = ge4(mva, pmva) | ge4(mvb, pmvb)
+            crossed = ge4(mva, pmvb) | ge4(mvb, pmva)
+            align_ok = jnp.where(
+                poca == ppoca, aligned,
+                jnp.where(poca == ppocb, crossed, True))
+            bi_diff = jnp.where(poca == pocb, aligned & crossed, align_ok)
+            mv_big = jnp.where(nmv != pn, True,
+                               jnp.where(~set_eq, True, bi_diff))
         bs = jnp.where(intra4 | p_intra, 2,
                        jnp.where(cbf4 | p_cbf | mv_big, 1, 0))
         return jnp.where(edge, bs, 0).astype(jnp.int32)
