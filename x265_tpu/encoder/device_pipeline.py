@@ -253,8 +253,7 @@ def _inter_tools_builder(enc):
 
     offs = np.array([(dy, dx) for dy in range(-R, R + 1)
                      for dx in range(-R, R + 1)], np.int32)
-    deltas = [(dy, dx) for dy in (-1, 0, 1) for dx in (-1, 0, 1)
-              if (dy, dx) != (0, 0)]
+    deltas9 = [(dy, dx) for dy in (-1, 0, 1) for dx in (-1, 0, 1)]
 
     def me(orig, ref_ext, ob, qp):
         def body(carry, off):
@@ -272,6 +271,10 @@ def _inter_tools_builder(enc):
         (_, idx, _), _ = jax.lax.scan(body, init, jnp.asarray(offs))
         mvi = jnp.asarray(offs)[idx].reshape(-1, 2)      # [B] (dy, dx)
 
+        # ONE per-block window gather [B, n+9, n+9] around the integer
+        # winner; every subpel candidate below is a STATIC slice of it.
+        # (Per-block dynamic gathers cost ~55 ms each on TPU — the round
+        # is batched into one MC call over 9 statically-sliced windows.)
         oy = np.arange(n + 9)
         by = (np.repeat(np.arange(gh), gw) * n + M - 4)
         bx = (np.tile(np.arange(gw), gh) * n + M - 4)
@@ -279,31 +282,43 @@ def _inter_tools_builder(enc):
         cols = (jnp.asarray(bx) + mvi[:, 1])[:, None] + oy[None, :]
         W = ref_ext[rows[:, :, None], cols[:, None, :]]
 
-        def eval_q(q):
-            iy = (q[:, 0] >> 2) + 4
-            ix = (q[:, 1] >> 2) + 4
-            win = jax.vmap(
-                lambda w, y, x: jax.lax.dynamic_slice(
-                    w, (y - 3, x - 3), (n + 7, n + 7)))(W, iy, ix)
-            pred = mc_luma_batch(win, q[:, 1] & 3, q[:, 0] & 3, n, n,
-                                 enc.bit_depth)
-            return pred, satd_fn(ob, pred)
-
-        def refine(center, best_pred, best_c, step):
-            best_q = center
-            for d in deltas:
-                q = center + jnp.asarray(d) * step
-                pred, c = eval_q(q)
-                better = c < best_c
-                best_c = jnp.where(better, c, best_c)
-                best_pred = jnp.where(better[:, None, None], pred, best_pred)
-                best_q = jnp.where(better[:, None], q, best_q)
+        def refine_round(center, step):
+            """Evaluate the 3x3 neighborhood center + step*delta (all
+            candidates stay within qpel offset [-3, 3], so the integer
+            part relative to W is -1 or 0: two static row/col slices of
+            W selected per block by jnp.where)."""
+            qs, wins = [], []
+            for (dy, dx) in deltas9:
+                q = center + jnp.asarray((dy * step, dx * step))  # (y, x)
+                iy1 = ((q[:, 0] >> 2) + 1)      # 0 or 1: W row offset
+                ix1 = ((q[:, 1] >> 2) + 1)
+                wr = jnp.where(iy1[:, None, None] == 0,
+                               W[:, 0:n + 7, :], W[:, 1:n + 8, :])
+                win = jnp.where(ix1[:, None, None] == 0,
+                                wr[:, :, 0:n + 7], wr[:, :, 1:n + 8])
+                qs.append(q)
+                wins.append(win)
+            win9 = jnp.concatenate(wins, axis=0)
+            fx9 = jnp.concatenate([q[:, 1] & 3 for q in qs])
+            fy9 = jnp.concatenate([q[:, 0] & 3 for q in qs])
+            pred9 = mc_luma_batch(win9, fx9, fy9, n, n, enc.bit_depth)
+            cost9 = satd_fn(jnp.tile(ob, (9, 1, 1)), pred9)
+            pred9 = pred9.reshape(9, -1, n, n)
+            cost9 = cost9.reshape(9, -1)
+            best_c = cost9[0]
+            best_q = qs[0]
+            best_pred = pred9[0]
+            for k in range(1, 9):
+                better = cost9[k] < best_c
+                best_c = jnp.where(better, cost9[k], best_c)
+                best_q = jnp.where(better[:, None], qs[k], best_q)
+                best_pred = jnp.where(better[:, None, None], pred9[k],
+                                      best_pred)
             return best_q, best_pred, best_c
 
         q0 = jnp.zeros_like(mvi)
-        pred0, c0 = eval_q(q0)
-        q0, pred, cost = refine(q0, pred0, c0, 2)
-        q0, pred, cost = refine(q0, pred, cost, 1)
+        q0, pred, cost = refine_round(q0, 2)     # half-pel (center incl.)
+        q0, pred, cost = refine_round(q0, 1)     # quarter-pel
         mvq = mvi * 4 + q0                                # [B, 2] (y, x) qpel
 
         # ---- MV coherence passes (x265's lambda*mvd-cost analogue) ----
@@ -317,36 +332,44 @@ def _inter_tools_builder(enc):
         byb = jnp.asarray(np.repeat(np.arange(gh), gw) * n + M)
         bxb = jnp.asarray(np.tile(np.arange(gw), gh) * n + M)
 
-        def eval_mv(mvq_c):
-            iy = (mvq_c[:, 0] >> 2)
-            ix = (mvq_c[:, 1] >> 2)
-            rows = (byb + iy - 3)[:, None] + oy2[None, :]
-            cols = (bxb + ix - 3)[:, None] + oy2[None, :]
+        def eval_mv2(mvq_c2):
+            """Batched SATD eval of TWO candidate MV fields at once
+            ([2B, 2] (y, x)): one window gather instead of two."""
+            iy = (mvq_c2[:, 0] >> 2)
+            ix = (mvq_c2[:, 1] >> 2)
+            byb2 = jnp.concatenate([byb, byb])
+            bxb2 = jnp.concatenate([bxb, bxb])
+            rows = (byb2 + iy - 3)[:, None] + oy2[None, :]
+            cols = (bxb2 + ix - 3)[:, None] + oy2[None, :]
             win = ref_ext[rows[:, :, None], cols[:, None, :]]
-            p = mc_luma_batch(win, mvq_c[:, 1] & 3, mvq_c[:, 0] & 3, n, n,
-                              enc.bit_depth)
-            return p, satd_fn(ob, p)
+            p = mc_luma_batch(win, mvq_c2[:, 1] & 3, mvq_c2[:, 0] & 3,
+                              n, n, enc.bit_depth)
+            return p, satd_fn(jnp.tile(ob, (2, 1, 1)), p)
 
-        def adopt(mvq, pred, cost, shift_axis):
+        def adopt2(mvq, pred, cost):
+            """One coherence pass: west and north neighbor candidates
+            evaluated in one batched gather+MC, adopted in that order."""
             g2 = mvq.reshape(gh, gw, 2)
-            cand = jnp.roll(g2, 1, axis=shift_axis).reshape(-1, 2)
-            # clamp candidates into the gathered margin
-            cand = jnp.clip(cand, -4 * R, 4 * R)
-            p, c = eval_mv(cand[:, ::-1])        # eval takes (y, x)
-            better = (c.astype(jnp.float32)
-                      < cost.astype(jnp.float32) + lam_bias) & \
-                (jnp.arange(nb) // gw > 0 if shift_axis == 0
-                 else jnp.arange(nb) % gw > 0)
-            mvq = jnp.where(better[:, None], cand, mvq)
-            pred = jnp.where(better[:, None, None], p, pred)
-            cost = jnp.where(better, c, cost)
+            cw_ = jnp.roll(g2, 1, axis=1).reshape(-1, 2)
+            cn_ = jnp.roll(g2, 1, axis=0).reshape(-1, 2)
+            cand2 = jnp.clip(jnp.concatenate([cw_, cn_], axis=0),
+                             -4 * R, 4 * R)
+            p2, c2 = eval_mv2(cand2[:, ::-1])    # eval takes (y, x)
+            for k, valid in ((0, jnp.arange(nb) % gw > 0),
+                             (1, jnp.arange(nb) // gw > 0)):
+                c = c2[k * nb:(k + 1) * nb]
+                better = (c.astype(jnp.float32)
+                          < cost.astype(jnp.float32) + lam_bias) & valid
+                mvq = jnp.where(better[:, None],
+                                cand2[k * nb:(k + 1) * nb], mvq)
+                pred = jnp.where(better[:, None, None],
+                                 p2[k * nb:(k + 1) * nb], pred)
+                cost = jnp.where(better, c, cost)
             return mvq, pred, cost
 
         mvxy = mvq[:, ::-1]                      # (x, y)
         for _ in range(2):
-            mvxy, pred, cost = adopt(mvxy, pred, cost, shift_axis=1)
-        for _ in range(2):
-            mvxy, pred, cost = adopt(mvxy, pred, cost, shift_axis=0)
+            mvxy, pred, cost = adopt2(mvxy, pred, cost)
         return mvxy, cost, pred
 
     def eval_mv_ps(ref_ext, mv):
@@ -418,8 +441,13 @@ def build_p_pipeline(enc):
         return pl.reshape(gh, bn, gw, bn).transpose(
             0, 2, 1, 3).reshape(-1, bn, bn)
 
-    def run(oy, ocb, ocr, ref_y_ext, ref_cb_ext, ref_cr_ext,
-            qpy, qpb, qpr, lam, qp_base, dqp_cb, dqp_cr, sao_lam):
+    # TWO XLA programs, chained through device-resident intermediates:
+    # fusing the ME/MC producer chain into the same program as the
+    # wavefront lax.scan makes XLA schedule the whole thing ~6x slower
+    # (measured 1.32s vs 0.20s at 1080p) — so analysis/ME dispatch first,
+    # and the scan+filters program consumes their on-device outputs.
+    @jax.jit
+    def prep(oy, ref_y_ext, ref_cb_ext, ref_cr_ext, qpy):
         modes, icost = analyse16(oy)
         ob = to_blocks(oy.astype(jnp.int32), n)
         if decide:
@@ -434,6 +462,17 @@ def build_p_pipeline(enc):
             icost.astype(jnp.int64) * 9) // 8
         pred_cb = tools["chroma_pred"](ref_cb_ext.astype(jnp.int32), mv)
         pred_cr = tools["chroma_pred"](ref_cr_ext.astype(jnp.int32), mv)
+        # frame-level costs for the scenecut decision (x265 slicetype
+        # analysis analogue): P cost = per-block best of inter/intra
+        cost_p = jnp.sum(jnp.minimum(pcost.reshape(-1), icost))
+        cost_i = jnp.sum(icost)
+        return (modes, mode32, mv, inter, pred_y, pred_cb, pred_cr,
+                cost_p, cost_i)
+
+    @jax.jit
+    def main(oy, ocb, ocr, modes, mode32, mv, inter, pred_y, pred_cb,
+             pred_cr, qpy, qpb, qpr, lam, qp_base, dqp_cb, dqp_cr,
+             sao_lam):
         out = run_scan(oy, ocb, ocr, modes, mode32,
                        jnp.zeros((B32,), bool),
                        jnp.full((nctb,), qpy, jnp.int32),
@@ -444,14 +483,22 @@ def build_p_pipeline(enc):
                        ipred_cb=pred_cb, ipred_cr=pred_cr)
         planes6, sao4 = finish((oy, ocb, ocr), out, qp_base, dqp_cb,
                                dqp_cr, sao_lam, inter=inter, mv=mv)
-        # frame-level costs for the scenecut decision (x265 slicetype
-        # analysis analogue): P cost = per-block best of inter/intra
-        cost_p = jnp.sum(jnp.minimum(pcost.reshape(-1), icost))
-        cost_i = jnp.sum(icost)
-        return (modes, mode32, out[9], mv.astype(jnp.int16), inter,
-                ) + planes6 + sao4 + (cost_p, cost_i)
+        return (out[9],) + planes6 + sao4
 
-    return jax.jit(run)
+    def run(oy, ocb, ocr, ref_y_ext, ref_cb_ext, ref_cr_ext,
+            qpy, qpb, qpr, lam, qp_base, dqp_cb, dqp_cr, sao_lam):
+        (modes, mode32, mv, inter, pred_y, pred_cb, pred_cr,
+         cost_p, cost_i) = prep(oy, ref_y_ext, ref_cb_ext, ref_cr_ext, qpy)
+        out2 = main(oy, ocb, ocr, modes, mode32, mv, inter, pred_y,
+                    pred_cb, pred_cr, qpy, qpb, qpr, lam, qp_base,
+                    dqp_cb, dqp_cr, sao_lam)
+        import jax.numpy as _jnp
+        return ((modes, mode32, out2[0], mv.astype(_jnp.int16), inter)
+                + tuple(out2[1:]) + (cost_p, cost_i))
+
+    run.prep = prep
+    run.main = main
+    return run
 
 
 def build_b_pipeline(enc):
@@ -490,9 +537,10 @@ def build_b_pipeline(enc):
         return pl.reshape(gh, bn, gw, bn).transpose(
             0, 2, 1, 3).reshape(-1, bn, bn)
 
-    def run(oy, ocb, ocr, r0y, r0cb, r0cr, r1y, r1cb, r1cr,
-            qpy, qpb, qpr, lam, qp_base, dqp_cb, dqp_cr, sao_lam,
-            poc_l0, poc_l1):
+    # same two-program split as build_p_pipeline (ME fused into the
+    # scan program wrecks the XLA schedule)
+    @jax.jit
+    def prep(oy, r0y, r0cb, r0cr, r1y, r1cb, r1cr, qpy):
         modes, icost = analyse16(oy)
         ob = to_blocks(oy.astype(jnp.int32), n)
         if decide:
@@ -536,6 +584,13 @@ def build_b_pipeline(enc):
             tools["chroma_pred_ps"](r1cr.astype(jnp.int32), mv1))
         pred_cr = jnp.where(d3, prbi,
                             jnp.where((d == 1)[:, None, None], pr0, pr1))
+        return (modes, mode32, mv0, mv1, d, inter,
+                pred_y, pred_cb, pred_cr)
+
+    @jax.jit
+    def main(oy, ocb, ocr, modes, mode32, mv0, mv1, d, inter,
+             pred_y, pred_cb, pred_cr, qpy, qpb, qpr, lam,
+             qp_base, dqp_cb, dqp_cr, sao_lam, poc_l0, poc_l1):
         out = run_scan(oy, ocb, ocr, modes, mode32,
                        jnp.zeros((B32,), bool),
                        jnp.full((nctb,), qpy, jnp.int32),
@@ -560,7 +615,19 @@ def build_b_pipeline(enc):
         planes6, sao4 = finish((oy, ocb, ocr), out, qp_base, dqp_cb,
                                dqp_cr, sao_lam, inter=inter, mv=mv0,
                                motion_b=motion_b)
-        return (modes, mode32, out[9], mv0.astype(jnp.int16),
-                mv1.astype(jnp.int16), d, inter) + planes6 + sao4
+        return (out[9],) + planes6 + sao4
 
-    return jax.jit(run)
+    def run(oy, ocb, ocr, r0y, r0cb, r0cr, r1y, r1cb, r1cr,
+            qpy, qpb, qpr, lam, qp_base, dqp_cb, dqp_cr, sao_lam,
+            poc_l0, poc_l1):
+        (modes, mode32, mv0, mv1, d, inter, pred_y, pred_cb,
+         pred_cr) = prep(oy, r0y, r0cb, r0cr, r1y, r1cb, r1cr, qpy)
+        out2 = main(oy, ocb, ocr, modes, mode32, mv0, mv1, d, inter,
+                    pred_y, pred_cb, pred_cr, qpy, qpb, qpr, lam,
+                    qp_base, dqp_cb, dqp_cr, sao_lam, poc_l0, poc_l1)
+        return ((modes, mode32, out2[0], mv0.astype(jnp.int16),
+                 mv1.astype(jnp.int16), d, inter) + tuple(out2[1:]))
+
+    run.prep = prep
+    run.main = main
+    return run

@@ -632,9 +632,10 @@ class Encoder:
 
         if self._i_pipeline is None:
             self._i_pipeline = build_i_pipeline(self)
-        out = self._i_pipeline(
+        import jax
+        out = jax.device_get(self._i_pipeline(
             orig[0], orig[1], orig[2], *(np.int32(q) for q in qps),
-            np.float32(lambda_ssd(self.qp)), *self._filter_qps())
+            np.float32(lambda_ssd(self.qp)), *self._filter_qps()))
         modes, mode32, use32 = out[0], out[1], out[2]
         g = self.geom
         ph = g.ctbs_h << g.log2_ctb
@@ -681,10 +682,11 @@ class Encoder:
 
         refs = self._extend_ref(ref)
         from ..common.rdcost import lambda_ssd
-        out = self._p_pipeline(
+        import jax
+        out = jax.device_get(self._p_pipeline(
             orig[0], orig[1], orig[2], *refs,
             *(np.int32(q) for q in qps), np.float32(lambda_ssd(self.qp)),
-            *self._filter_qps())
+            *self._filter_qps()))
         modes, mode32, use32, mv, inter = out[:5]
         cost_p, cost_i = out[15], out[16]
         self.last_frame_costs = (float(cost_p), float(cost_i))
@@ -729,10 +731,11 @@ class Encoder:
         refs0 = self._extend_ref(self.dpb[l0_poc])
         refs1 = self._extend_ref(self.dpb[l1_poc])
         from ..common.rdcost import lambda_ssd
-        out = self._b_pipeline(
+        import jax
+        out = jax.device_get(self._b_pipeline(
             orig[0], orig[1], orig[2], *refs0, *refs1,
             *(np.int32(q) for q in qps), np.float32(lambda_ssd(self.qp)),
-            *self._filter_qps(), np.int32(l0_poc), np.int32(l1_poc))
+            *self._filter_qps(), np.int32(l0_poc), np.int32(l1_poc)))
         modes, mode32, use32, mv0, mv1, dirs, inter = out[:7]
         gh, gw = (ph // cu_size, pw // cu_size)
         modes = np.asarray(modes).reshape(gh, gw)
