@@ -72,3 +72,42 @@ def test_native_matches_python_p_slices():
     enc_p.force_python_entropy = True
     aus_p = [enc_p.encode_frame(fr)[0] for fr in frames]
     assert aus_n == aus_p
+
+
+def _encode_all(enc, frames):
+    efs = []
+    for fr in frames:
+        efs += enc.push_frame(fr)
+    efs += enc.flush()
+    return [ef.au for ef in efs]
+
+
+def test_native_matches_python_b_slices():
+    from test_inter import make_clip
+    w, h = 96, 64
+    frames = make_clip("mixed", w, h, 5, seed=7)
+    p = Params(bframes=2, source_width=w, source_height=h, qp=27,
+               decoded_picture_hash=1)
+    enc_n = Encoder(p)
+    aus_n = _encode_all(enc_n, frames)
+    enc_p = Encoder(p)
+    enc_p.force_python_entropy = True
+    aus_p = _encode_all(enc_p, frames)
+    assert aus_n == aus_p
+
+
+@pytest.mark.parametrize("bframes", [0, 2])
+def test_native_derivation_matches_python(bframes):
+    """The C merge/AMVP/skip derivation must fill PicSyntax identically
+    to the Python normative loops (common/motion.py)."""
+    from test_inter import make_clip
+    w, h = 96, 64
+    frames = make_clip("mixed", w, h, 5, seed=11)
+    p = Params(bframes=bframes, source_width=w, source_height=h, qp=30,
+               decoded_picture_hash=1)
+    enc_n = Encoder(p)
+    aus_n = _encode_all(enc_n, frames)
+    enc_p = Encoder(p)
+    enc_p.force_python_derivation = True
+    aus_p = _encode_all(enc_p, frames)
+    assert aus_n == aus_p

@@ -207,6 +207,8 @@ def build_i_pipeline(enc):
                  if decide else None)
     finish = _filter_stage_builder(enc)
 
+    extend = _extend_builder(enc)
+
     def run(oy, ocb, ocr, qpy, qpb, qpr, lam, qp_base, dqp_cb, dqp_cr,
             sao_lam):
         modes, _cost = analyse(oy)
@@ -222,9 +224,42 @@ def build_i_pipeline(enc):
                        lam=jnp.full((nctb,), lam, jnp.float32))
         planes6, sao4 = finish((oy, ocb, ocr), out, qp_base, dqp_cb,
                                dqp_cr, sao_lam)
-        return (modes, mode32, out[9]) + planes6 + sao4
+        # device-resident DPB entry: the ME/MC-extended reference planes
+        # stay on device for the next frame's prep (no host roundtrip)
+        return ((modes, mode32, out[9]) + planes6 + sao4,
+                extend(planes6[:3]))
 
     return jax.jit(run)
+
+
+def _extend_builder(enc):
+    """Device-side reference extension: crop the scan recon to the CODED
+    picture (the area the bitstream actually describes — the CTB-padded
+    margin beyond it is scratch), then edge-replicate back out to the
+    padded plane plus the ME/MC margin.  Must match the decode-side
+    edge extension exactly (host _extend_ref)."""
+    import jax.numpy as jnp
+
+    g = enc.geom
+    M = enc.me_range + 8
+    CM = enc.me_range // 2 + 4
+    ph = g.ctbs_h << g.log2_ctb
+    pw = g.ctbs_w << g.log2_ctb
+    cw, ch = enc.sps.pic_width, enc.sps.pic_height
+
+    def extend(planes3):
+        y, cb, cr = planes3
+        return (
+            jnp.pad(y[:ch, :cw],
+                    ((M, M + ph - ch), (M, M + pw - cw)), mode="edge"),
+            jnp.pad(cb[:ch // 2, :cw // 2],
+                    ((CM, CM + (ph - ch) // 2), (CM, CM + (pw - cw) // 2)),
+                    mode="edge"),
+            jnp.pad(cr[:ch // 2, :cw // 2],
+                    ((CM, CM + (ph - ch) // 2), (CM, CM + (pw - cw) // 2)),
+                    mode="edge"))
+
+    return extend
 
 
 def _inter_tools_builder(enc):
@@ -436,6 +471,7 @@ def build_p_pipeline(enc):
                  if decide else None)
     finish = _filter_stage_builder(enc)
     tools = _inter_tools_builder(enc)
+    extend = _extend_builder(enc)
 
     def to_blocks(pl, bn):
         return pl.reshape(gh, bn, gw, bn).transpose(
@@ -483,18 +519,18 @@ def build_p_pipeline(enc):
                        ipred_cb=pred_cb, ipred_cr=pred_cr)
         planes6, sao4 = finish((oy, ocb, ocr), out, qp_base, dqp_cb,
                                dqp_cr, sao_lam, inter=inter, mv=mv)
-        return (out[9],) + planes6 + sao4
+        return (out[9],) + planes6 + sao4, extend(planes6[:3])
 
     def run(oy, ocb, ocr, ref_y_ext, ref_cb_ext, ref_cr_ext,
             qpy, qpb, qpr, lam, qp_base, dqp_cb, dqp_cr, sao_lam):
         (modes, mode32, mv, inter, pred_y, pred_cb, pred_cr,
          cost_p, cost_i) = prep(oy, ref_y_ext, ref_cb_ext, ref_cr_ext, qpy)
-        out2 = main(oy, ocb, ocr, modes, mode32, mv, inter, pred_y,
-                    pred_cb, pred_cr, qpy, qpb, qpr, lam, qp_base,
-                    dqp_cb, dqp_cr, sao_lam)
+        out2, ext = main(oy, ocb, ocr, modes, mode32, mv, inter, pred_y,
+                         pred_cb, pred_cr, qpy, qpb, qpr, lam, qp_base,
+                         dqp_cb, dqp_cr, sao_lam)
         import jax.numpy as _jnp
         return ((modes, mode32, out2[0], mv.astype(_jnp.int16), inter)
-                + tuple(out2[1:]) + (cost_p, cost_i))
+                + tuple(out2[1:]) + (cost_p, cost_i)), ext
 
     run.prep = prep
     run.main = main
@@ -625,8 +661,9 @@ def build_b_pipeline(enc):
         out2 = main(oy, ocb, ocr, modes, mode32, mv0, mv1, d, inter,
                     pred_y, pred_cb, pred_cr, qpy, qpb, qpr, lam,
                     qp_base, dqp_cb, dqp_cr, sao_lam, poc_l0, poc_l1)
+        # Bs are never referenced (TRAIL_N) — no DPB extension needed
         return ((modes, mode32, out2[0], mv0.astype(jnp.int16),
-                 mv1.astype(jnp.int16), d, inter) + tuple(out2[1:]))
+                 mv1.astype(jnp.int16), d, inter) + tuple(out2[1:])), None
 
     run.prep = prep
     run.main = main

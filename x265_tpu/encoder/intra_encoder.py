@@ -56,11 +56,12 @@ class EncodedFrame:
     coded: tuple          # full coded-size recon (reference domain)
     kind: str             # "I" / "P" / "B"
     qp: int
+    coded_dev: tuple = None   # device-resident ME-extended recon planes
 
 
 def pad_plane(p: np.ndarray, h: int, w: int) -> np.ndarray:
     """Edge-replicate pad a plane to (h, w) (reference: PicYuv padding)."""
-    out = np.empty((h, w), dtype=np.int16)
+    out = np.empty((h, w), dtype=p.dtype)
     ph, pw = p.shape
     out[:ph, :pw] = p
     if pw < w:
@@ -127,6 +128,7 @@ class Encoder:
         self.last_slice_type_str = "I"
         self.force_host_recon = False   # tests can force the numpy oracle
         self.force_python_entropy = False
+        self.force_python_derivation = False
         self.force_cu16 = False         # tests: disable the 32-CU decision
         self._wf = {}                   # cached WavefrontIntraRecon per plane
         self._ctu_scan = None           # cached CtuScan (all-plane recon)
@@ -148,6 +150,8 @@ class Encoder:
         self._display_idx = 0           # global input counter (keyint)
         self._cvs_base = 0              # global index of the current IDR
         self.dpb = {}                   # poc -> coded-size recon planes
+        self.dpb_dev = {}               # poc -> device-resident ext planes
+        self._pending_ext = None        # ext planes of the frame in flight
         self.prev_anchor_poc = None
         if self.bframes:
             # one anchor precedes its Bs in decode order but follows in
@@ -348,12 +352,15 @@ class Encoder:
         reference pictures (Bs are non-referenced, TRAIL_N)."""
         if idr:
             self.dpb.clear()
+            self.dpb_dev.clear()
             self._cvs_base = self._display_idx
             self._next_poc = 1
         else:
             self._next_poc = ef.poc + 1
         # keep only the new anchor (single active reference per list)
         self.dpb = {ef.poc: ef.coded}
+        self.dpb_dev = ({ef.poc: ef.coded_dev}
+                        if ef.coded_dev is not None else {})
         self.prev_anchor_poc = ef.poc
         self.ref = ef.coded             # legacy alias (bframes == 0 path)
 
@@ -368,12 +375,16 @@ class Encoder:
         out = [self._encode_one(anchor_planes, anchor_poc,
                                 "P" if l0 is not None else "I", l0_poc=l0)]
         prev_dpb = dict(self.dpb)
+        prev_dpb_dev = dict(self.dpb_dev)
         self._after_anchor(out[0])
         self.dpb.update(prev_dpb)       # Bs still need the previous anchor
+        self.dpb_dev.update(prev_dpb_dev)
         for poc, planes in frames[:-1]:
             out.append(self._encode_one(planes, poc, "B", l0_poc=l0,
                                         l1_poc=anchor_poc))
         self.dpb = {anchor_poc: out[0].coded}
+        self.dpb_dev = ({anchor_poc: out[0].coded_dev}
+                        if out[0].coded_dev is not None else {})
         return out
 
     def _encode_one(self, planes, poc: int, kind: str,
@@ -433,6 +444,7 @@ class Encoder:
         ps.ref_pocs_l1 = (l1_poc,) if l1_poc is not None else ()
 
         inter_mask = None
+        self._pending_ext = None
         # the CTU scan handles partial CTBs natively (coded size is always
         # 16-aligned); the host fallback remains for tests/oracle runs
         use_pipeline = not self.force_host_recon
@@ -443,8 +455,7 @@ class Encoder:
         elif is_p:
             assert use_pipeline, "P frames require the device pipeline"
             inter_mask, modes = self._run_p_pipeline(
-                ps, orig, rec, cu_size, (qp_y, qp_cb, qp_cr),
-                self.dpb[l0_poc])
+                ps, orig, rec, cu_size, (qp_y, qp_cb, qp_cr), l0_poc)
             cost_p, cost_i = self.last_frame_costs
             min_keyint = p.keyint_min if p.keyint_min > 0 else 2
             if (p.scenecut_threshold and self.bframes == 0
@@ -550,7 +561,7 @@ class Encoder:
         return EncodedFrame(
             poc=poc, display_idx=disp, au=au,
             recon=rec_crop, coded=coded_rec, kind=self.last_slice_type_str,
-            qp=self.qp)
+            qp=self.qp, coded_dev=self._pending_ext)
 
     # -- fused device pipelines ----------------------------------------------
 
@@ -633,9 +644,11 @@ class Encoder:
         if self._i_pipeline is None:
             self._i_pipeline = build_i_pipeline(self)
         import jax
-        out = jax.device_get(self._i_pipeline(
+        out_dev, ext = self._i_pipeline(
             orig[0], orig[1], orig[2], *(np.int32(q) for q in qps),
-            np.float32(lambda_ssd(self.qp)), *self._filter_qps()))
+            np.float32(lambda_ssd(self.qp)), *self._filter_qps())
+        self._pending_ext = ext
+        out = jax.device_get(out_dev)
         modes, mode32, use32 = out[0], out[1], out[2]
         g = self.geom
         ph = g.ctbs_h << g.log2_ctb
@@ -653,23 +666,35 @@ class Encoder:
         return modes
 
     def _extend_ref(self, ref):
-        """Edge-replicate a reference to coded size + ME/MC margin."""
+        """Edge-replicate a reference to coded size + ME/MC margin (host
+        fallback; the common path keeps the extension on device).  Dtype
+        matches the device DPB entries so both hit the same executable."""
         g = self.geom
         R = self.me_range
         M, CM = R + 8, R // 2 + 4
         ph = g.ctbs_h << g.log2_ctb
         pw = g.ctbs_w << g.log2_ctb
+        dt = np.uint8 if self.bit_depth == 8 else np.uint16
 
         def ext(pl, th, tw, m):
             pad = np.pad(pl, ((0, th - pl.shape[0]),
                               (0, tw - pl.shape[1])), mode="edge")
-            return np.pad(pad, m, mode="edge")
+            return np.pad(pad, m, mode="edge").astype(dt)
 
         return (ext(ref[0], ph, pw, M),
                 ext(ref[1], ph // 2, pw // 2, CM),
                 ext(ref[2], ph // 2, pw // 2, CM))
 
-    def _run_p_pipeline(self, ps, orig, rec, cu_size, qps, ref):
+    def _get_ref_ext(self, poc):
+        """Reference planes extended for ME/MC: device-resident DPB entry
+        when available (the common case — zero host roundtrip), else an
+        edge-replicated host pad of the numpy recon."""
+        dev = self.dpb_dev.get(poc)
+        if dev is not None:
+            return dev
+        return self._extend_ref(self.dpb[poc])
+
+    def _run_p_pipeline(self, ps, orig, rec, cu_size, qps, l0_poc):
         from .device_pipeline import build_p_pipeline
 
         g = self.geom
@@ -680,13 +705,15 @@ class Encoder:
         if self._p_pipeline is None:
             self._p_pipeline = build_p_pipeline(self)
 
-        refs = self._extend_ref(ref)
+        refs = self._get_ref_ext(l0_poc)
         from ..common.rdcost import lambda_ssd
         import jax
-        out = jax.device_get(self._p_pipeline(
+        out_dev, ext = self._p_pipeline(
             orig[0], orig[1], orig[2], *refs,
             *(np.int32(q) for q in qps), np.float32(lambda_ssd(self.qp)),
-            *self._filter_qps()))
+            *self._filter_qps())
+        self._pending_ext = ext
+        out = jax.device_get(out_dev)
         modes, mode32, use32, mv, inter = out[:5]
         cost_p, cost_i = out[15], out[16]
         self.last_frame_costs = (float(cost_p), float(cost_i))
@@ -708,9 +735,8 @@ class Encoder:
             mode32 = np.asarray(mode32).reshape(ph // 32, pw // 32)
             self._apply_cu32(ps, use32, mode32)
         self._merge_inter_cus(ps, inter_mask, mv, n)
-        self._derive_inter_syntax(ps)
         self._scatter_device_outputs(ps, rec, out[5:15])
-        self._derive_skip(ps)
+        self._derive_inter_all(ps)
         return inter_mask, modes
 
     def _run_b_pipeline(self, ps, orig, rec, cu_size, qps, l0_poc, l1_poc):
@@ -728,14 +754,15 @@ class Encoder:
         if self._b_pipeline is None:
             self._b_pipeline = build_b_pipeline(self)
 
-        refs0 = self._extend_ref(self.dpb[l0_poc])
-        refs1 = self._extend_ref(self.dpb[l1_poc])
+        refs0 = self._get_ref_ext(l0_poc)
+        refs1 = self._get_ref_ext(l1_poc)
         from ..common.rdcost import lambda_ssd
         import jax
-        out = jax.device_get(self._b_pipeline(
+        out_dev, _ = self._b_pipeline(
             orig[0], orig[1], orig[2], *refs0, *refs1,
             *(np.int32(q) for q in qps), np.float32(lambda_ssd(self.qp)),
-            *self._filter_qps(), np.int32(l0_poc), np.int32(l1_poc)))
+            *self._filter_qps(), np.int32(l0_poc), np.int32(l1_poc))
+        out = jax.device_get(out_dev)
         modes, mode32, use32, mv0, mv1, dirs, inter = out[:7]
         gh, gw = (ph // cu_size, pw // cu_size)
         modes = np.asarray(modes).reshape(gh, gw)
@@ -767,9 +794,8 @@ class Encoder:
             self._apply_cu32(ps, use32, mode32)
         self._merge_inter_cus(ps, inter_mask, mv0, n,
                               extra=(mv1, dirs))
-        self._derive_inter_syntax(ps)
         self._scatter_device_outputs(ps, rec, out[7:17])
-        self._derive_skip(ps)
+        self._derive_inter_all(ps)
         return inter_mask, modes
 
     def _merge_inter_cus(self, ps, inter_mask, mv, cu_size, extra=()):
@@ -834,6 +860,18 @@ class Encoder:
                                     is_luma=False, chroma_shift=1)
 
     # -- P frames ------------------------------------------------------------
+
+    def _derive_inter_all(self, ps):
+        """Merge/AMVP/skip derivation over all inter CU leaves — native C
+        (x265_tpu/native/slice_enc.c derive_inter_syntax) with the Python
+        spec loops as fallback/oracle.  Must run after the coefficient
+        planes are scattered (skip needs them)."""
+        if not self.force_python_derivation:
+            from ..native import derive_inter_syntax_native
+            if derive_inter_syntax_native(ps):
+                return
+        self._derive_inter_syntax(ps)
+        self._derive_skip(ps)
 
     def _derive_inter_syntax(self, ps):
         """Per inter CU leaf (any size): choose merge (full motion equals a
@@ -994,18 +1032,19 @@ class Encoder:
         bw = write_slice_header(sh, self.sps, self.pps, nal_type)
 
         data = None
-        if slice_type == SLICE_B:
-            # B syntax not yet in the native serializer — Python CABAC
-            data = None
-        elif not self.force_python_entropy:
+        if not self.force_python_entropy:
             from ..native import encode_slice_data_native
             data = encode_slice_data_native(
                 ps, self.qp, log2_min_cb=self.sps.log2_min_cb_size,
                 log2_min_tb=self.sps.log2_min_tb_size,
                 log2_max_tb=self.sps.log2_max_tb_size,
-                slice_type=2 if slice_type == SLICE_I else 1,
+                slice_type=(2 if slice_type == SLICE_I
+                            else 0 if slice_type == SLICE_B else 1),
                 sao_luma=sao_on, sao_chroma=sao_on,
-                bit_depth=self.bit_depth)
+                bit_depth=self.bit_depth,
+                num_ref_l0=max(1, len(ps.ref_pocs_l0)),
+                num_ref_l1=max(1, len(ps.ref_pocs_l1))
+                if slice_type == SLICE_B else 1)
         if data is None:    # P slices / no native toolchain: Python CABAC
             ctx = init_context_states(init_type, self.qp)
             enc = CabacEncoder(ctx=ctx)

@@ -52,29 +52,37 @@ def get_lib():
         except (OSError, subprocess.CalledProcessError) as exc:  # no cc, etc.
             _LIB_ERR = exc
             return None
-        fn = lib.encode_slice_data
-        fn.restype = ctypes.c_long
         u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
         i16p = np.ctypeslib.ndpointer(np.int16, flags="C_CONTIGUOUS")
         i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
         i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
         i8p = np.ctypeslib.ndpointer(np.int8, flags="C_CONTIGUOUS")
-        fn.argtypes = [u8p] * 10 + [i16p] + [i32p] * 3 + [i64p] \
-            + [i8p] * 4 + [ctypes.c_int] * 16 \
+        fn = lib.encode_slice_data
+        fn.restype = ctypes.c_long
+        fn.argtypes = [u8p] * 14 + [i16p] * 2 + [i32p] * 3 + [i64p] \
+            + [i8p] * 4 + [ctypes.c_int] * 19 \
             + [u8p, ctypes.c_int, u8p, ctypes.c_long]
+        dr = lib.derive_inter_syntax
+        dr.restype = ctypes.c_long
+        dr.argtypes = [u8p] * 5 + [i16p] * 2 + [i32p] * 3 + [i64p] \
+            + [ctypes.c_int] * 8 \
+            + [i32p, ctypes.c_int, i32p, ctypes.c_int] \
+            + [u8p] * 4 + [i16p] * 2 + [u8p]
         _LIB = lib
         return _LIB
 
 
-SLICE_TYPE_I, SLICE_TYPE_P = 2, 1
+SLICE_TYPE_B, SLICE_TYPE_I, SLICE_TYPE_P = 0, 2, 1
 
 
 def encode_slice_data_native(ps, qp: int, *, log2_min_cb=3, log2_min_tb=2,
                              log2_max_tb=5, slice_type=SLICE_TYPE_I,
                              sao_luma=False, sao_chroma=False,
-                             bit_depth=8) -> bytes | None:
-    """Encode a full slice's CTU data natively (I or P).  Returns the CABAC
-    byte payload (terminated + aligned), or None if native is unavailable.
+                             bit_depth=8, num_ref_l0=1, num_ref_l1=1,
+                             mvd_l1_zero=False) -> bytes | None:
+    """Encode a full slice's CTU data natively (I, P or B).  Returns the
+    CABAC byte payload (terminated + aligned), or None if native is
+    unavailable.
 
     ``ps`` is a cabac.ctu.PicSyntax; output is byte-identical to the Python
     CtuCoder/CabacEncoder path.
@@ -85,17 +93,20 @@ def encode_slice_data_native(ps, qp: int, *, log2_min_cb=3, log2_min_tb=2,
     from ..cabac.tables import NUM_CTX, init_context_states
 
     g = ps.geom
-    init_type = 0 if slice_type == SLICE_TYPE_I else 1
+    init_type = {SLICE_TYPE_I: 0, SLICE_TYPE_P: 1,
+                 SLICE_TYPE_B: 2}[slice_type]
     ctx = np.ascontiguousarray(init_context_states(init_type, qp), np.uint8)
     cap = ps.coeff_y.size * 8 + (1 << 16)
     out = np.empty(cap, np.uint8)
     arrs = [np.ascontiguousarray(a, np.uint8)
             for a in (ps.depth, ps.part, ps.luma_mode, ps.chroma_mode,
                       ps.tu_depth, ps.pred_mode, ps.skip, ps.merge_flag,
-                      ps.merge_idx, ps.mvp_flag)]
+                      ps.merge_idx, ps.mvp_flag, ps.inter_dir, ps.mvp_flag1,
+                      ps.ref_idx0, ps.ref_idx1)]
     n = lib.encode_slice_data(
         *arrs,
         np.ascontiguousarray(ps.mvd, np.int16),
+        np.ascontiguousarray(ps.mvd1, np.int16),
         np.ascontiguousarray(ps.coeff_y, np.int32),
         np.ascontiguousarray(ps.coeff_cb, np.int32),
         np.ascontiguousarray(ps.coeff_cr, np.int32),
@@ -109,7 +120,45 @@ def encode_slice_data_native(ps, qp: int, *, log2_min_cb=3, log2_min_tb=2,
         g.log2_ctb, log2_min_cb, log2_min_tb, log2_max_tb,
         ps.max_tr_depth_intra, ps.max_tr_depth_inter, int(ps.sign_hiding),
         slice_type, ps.max_merge_cand,
+        num_ref_l0, num_ref_l1, int(mvd_l1_zero),
         ctx, NUM_CTX, out, cap)
     if n < 0:
         raise RuntimeError(f"native slice encode failed: {n}")
     return out[:n].tobytes()
+
+
+def derive_inter_syntax_native(ps) -> bool:
+    """Fill ps.merge_flag/merge_idx/mvp_flag(1)/mvd(1)/skip from the
+    chosen motion (native port of encoder _derive_inter_syntax +
+    _derive_skip over common/motion.py).  Returns False if the native
+    library is unavailable (caller falls back to Python).
+    """
+    lib = get_lib()
+    if lib is None:
+        return False
+    g = ps.geom
+    pocs0 = np.ascontiguousarray(ps.ref_pocs_l0 or (0,), np.int32)
+    pocs1 = np.ascontiguousarray(ps.ref_pocs_l1 or (0,), np.int32)
+    ins = [np.ascontiguousarray(a, np.uint8)
+           for a in (ps.depth, ps.pred_mode, ps.inter_dir,
+                     ps.ref_idx0, ps.ref_idx1)]
+    mv0 = np.ascontiguousarray(ps.mv0, np.int16)
+    mv1 = np.ascontiguousarray(ps.mv1, np.int16)
+    cy = np.ascontiguousarray(ps.coeff_y, np.int32)
+    ccb = np.ascontiguousarray(ps.coeff_cb, np.int32)
+    ccr = np.ascontiguousarray(ps.coeff_cr, np.int32)
+    zs = np.ascontiguousarray(g.zscan, np.int64)
+    # outputs written in place (must be the ps arrays themselves)
+    for name in ("merge_flag", "merge_idx", "mvp_flag", "mvp_flag1",
+                 "skip"):
+        a = getattr(ps, name)
+        assert a.dtype == np.uint8 and a.flags["C_CONTIGUOUS"], name
+    assert ps.mvd.dtype == np.int16 and ps.mvd1.dtype == np.int16
+    lib.derive_inter_syntax(
+        *ins, mv0, mv1, cy, ccb, ccr, zs,
+        g.width, g.height, g.w4, g.h4, g.log2_ctb, 3,
+        ps.max_merge_cand, ps.cur_poc,
+        pocs0, len(ps.ref_pocs_l0), pocs1, len(ps.ref_pocs_l1),
+        ps.merge_flag, ps.merge_idx, ps.mvp_flag, ps.mvp_flag1,
+        ps.mvd, ps.mvd1, ps.skip)
+    return True

@@ -38,6 +38,8 @@ enum {
     CTX_GREATER2 = 131,
     CTX_MERGE_FLAG = 137,
     CTX_MERGE_IDX = 138,
+    CTX_INTER_PRED_IDC = 139,
+    CTX_REF_IDX = 144,
     CTX_MVD_GREATER = 146,
     CTX_MVP_FLAG = 148,
     CTX_RQT_ROOT_CBF = 149,
@@ -134,15 +136,17 @@ typedef struct {
     const uint8_t *depth, *part, *luma_mode, *chroma_mode, *tu_depth;
     const uint8_t *skip, *merge_flag, *merge_idx, *mvp_flag;
     const uint8_t *pred_mode_arr;
+    const uint8_t *inter_dir, *mvp_flag1, *ref_idx0, *ref_idx1;
     const int8_t *sao_type, *sao_eo_class, *sao_band_pos, *sao_offsets;
     int sao_luma, sao_chroma, bit_depth;
     int ctbs_w;
-    const int16_t *mvd;
+    const int16_t *mvd, *mvd1;
     const int32_t *cy, *ccb, *ccr;
     const int64_t *zscan;
     int w, h, w4, h4, ystride, cstride;
     int log2_ctb, min_cb, min_tb, max_tb, max_tr_intra, max_tr_inter;
-    int sign_hide, slice_type, max_merge;  /* slice_type: 2 = I, 1 = P */
+    int sign_hide, slice_type, max_merge;  /* slice_type: 2=I, 1=P, 0=B */
+    int num_ref_l0, num_ref_l1, mvd_l1_zero;
 } Enc;
 
 /* ---- bit output ---- */
@@ -572,11 +576,23 @@ static void enc_mvd(Enc *e, int mvd_x, int mvd_y) {
 
 static void enc_intra_cu(Enc *e, int x0, int y0, int log2_size);
 
+/* ref_idx_lX: TR binarization, cMax = num-1 (§9.3.3.2, Table 9-37) */
+static void enc_ref_idx(Enc *e, int idx, int num) {
+    int cmax = num - 1, k;
+    if (num <= 1) return;
+    encode_bin(e, CTX_REF_IDX, idx > 0);
+    if (idx > 0 && cmax > 1) {
+        encode_bin(e, CTX_REF_IDX + 1, idx > 1);
+        for (k = 2; k < idx; k++) encode_bypass(e, 1);
+        if (idx > 1 && idx < cmax) encode_bypass(e, 0);
+    }
+}
+
 /* ---- CU / quadtree ---- */
 static void enc_cu(Enc *e, int x0, int y0, int log2_size) {
     int y4 = y0 >> 2, x4 = x0 >> 2;
     int size = 1 << log2_size;
-    if (e->slice_type != 2) {       /* P slice */
+    if (e->slice_type != 2) {       /* P/B slice */
         int skip = e->skip[y4 * e->w4 + x4];
         encode_bin(e, skip_ctx(e, x0, y0), skip);
         if (skip) {
@@ -594,9 +610,33 @@ static void enc_cu(Enc *e, int x0, int y0, int log2_size) {
             if (merge) {
                 enc_merge_idx(e, e->merge_idx[y4 * e->w4 + x4]);
             } else {
-                enc_mvd(e, e->mvd[(y4 * e->w4 + x4) * 2],
-                        e->mvd[(y4 * e->w4 + x4) * 2 + 1]);
-                encode_bin(e, CTX_MVP_FLAG, e->mvp_flag[y4 * e->w4 + x4]);
+                int d = e->inter_dir ? e->inter_dir[y4 * e->w4 + x4] : 1;
+                if (d == 0) d = 1;
+                if (e->slice_type == 0) {     /* B: inter_pred_idc */
+                    int dep = e->depth[y4 * e->w4 + x4];
+                    encode_bin(e, CTX_INTER_PRED_IDC + dep, d == 3);
+                    if (d != 3)
+                        encode_bin(e, CTX_INTER_PRED_IDC + 4, d == 2);
+                }
+                if (d & 1) {
+                    enc_ref_idx(e, e->ref_idx0 ?
+                                e->ref_idx0[y4 * e->w4 + x4] : 0,
+                                e->num_ref_l0);
+                    enc_mvd(e, e->mvd[(y4 * e->w4 + x4) * 2],
+                            e->mvd[(y4 * e->w4 + x4) * 2 + 1]);
+                    encode_bin(e, CTX_MVP_FLAG,
+                               e->mvp_flag[y4 * e->w4 + x4]);
+                }
+                if (d & 2) {
+                    enc_ref_idx(e, e->ref_idx1 ?
+                                e->ref_idx1[y4 * e->w4 + x4] : 0,
+                                e->num_ref_l1);
+                    if (!(e->mvd_l1_zero && d == 3))
+                        enc_mvd(e, e->mvd1[(y4 * e->w4 + x4) * 2],
+                                e->mvd1[(y4 * e->w4 + x4) * 2 + 1]);
+                    encode_bin(e, CTX_MVP_FLAG,
+                               e->mvp_flag1[y4 * e->w4 + x4]);
+                }
             }
             root_cbf = region_nz(e->cy, e->ystride, x0, y0, size)
                 || region_nz(e->ccb, e->cstride, x0 >> 1, y0 >> 1, size >> 1)
@@ -743,7 +783,10 @@ long encode_slice_data(
     const uint8_t *depth, const uint8_t *part, const uint8_t *luma_mode,
     const uint8_t *chroma_mode, const uint8_t *tu_depth,
     const uint8_t *pred_mode, const uint8_t *skip, const uint8_t *merge_flag,
-    const uint8_t *merge_idx, const uint8_t *mvp_flag, const int16_t *mvd,
+    const uint8_t *merge_idx, const uint8_t *mvp_flag,
+    const uint8_t *inter_dir, const uint8_t *mvp_flag1,
+    const uint8_t *ref_idx0, const uint8_t *ref_idx1,
+    const int16_t *mvd, const int16_t *mvd1,
     const int32_t *coeff_y, const int32_t *coeff_cb, const int32_t *coeff_cr,
     const int64_t *zscan,
     const int8_t *sao_type, const int8_t *sao_eo_class,
@@ -753,6 +796,7 @@ long encode_slice_data(
     int log2_ctb, int log2_min_cb, int log2_min_tb, int log2_max_tb,
     int max_tr_depth_intra, int max_tr_depth_inter, int sign_hiding,
     int slice_type, int max_merge,
+    int num_ref_l0, int num_ref_l1, int mvd_l1_zero,
     const uint8_t *ctx_init, int num_ctx,
     uint8_t *out, long out_cap)
 {
@@ -769,6 +813,10 @@ long encode_slice_data(
     e.chroma_mode = chroma_mode; e.tu_depth = tu_depth;
     e.pred_mode_arr = pred_mode; e.skip = skip; e.merge_flag = merge_flag;
     e.merge_idx = merge_idx; e.mvp_flag = mvp_flag; e.mvd = mvd;
+    e.inter_dir = inter_dir; e.mvp_flag1 = mvp_flag1;
+    e.ref_idx0 = ref_idx0; e.ref_idx1 = ref_idx1; e.mvd1 = mvd1;
+    e.num_ref_l0 = num_ref_l0; e.num_ref_l1 = num_ref_l1;
+    e.mvd_l1_zero = mvd_l1_zero;
     e.cy = coeff_y; e.ccb = coeff_cb; e.ccr = coeff_cr;
     e.zscan = zscan;
     e.w = width; e.h = height; e.w4 = w4; e.h4 = h4;
@@ -802,4 +850,369 @@ long encode_slice_data(
     if (e.bitpos) put_bits(&e, 0, 8 - e.bitpos);
     if (e.overflow) return -1;
     return e.pos;
+}
+
+/* ====================================================================
+ * Inter syntax derivation: merge candidate list + AMVP + skip flags.
+ *
+ * Native port of x265_tpu/common/motion.py (merge_candidates /
+ * amvp_candidates — NORMATIVE, §8.5.3.2.3-8) and the per-CU chooser in
+ * encoder/intra_encoder.py (_derive_inter_syntax/_derive_skip).  Must
+ * match the Python derivation exactly (asserted by tests).
+ * Reference embodiment: x265_1.9/source/common/cudata.cpp
+ * getInterMergeCandidates / fillMvpCand.
+ * ==================================================================== */
+
+typedef struct {
+    int dir;                   /* 1=L0, 2=L1, 3=bi */
+    int mv0x, mv0y, ref0;
+    int mv1x, mv1y, ref1;
+} MC;
+
+typedef struct {
+    const uint8_t *depth, *pred_mode, *inter_dir, *ref_idx0, *ref_idx1;
+    const int16_t *mv0, *mv1;
+    const int32_t *cy, *ccb, *ccr;
+    const int64_t *zscan;
+    int w, h, w4, h4, ystride, cstride, min_cb, max_merge;
+    int cur_poc;
+    const int32_t *ref_pocs_l0, *ref_pocs_l1;
+    int n_ref_l0, n_ref_l1;
+    uint8_t *merge_flag, *merge_idx, *mvp_flag, *mvp_flag1, *skip;
+    int16_t *mvd, *mvd1;
+} Der;
+
+static int d_avail(const Der *c, int xc, int yc, int xn, int yn) {
+    if (xn < 0 || yn < 0 || xn >= c->w || yn >= c->h) return 0;
+    return c->zscan[(yn >> 2) * c->w4 + (xn >> 2)]
+         < c->zscan[(yc >> 2) * c->w4 + (xc >> 2)];
+}
+
+/* full motion at a neighbor position; 0 if unavailable or intra */
+static int nbr_motion(const Der *c, int xc, int yc, int xn, int yn, MC *m) {
+    int y4, x4, d;
+    if (!d_avail(c, xc, yc, xn, yn)) return 0;
+    y4 = yn >> 2; x4 = xn >> 2;
+    if (c->pred_mode[y4 * c->w4 + x4] == 1) return 0;    /* MODE_INTRA */
+    d = c->inter_dir ? c->inter_dir[y4 * c->w4 + x4] : 0;
+    if (d == 0) d = 1;         /* legacy P-only state */
+    m->dir = d;
+    m->mv0x = c->mv0[(y4 * c->w4 + x4) * 2];
+    m->mv0y = c->mv0[(y4 * c->w4 + x4) * 2 + 1];
+    m->ref0 = c->ref_idx0 ? c->ref_idx0[y4 * c->w4 + x4] : 0;
+    m->mv1x = c->mv1 ? c->mv1[(y4 * c->w4 + x4) * 2] : 0;
+    m->mv1y = c->mv1 ? c->mv1[(y4 * c->w4 + x4) * 2 + 1] : 0;
+    m->ref1 = c->ref_idx1 ? c->ref_idx1[y4 * c->w4 + x4] : 0;
+    return 1;
+}
+
+/* §8.5.3.2.3 pruning comparison (MotionCand.key() semantics: only the
+ * lists named by dir participate) */
+static int mc_eq(const MC *a, const MC *b) {
+    if (a->dir != b->dir) return 0;
+    if ((a->dir & 1) && (a->mv0x != b->mv0x || a->mv0y != b->mv0y
+                         || a->ref0 != b->ref0)) return 0;
+    if ((a->dir & 2) && (a->mv1x != b->mv1x || a->mv1y != b->mv1y
+                         || a->ref1 != b->ref1)) return 0;
+    return 1;
+}
+
+/* §8.5.3.2.3-5: spatial A1 B1 B0 A0 (B2) + combined bi + zero fill */
+static int d_merge_candidates(const Der *c, int x0, int y0, int w, int h,
+                              MC *out /* [max_merge] */) {
+    MC a1, b1, b0, a0, b2;
+    int has_a1, has_b1, has_b0, has_a0;
+    int n = 0, is_b, num_refs, zero_idx;
+    int max_cand = c->max_merge;
+
+    has_a1 = nbr_motion(c, x0, y0, x0 - 1, y0 + h - 1, &a1);
+    has_b1 = nbr_motion(c, x0, y0, x0 + w - 1, y0 - 1, &b1);
+    has_b0 = nbr_motion(c, x0, y0, x0 + w, y0 - 1, &b0);
+    has_a0 = nbr_motion(c, x0, y0, x0 - 1, y0 + h, &a0);
+    if (has_a1) out[n++] = a1;
+    if (has_b1 && (!has_a1 || !mc_eq(&b1, &a1))) out[n++] = b1;
+    if (has_b0 && (!has_b1 || !mc_eq(&b0, &b1))) out[n++] = b0;
+    if (has_a0 && (!has_a1 || !mc_eq(&a0, &a1))) out[n++] = a0;
+    if (n < 4) {
+        if (nbr_motion(c, x0, y0, x0 - 1, y0 - 1, &b2)
+            && (!has_a1 || !mc_eq(&b2, &a1))
+            && (!has_b1 || !mc_eq(&b2, &b1)))
+            out[n++] = b2;
+    }
+    if (n > max_cand) n = max_cand;
+
+    is_b = c->n_ref_l1 > 0;
+    if (is_b && n > 1 && n < max_cand) {
+        /* §8.5.3.2.4 combined bi-predictive candidates */
+        static const int L0IDX[12] = {0,1,0,2,1,2,0,3,1,3,2,3};
+        static const int L1IDX[12] = {1,0,2,0,2,1,3,0,3,1,3,2};
+        int n_orig = n, comb;
+        for (comb = 0; comb < n_orig * (n_orig - 1); comb++) {
+            const MC *c0 = &out[L0IDX[comb]], *c1 = &out[L1IDX[comb]];
+            int rp0, rp1;
+            if (!((c0->dir & 1) && (c1->dir & 2))) continue;
+            rp0 = c->ref_pocs_l0[c0->ref0];
+            rp1 = c->ref_pocs_l1[c1->ref1];
+            if (rp0 == rp1 && c0->mv0x == c1->mv1x && c0->mv0y == c1->mv1y)
+                continue;
+            out[n].dir = 3;
+            out[n].mv0x = c0->mv0x; out[n].mv0y = c0->mv0y;
+            out[n].ref0 = c0->ref0;
+            out[n].mv1x = c1->mv1x; out[n].mv1y = c1->mv1y;
+            out[n].ref1 = c1->ref1;
+            n++;
+            if (n == max_cand) break;
+        }
+    }
+
+    /* §8.5.3.2.5 zero candidates */
+    num_refs = is_b ? (c->n_ref_l0 < c->n_ref_l1 ? c->n_ref_l0
+                                                 : c->n_ref_l1)
+                    : c->n_ref_l0;
+    zero_idx = 0;
+    while (n < max_cand) {
+        int r = zero_idx < num_refs ? zero_idx : 0;
+        out[n].dir = is_b ? 3 : 1;
+        out[n].mv0x = 0; out[n].mv0y = 0; out[n].ref0 = r;
+        out[n].mv1x = 0; out[n].mv1y = 0; out[n].ref1 = r;
+        n++;
+        zero_idx++;
+    }
+    return n;
+}
+
+/* §8.5.3.2.8 MV scaling */
+static void d_scale_mv(int mvx, int mvy, int tb, int td, int *out) {
+    int tx, dsf, i, m[2];
+    if (td == tb) { out[0] = mvx; out[1] = mvy; return; }
+    tb = tb < -128 ? -128 : (tb > 127 ? 127 : tb);
+    td = td < -128 ? -128 : (td > 127 ? 127 : td);
+    if (td > 0) tx = (16384 + (td >> 1)) / td;
+    else tx = -((16384 + ((-td) >> 1)) / -td);
+    dsf = (tb * tx + 32) >> 6;
+    dsf = dsf < -4096 ? -4096 : (dsf > 4095 ? 4095 : dsf);
+    m[0] = mvx; m[1] = mvy;
+    for (i = 0; i < 2; i++) {
+        long v = (long)dsf * m[i];
+        long a = ((v < 0 ? -v : v) + 127) >> 8;
+        long r = v >= 0 ? a : -a;
+        out[i] = r < -32768 ? -32768 : (r > 32767 ? 32767 : (int)r);
+    }
+}
+
+/* §8.5.3.2.7: AMVP from a neighbor's motion (same list first, then the
+ * other; identical reference required unless scaled) */
+static int d_amvp_from(const Der *c, const MC *cand, int lx, int ref_idx,
+                       int scaled, int *out_mv) {
+    int target_poc = (lx == 0 ? c->ref_pocs_l0 : c->ref_pocs_l1)[ref_idx];
+    int t;
+    for (t = 0; t < 2; t++) {
+        int ly = t == 0 ? lx : 1 - lx;
+        int mvx, mvy, ref, nb_poc, npocs;
+        const int32_t *pocs;
+        if (!(cand->dir & (1 << ly))) continue;
+        mvx = ly == 0 ? cand->mv0x : cand->mv1x;
+        mvy = ly == 0 ? cand->mv0y : cand->mv1y;
+        ref = ly == 0 ? cand->ref0 : cand->ref1;
+        pocs = ly == 0 ? c->ref_pocs_l0 : c->ref_pocs_l1;
+        npocs = ly == 0 ? c->n_ref_l0 : c->n_ref_l1;
+        nb_poc = ref < npocs ? pocs[ref] : pocs[0];
+        if (nb_poc == target_poc) { out_mv[0] = mvx; out_mv[1] = mvy;
+                                    return 1; }
+        if (scaled) {
+            d_scale_mv(mvx, mvy, c->cur_poc - target_poc,
+                       c->cur_poc - nb_poc, out_mv);
+            return 1;
+        }
+    }
+    return 0;
+}
+
+/* §8.5.3.2.6-7 AMVP pair for list lx (TMVP off) */
+static void d_amvp_candidates(const Der *c, int x0, int y0, int w, int h,
+                              int lx, int ref_idx, int cands[2][2]) {
+    MC a0, a1, bs[3];
+    int has_a0, has_a1, has_b[3];
+    int is_scaled, i;
+    int mv_a[2], mv_b[2], got_a = 0, got_b = 0;
+
+    has_a0 = nbr_motion(c, x0, y0, x0 - 1, y0 + h, &a0);
+    has_a1 = nbr_motion(c, x0, y0, x0 - 1, y0 + h - 1, &a1);
+    is_scaled = has_a0 || has_a1;
+
+    if (has_a0) got_a = d_amvp_from(c, &a0, lx, ref_idx, 0, mv_a);
+    if (!got_a && has_a1) got_a = d_amvp_from(c, &a1, lx, ref_idx, 0, mv_a);
+    if (!got_a) {
+        if (has_a0) got_a = d_amvp_from(c, &a0, lx, ref_idx, 1, mv_a);
+        if (!got_a && has_a1)
+            got_a = d_amvp_from(c, &a1, lx, ref_idx, 1, mv_a);
+    }
+
+    has_b[0] = nbr_motion(c, x0, y0, x0 + w, y0 - 1, &bs[0]);
+    has_b[1] = nbr_motion(c, x0, y0, x0 + w - 1, y0 - 1, &bs[1]);
+    has_b[2] = nbr_motion(c, x0, y0, x0 - 1, y0 - 1, &bs[2]);
+    for (i = 0; i < 3 && !got_b; i++)
+        if (has_b[i]) got_b = d_amvp_from(c, &bs[i], lx, ref_idx, 0, mv_b);
+    if (!is_scaled) {
+        /* §8.5.3.2.7: no A neighbors -> unscaled B fills the A slot and
+         * the B slot re-derives with scaling */
+        if (!got_a && got_b) {
+            mv_a[0] = mv_b[0]; mv_a[1] = mv_b[1];
+            got_a = 1; got_b = 0;
+        }
+        for (i = 0; i < 3 && !got_b; i++)
+            if (has_b[i])
+                got_b = d_amvp_from(c, &bs[i], lx, ref_idx, 1, mv_b);
+    }
+
+    {
+    int n = 0;
+    if (got_a) { cands[n][0] = mv_a[0]; cands[n][1] = mv_a[1]; n++; }
+    if (got_b && !(got_a && mv_b[0] == mv_a[0] && mv_b[1] == mv_a[1])
+        && n < 2) {
+        cands[n][0] = mv_b[0]; cands[n][1] = mv_b[1]; n++;
+    }
+    while (n < 2) { cands[n][0] = 0; cands[n][1] = 0; n++; }
+    }
+}
+
+static int d_region_nz(const int32_t *plane, int stride, int x, int y,
+                       int sz) {
+    int yy, xx;
+    for (yy = 0; yy < sz; yy++)
+        for (xx = 0; xx < sz; xx++)
+            if (plane[(y + yy) * stride + x + xx]) return 1;
+    return 0;
+}
+
+static void d_set_region_u8(uint8_t *arr, int w4, int x0, int y0, int size,
+                            uint8_t v) {
+    int s4 = size >> 2, yy, xx;
+    for (yy = 0; yy < s4; yy++)
+        for (xx = 0; xx < s4; xx++)
+            arr[((y0 >> 2) + yy) * w4 + (x0 >> 2) + xx] = v;
+}
+
+static void d_set_region_mv(int16_t *arr, int w4, int x0, int y0, int size,
+                            int vx, int vy) {
+    int s4 = size >> 2, yy, xx;
+    for (yy = 0; yy < s4; yy++)
+        for (xx = 0; xx < s4; xx++) {
+            arr[(((y0 >> 2) + yy) * w4 + (x0 >> 2) + xx) * 2] = (int16_t)vx;
+            arr[(((y0 >> 2) + yy) * w4 + (x0 >> 2) + xx) * 2 + 1] =
+                (int16_t)vy;
+        }
+}
+
+static void d_derive_cu(Der *c, int x0, int y0, int size) {
+    int y4 = y0 >> 2, x4 = x0 >> 2;
+    MC me, cands[8];
+    int ncand, i, d, found = -1;
+
+    if (c->pred_mode[y4 * c->w4 + x4] == 1) return;      /* intra */
+    d = c->inter_dir ? c->inter_dir[y4 * c->w4 + x4] : 0;
+    if (d == 0) d = 1;
+    me.dir = d;
+    me.mv0x = c->mv0[(y4 * c->w4 + x4) * 2];
+    me.mv0y = c->mv0[(y4 * c->w4 + x4) * 2 + 1];
+    me.ref0 = c->ref_idx0 ? c->ref_idx0[y4 * c->w4 + x4] : 0;
+    me.mv1x = c->mv1 ? c->mv1[(y4 * c->w4 + x4) * 2] : 0;
+    me.mv1y = c->mv1 ? c->mv1[(y4 * c->w4 + x4) * 2 + 1] : 0;
+    me.ref1 = c->ref_idx1 ? c->ref_idx1[y4 * c->w4 + x4] : 0;
+
+    ncand = d_merge_candidates(c, x0, y0, size, size, cands);
+    for (i = 0; i < ncand; i++)
+        if (mc_eq(&me, &cands[i])) { found = i; break; }
+    if (found >= 0) {
+        d_set_region_u8(c->merge_flag, c->w4, x0, y0, size, 1);
+        d_set_region_u8(c->merge_idx, c->w4, x0, y0, size,
+                        (uint8_t)found);
+        /* skip: merged CU with no residual anywhere */
+        if (!d_region_nz(c->cy, c->ystride, x0, y0, size)
+            && !d_region_nz(c->ccb, c->cstride, x0 >> 1, y0 >> 1,
+                            size >> 1)
+            && !d_region_nz(c->ccr, c->cstride, x0 >> 1, y0 >> 1,
+                            size >> 1))
+            d_set_region_u8(c->skip, c->w4, x0, y0, size, 1);
+        return;
+    }
+    if (d & 1) {
+        int amvp[2][2], c0, c1, mvp;
+        d_amvp_candidates(c, x0, y0, size, size, 0, me.ref0, amvp);
+        c0 = abs(me.mv0x - amvp[0][0]) + abs(me.mv0y - amvp[0][1]);
+        c1 = abs(me.mv0x - amvp[1][0]) + abs(me.mv0y - amvp[1][1]);
+        mvp = c1 < c0 ? 1 : 0;
+        d_set_region_u8(c->mvp_flag, c->w4, x0, y0, size, (uint8_t)mvp);
+        d_set_region_mv(c->mvd, c->w4, x0, y0, size,
+                        me.mv0x - amvp[mvp][0], me.mv0y - amvp[mvp][1]);
+    }
+    if (d & 2) {
+        int amvp[2][2], c0, c1, mvp;
+        d_amvp_candidates(c, x0, y0, size, size, 1, me.ref1, amvp);
+        c0 = abs(me.mv1x - amvp[0][0]) + abs(me.mv1y - amvp[0][1]);
+        c1 = abs(me.mv1x - amvp[1][0]) + abs(me.mv1y - amvp[1][1]);
+        mvp = c1 < c0 ? 1 : 0;
+        d_set_region_u8(c->mvp_flag1, c->w4, x0, y0, size, (uint8_t)mvp);
+        d_set_region_mv(c->mvd1, c->w4, x0, y0, size,
+                        me.mv1x - amvp[mvp][0], me.mv1y - amvp[mvp][1]);
+    }
+}
+
+static void d_walk(Der *c, int x0, int y0, int log2_size, int dep) {
+    int size = 1 << log2_size;
+    int fits = (x0 + size <= c->w) && (y0 + size <= c->h);
+    int split = !fits
+        || c->depth[(y0 >> 2) * c->w4 + (x0 >> 2)] > dep;
+    if (split && log2_size > c->min_cb) {
+        int half = size >> 1, i;
+        for (i = 0; i < 4; i++) {
+            int x1 = x0 + (i & 1) * half, y1 = y0 + (i >> 1) * half;
+            if (x1 < c->w && y1 < c->h)
+                d_walk(c, x1, y1, log2_size - 1, dep + 1);
+        }
+        return;
+    }
+    d_derive_cu(c, x0, y0, size);
+}
+
+long derive_inter_syntax(
+    const uint8_t *depth, const uint8_t *pred_mode,
+    const uint8_t *inter_dir, const uint8_t *ref_idx0,
+    const uint8_t *ref_idx1,
+    const int16_t *mv0, const int16_t *mv1,
+    const int32_t *coeff_y, const int32_t *coeff_cb,
+    const int32_t *coeff_cr, const int64_t *zscan,
+    int width, int height, int w4, int h4,
+    int log2_ctb, int log2_min_cb, int max_merge, int cur_poc,
+    const int32_t *ref_pocs_l0, int n_ref_l0,
+    const int32_t *ref_pocs_l1, int n_ref_l1,
+    uint8_t *merge_flag, uint8_t *merge_idx,
+    uint8_t *mvp_flag, uint8_t *mvp_flag1,
+    int16_t *mvd, int16_t *mvd1, uint8_t *skip)
+{
+    Der c;
+    int ctb_size, ctbs_w, ctbs_h, ctu, n_ctbs;
+    memset(&c, 0, sizeof(c));
+    c.depth = depth; c.pred_mode = pred_mode; c.inter_dir = inter_dir;
+    c.ref_idx0 = ref_idx0; c.ref_idx1 = ref_idx1;
+    c.mv0 = mv0; c.mv1 = mv1;
+    c.cy = coeff_y; c.ccb = coeff_cb; c.ccr = coeff_cr; c.zscan = zscan;
+    c.w = width; c.h = height; c.w4 = w4; c.h4 = h4;
+    c.ystride = w4 * 4; c.cstride = w4 * 2;
+    c.min_cb = log2_min_cb; c.max_merge = max_merge;
+    c.cur_poc = cur_poc;
+    c.ref_pocs_l0 = ref_pocs_l0; c.n_ref_l0 = n_ref_l0;
+    c.ref_pocs_l1 = ref_pocs_l1; c.n_ref_l1 = n_ref_l1;
+    c.merge_flag = merge_flag; c.merge_idx = merge_idx;
+    c.mvp_flag = mvp_flag; c.mvp_flag1 = mvp_flag1;
+    c.mvd = mvd; c.mvd1 = mvd1; c.skip = skip;
+
+    ctb_size = 1 << log2_ctb;
+    ctbs_w = (width + ctb_size - 1) >> log2_ctb;
+    ctbs_h = (height + ctb_size - 1) >> log2_ctb;
+    n_ctbs = ctbs_w * ctbs_h;
+    for (ctu = 0; ctu < n_ctbs; ctu++)
+        d_walk(&c, (ctu % ctbs_w) << log2_ctb,
+               (ctu / ctbs_w) << log2_ctb, log2_ctb, 0);
+    return 0;
 }
