@@ -149,19 +149,29 @@ def build_ctu_tables(width: int, height: int, log2_ctb: int):
     def per_level(a):
         return a[lvl_ctu]            # [n_levels, lmax, ...]
 
+    # per-level CTU grid coordinates (dummy lanes -> garbage frontier
+    # slots: cx = cw reads/writes the spare rowf row, cy = ch likewise)
+    cxs_t = np.full((n_levels, lmax), cw, np.int32)
+    cys_t = np.full((n_levels, lmax), ch, np.int32)
+    for li in range(n_levels):
+        for k in range(lmax):
+            c = lvl_ctu[li, k]
+            if c < nctb:
+                cxs_t[li, k] = c % cw
+                cys_t[li, k] = c // cw
+
     return dict(
         geom=g, n_levels=n_levels, lmax=lmax, nctb=nctb,
         plane=(ph, pw), cplane=(cph, cpw), flat_size=flat_size,
         lsize=lsize, csize=csize, has32=has32,
         n_quads=n_quads, slots_per_quad=slots_per_quad, nslots=nslots,
         b16_n=b16_n, b32_n=b32_n, quad_ok=quad_ok[:nctb],
-        xs=dict(ctu=lvl_ctu,
+        xs=dict(ctu=lvl_ctu, cx=cxs_t, cy=cys_t,
                 b16=per_level(b16), b32=per_level(b32),
-                l16_ri=per_level(l16_ri), l16_av=per_level(l16_av),
-                c8_ri=per_level(c8_ri), c8_av=per_level(c8_av),
-                l16_base=per_level(l16_base), c8_base=per_level(c8_base),
-                l32_ri=per_level(l32_ri), l32_av=per_level(l32_av),
-                c16_ri=per_level(c16_ri), c16_av=per_level(c16_av),
+                l16_av=per_level(l16_av),
+                c8_av=per_level(c8_av),
+                l32_av=per_level(l32_av),
+                c16_av=per_level(c16_av),
                 quad_ok=per_level(quad_ok)),
         lvl_ctu=lvl_ctu)
 
@@ -252,10 +262,9 @@ class CtuScan:
 
         t = self.t
         bd = self.bit_depth
+        g = t["geom"]
         ph, pw = t["plane"]
         cph, cpw = t["cplane"]
-        FS = t["flat_size"]
-        lsize, csize = t["lsize"], t["csize"]
         has32 = t["has32"]
         n_quads, spq = t["n_quads"], t["slots_per_quad"]
         nslots = t["nslots"]
@@ -264,15 +273,34 @@ class CtuScan:
         sign_hide = self.sign_hide
         maxv = (1 << bd) - 1
         n_levels, lmax = t["n_levels"], t["lmax"]
+        ctb = 1 << g.log2_ctb
+        ctbc = ctb // 2
+        cw, ch = g.ctbs_w, g.ctbs_h
+        # lane-local CTU buffer dims: row 0 = top refs (2*ctb wide for
+        # above-right), col 0 = left refs, + below-CTU garbage rows so every
+        # slot's below-left slice exists (availability masks those off)
+        CH_ = 1 + ctb + (32 if has32 else 16)
+        CW_ = 1 + 2 * ctb
+        CHC = 1 + ctbc + (16 if has32 else 8)
+        CWC = 1 + 2 * ctbc
 
-        off16 = jnp.asarray((np.arange(16)[:, None] * pw
-                             + np.arange(16)[None, :]).ravel())
-        off8 = jnp.asarray((np.arange(8)[:, None] * cpw
-                            + np.arange(8)[None, :]).ravel())
-        off32 = jnp.asarray((np.arange(32)[:, None] * pw
-                             + np.arange(32)[None, :]).ravel())
-        offc16 = jnp.asarray((np.arange(16)[:, None] * cpw
-                              + np.arange(16)[None, :]).ravel())
+        def z_origins(count, size):
+            out = []
+            for i in range(count):
+                out.append((((i & 1) | ((i >> 1) & 2)) * size,
+                            (((i >> 1) & 1) | ((i >> 2) & 2)) * size))
+            return out
+
+        quad_orig = z_origins(n_quads, 32) if has32 else [(0, 0)]
+        slot_orig = z_origins(spq, 16)
+
+        def refs_from(C, lx0, ly0, nsz):
+            """Canonical [lanes, 4n+1] reference vector for the block at
+            LOCAL origin (lx0, ly0): reversed left column (incl. corner)
+            + top row — static slices of the lane-local buffer."""
+            leftc = C[:, ly0:ly0 + 2 * nsz + 1, lx0][:, ::-1]
+            top = C[:, ly0, lx0 + 1:lx0 + 2 * nsz + 1]
+            return jnp.concatenate([leftc, top], axis=1)
 
         xs_all = {k: jnp.asarray(v) for k, v in t["xs"].items()}
 
@@ -293,9 +321,8 @@ class CtuScan:
             rec = jnp.clip(jnp.where(has, pred + r2, pred), 0, maxv)
             return levels, rec
 
-        def predict32(buf, xs, q, m32):
-            raw = buf[xs["l32_ri"][:, q]]
-            ref = _substitute(raw, xs["l32_av"][:, q], bd)
+        def predict32(raw, av, m32):
+            ref = _substitute(raw, av, bd)
             if not strong:
                 return _predict_lanes(ref, m32, 32, True, bd)
             from ..ops.intra import _weight_tensor
@@ -318,8 +345,11 @@ class CtuScan:
         OVH16, OVH32 = 9.0, 12.0
 
         def make_step(d):
-            def step(buf, xs):
-                L = xs["ctu"].shape[0]           # = lmax
+            def step(carry, xs):
+                (rowf, colf, cornf, rowfb, colfb, cornfb,
+                 rowfr, colfr, cornfr) = carry
+                cx, cy = xs["cx"], xs["cy"]
+                L = cx.shape[0]                  # = lmax
                 qp_y = d["qp_y"][xs["ctu"]]      # [L] per-lane
                 qp_c2 = jnp.concatenate([d["qp_cb"][xs["ctu"]],
                                          d["qp_cr"][xs["ctu"]]])
@@ -329,18 +359,36 @@ class CtuScan:
                 ones_2l = jnp.ones((2 * L,), bool)
                 lv16_o, lv8_o, lv32_o, lvc16_o, u32_o = [], [], [], [], []
 
+                # lane-local CTU buffers seeded from the frontier state
+                cx1 = jnp.minimum(cx + 1, cw)
+                par = (cy - 1) & 1
+                C = jnp.zeros((L, CH_, CW_), jnp.int32)
+                C = C.at[:, 0, 1:1 + 2 * ctb].set(
+                    jnp.concatenate([rowf[cx], rowf[cx1]], axis=1))
+                C = C.at[:, 1:1 + ctb, 0].set(colf[cy])
+                C = C.at[:, 0, 0].set(cornf[cx, par])
+                Cc = jnp.zeros((2 * L, CHC, CWC), jnp.int32)
+                Cc = Cc.at[:, 0, 1:1 + 2 * ctbc].set(jnp.concatenate([
+                    jnp.concatenate([rowfb[cx], rowfb[cx1]], axis=1),
+                    jnp.concatenate([rowfr[cx], rowfr[cx1]], axis=1)]))
+                Cc = Cc.at[:, 1:1 + ctbc, 0].set(
+                    jnp.concatenate([colfb[cy], colfr[cy]]))
+                Cc = Cc.at[:, 0, 0].set(
+                    jnp.concatenate([cornfb[cx, par], cornfr[cx, par]]))
+
                 for q in range(n_quads):
+                    qx, qy = quad_orig[q]
                     if has32:
                         bq = xs["b32"][:, q]
                         m32 = d["mode32"][bq]
                         # 32x32 luma TU candidate (refs precede quadrant)
-                        pred32 = predict32(buf, xs, q, m32)
+                        pred32 = predict32(refs_from(C, qx, qy, 32),
+                                           xs["l32_av"][:, q], m32)
                         lv32, rec32 = tq(pred32, d["orig32_y"][bq], qp_y,
                                          ones_l, 32)
                         lv32_o.append(lv32)
                         # 16x16 chroma TU candidate (cb+cr paired lanes)
-                        ri = xs["c16_ri"][:, q]
-                        raw2 = jnp.concatenate([buf[ri], buf[ri + csize]])
+                        raw2 = refs_from(Cc, qx // 2, qy // 2, 16)
                         av2 = jnp.concatenate([xs["c16_av"][:, q]] * 2)
                         refc = _substitute(raw2, av2, bd)
                         m32_2 = jnp.concatenate([m32, m32])
@@ -360,11 +408,12 @@ class CtuScan:
                             any_inter = jnp.zeros((L,), bool)
                     for s in range(spq):
                         i = q * spq + s
+                        sx, sy = qx + slot_orig[s][0], qy + slot_orig[s][1]
                         b = xs["b16"][:, i]
                         m = d["mode16"][b]
                         # 16x16 luma slot
-                        raw = buf[xs["l16_ri"][:, i]]
-                        ref = _substitute(raw, xs["l16_av"][:, i], bd)
+                        ref = _substitute(refs_from(C, sx, sy, 16),
+                                          xs["l16_av"][:, i], bd)
                         pred = _predict_lanes(ref, m, 16, True, bd)
                         if inter:
                             iv = d["is_inter"][b]
@@ -376,12 +425,10 @@ class CtuScan:
                         lv, rec = tq(pred, d["orig16_y"][b], qp_y, imask,
                                      16)
                         lv16_o.append(lv)
-                        buf = buf.at[xs["l16_base"][:, i, None]
-                                     + off16[None]].set(
-                            rec.reshape(L, -1), mode="drop")
+                        C = C.at[:, 1 + sy:1 + sy + 16,
+                                 1 + sx:1 + sx + 16].set(rec)
                         # 8x8 chroma slot (cb + cr paired lanes)
-                        ri = xs["c8_ri"][:, i]
-                        raw2 = jnp.concatenate([buf[ri], buf[ri + csize]])
+                        raw2 = refs_from(Cc, sx // 2, sy // 2, 8)
                         av2 = jnp.concatenate([xs["c8_av"][:, i]] * 2)
                         refc = _substitute(raw2, av2, bd)
                         m2 = jnp.concatenate([m, m])
@@ -398,10 +445,8 @@ class CtuScan:
                                               d["orig8_cr"][b]])
                         lvc, recc = tq(predc, oc, qp_c2, imask2, 8)
                         lv8_o.append(lvc)
-                        cb_base = xs["c8_base"][:, i]
-                        base2 = jnp.concatenate([cb_base, cb_base + csize])
-                        buf = buf.at[base2[:, None] + off8[None]].set(
-                            recc.reshape(2 * L, -1), mode="drop")
+                        Cc = Cc.at[:, 1 + sy // 2:1 + sy // 2 + 8,
+                                   1 + sx // 2:1 + sx // 2 + 8].set(recc)
                         if has32 and decide32:
                             sc = ssd(recc, oc)
                             bc = level_bits_jnp(lvc)
@@ -420,17 +465,41 @@ class CtuScan:
                             u32 = d["use32"][bq]
                         u32_o.append(u32)
                         # masked overwrite of the quadrant with the 32 recon
-                        base = jnp.where(u32, xs["l16_base"][:, q * spq], FS)
-                        buf = buf.at[base[:, None] + off32[None]].set(
-                            rec32.reshape(L, -1), mode="drop")
-                        cb_b = jnp.where(u32, xs["c8_base"][:, q * spq], FS)
-                        base2 = jnp.concatenate([cb_b, cb_b + csize])
-                        buf = buf.at[base2[:, None] + offc16[None]].set(
-                            recc32.reshape(2 * L, -1), mode="drop")
+                        C = C.at[:, 1 + qy:1 + qy + 32,
+                                 1 + qx:1 + qx + 32].set(
+                            jnp.where(u32[:, None, None], rec32,
+                                      C[:, 1 + qy:1 + qy + 32,
+                                        1 + qx:1 + qx + 32]))
+                        u2 = jnp.concatenate([u32, u32])[:, None, None]
+                        qcx, qcy = qx // 2, qy // 2
+                        Cc = Cc.at[:, 1 + qcy:1 + qcy + 16,
+                                   1 + qcx:1 + qcx + 16].set(
+                            jnp.where(u2, recc32,
+                                      Cc[:, 1 + qcy:1 + qcy + 16,
+                                         1 + qcx:1 + qcx + 16]))
+
+                # frontier update (dummy lanes carry out-of-range indices:
+                # writes land in the spare garbage rows)
+                rowf = rowf.at[cx].set(C[:, ctb, 1:1 + ctb])
+                colf = colf.at[cy].set(C[:, 1:1 + ctb, ctb])
+                cornf = cornf.at[cx + 1, cy & 1].set(C[:, ctb, ctb])
+                botc = Cc[:, ctbc, 1:1 + ctbc]
+                rightc = Cc[:, 1:1 + ctbc, ctbc]
+                cc = Cc[:, ctbc, ctbc]
+                rowfb = rowfb.at[cx].set(botc[:L])
+                rowfr = rowfr.at[cx].set(botc[L:])
+                colfb = colfb.at[cy].set(rightc[:L])
+                colfr = colfr.at[cy].set(rightc[L:])
+                cornfb = cornfb.at[cx + 1, cy & 1].set(cc[:L])
+                cornfr = cornfr.at[cx + 1, cy & 1].set(cc[L:])
+
                 ys = tuple(jnp.stack(v).astype(jnp.int16) if v else None
                            for v in (lv16_o, lv8_o, lv32_o, lvc16_o))
-                ys = ys + (jnp.stack(u32_o) if u32_o else None,)
-                return buf, ys
+                ys = ys + (jnp.stack(u32_o) if u32_o else None,
+                           C[:, 1:1 + ctb, 1:1 + ctb].astype(jnp.int16),
+                           Cc[:, 1:1 + ctbc, 1:1 + ctbc].astype(jnp.int16))
+                return (rowf, colf, cornf, rowfb, colfb, cornfb,
+                        rowfr, colfr, cornfr), ys
             return step
 
         def run(oy, ocb, ocr, mode16, mode32, use32, qp_y, qp_cb, qp_cr,
@@ -479,15 +548,38 @@ class CtuScan:
                 d["ipred_cr"] = jnp.concatenate(
                     [ipred_cr.astype(jnp.int32), pad8])
 
-            buf = jnp.zeros((FS,), jnp.int32)
-            buf, ys = jax.lax.scan(make_step(d), buf, xs_all)
-            lv16_s, lv8_s, lv32_s, lvc16_s, u32_s = ys
+            carry0 = (
+                jnp.zeros((cw + 1, ctb), jnp.int32),       # rowf
+                jnp.zeros((ch + 1, ctb), jnp.int32),       # colf
+                jnp.zeros((cw + 2, 2), jnp.int32),         # cornf
+                jnp.zeros((cw + 1, ctbc), jnp.int32),      # rowf cb
+                jnp.zeros((ch + 1, ctbc), jnp.int32),      # colf cb
+                jnp.zeros((cw + 2, 2), jnp.int32),         # cornf cb
+                jnp.zeros((cw + 1, ctbc), jnp.int32),      # rowf cr
+                jnp.zeros((ch + 1, ctbc), jnp.int32),      # colf cr
+                jnp.zeros((cw + 2, 2), jnp.int32),         # cornf cr
+            )
+            _, ys = jax.lax.scan(make_step(d), carry0, xs_all)
+            (lv16_s, lv8_s, lv32_s, lvc16_s, u32_s,
+             int_y, int_c) = ys
 
-            rec_y = buf[:lsize].reshape(ph, pw).astype(out_dtype)
-            rec_cb = buf[lsize:lsize + csize].reshape(cph, cpw).astype(
+            # assemble planes from the per-level CTU interiors
+            lvl_flat = jnp.asarray(t["lvl_ctu"].reshape(-1))
+            nctb = t["nctb"]
+
+            def tiles_to_plane(tiles, size, cww, chh):
+                out = jnp.zeros((nctb + 1, size, size), tiles.dtype)
+                out = out.at[lvl_flat].set(
+                    tiles.reshape(-1, size, size), mode="drop")
+                return out[:-1].reshape(chh, cww, size, size).transpose(
+                    0, 2, 1, 3).reshape(chh * size, cww * size)
+
+            rec_y = tiles_to_plane(int_y, ctb, cw, ch).astype(out_dtype)
+            int_c = int_c.reshape(n_levels, 2, lmax, ctbc, ctbc)
+            rec_cb = tiles_to_plane(int_c[:, 0], ctbc, cw, ch).astype(
                 out_dtype)
-            rec_cr = buf[lsize + csize:lsize + 2 * csize].reshape(
-                cph, cpw).astype(out_dtype)
+            rec_cr = tiles_to_plane(int_c[:, 1], ctbc, cw, ch).astype(
+                out_dtype)
 
             # scatter level stacks back to block-raster order
             def unstack(lv, tab, bn, n):

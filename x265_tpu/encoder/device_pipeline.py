@@ -290,32 +290,79 @@ def _inter_tools_builder(enc):
                      for dx in range(-R, R + 1)], np.int32)
     deltas9 = [(dy, dx) for dy in (-1, 0, 1) for dx in (-1, 0, 1)]
 
+    # ---- patch tensors: per-block neighborhoods as STATIC slices ----
+    # Arbitrary per-block window gathers (advanced indexing) cost ~55-80 ms
+    # each on TPU; instead every block's full [-R-4, n+R+5) neighborhood is
+    # materialized ONCE from static slices, and any window at a per-block
+    # integer offset is a chain of masked selects over 2R+1 static slices.
+    PS = n + 2 * R + 9                    # luma patch size (pad 4 + 5)
+    # chroma: qpel mv in [-4R-3, 4R+3] -> eighth-pel int part in
+    # [-R//2-1, R//2], window top-left a further -1
+    CPS = cn + R + 4                      # chroma patch size
+
+    def build_patches(ref_ext):
+        """[B, PS, PS] per-16x16-block neighborhoods, top-left at block
+        origin - (R+4)."""
+        rs = jnp.stack([ref_ext[r * n + M - R - 4:
+                                r * n + M - R - 4 + PS, :]
+                        for r in range(gh)])          # [gh, PS, PW]
+        cs = jnp.stack([rs[:, :, c * n + M - R - 4:
+                           c * n + M - R - 4 + PS]
+                        for c in range(gw)], axis=1)  # [gh, gw, PS, PS]
+        return cs.reshape(nb, PS, PS)
+
+    def build_patches_c(ref_ext):
+        """[B, CPS, CPS] chroma neighborhoods, top-left at chroma block
+        origin - (R//2+2)."""
+        rs = jnp.stack([ref_ext[r * cn + CM - R // 2 - 2:
+                                r * cn + CM - R // 2 - 2 + CPS, :]
+                        for r in range(gh)])
+        cs = jnp.stack([rs[:, :, c * cn + CM - R // 2 - 2:
+                           c * cn + CM - R // 2 - 2 + CPS]
+                        for c in range(gw)], axis=1)
+        return cs.reshape(nb, CPS, CPS)
+
+    def select_window(P, sy, sx, size, nopt):
+        """W[b] = P[b, sy[b]:sy[b]+size, sx[b]:sx[b]+size] via masked
+        selects over static slices (sy/sx in 0..nopt-1)."""
+        ps = P.shape[1]
+        Wr = P[:, 0:size, :]
+        for k in range(1, min(nopt, ps - size + 1)):
+            Wr = jnp.where((sy == k)[:, None, None], P[:, k:k + size, :],
+                           Wr)
+        W = Wr[:, :, 0:size]
+        for k in range(1, min(nopt, ps - size + 1)):
+            W = jnp.where((sx == k)[:, None, None], Wr[:, :, k:k + size],
+                          W)
+        return W
+
     def me(orig, ref_ext, ob, qp):
-        def body(carry, off):
-            best_c, best_i, i = carry
-            shifted = jax.lax.dynamic_slice(
-                ref_ext, (off[0] + M, off[1] + M), (ph, pw))
-            d = jnp.abs(orig - shifted)
-            c = d.reshape(gh, n, gw, n).sum(axis=(1, 3))
-            better = c < best_c
-            return (jnp.where(better, c, best_c),
-                    jnp.where(better, i, best_i), i + 1), None
+        # Full-search SAD over the (2R+1)^2 offset grid.  One scan step
+        # per ROW offset; the 2R+1 column offsets inside a step are
+        # STATIC slices evaluated as one batched abs-diff + box reduce
+        # (a 289-step scan is latency-bound on TPU: each step's work is
+        # ~2 MP, far below the dispatch/loop overhead).
+        def row_body(_, dy):
+            rows = jax.lax.dynamic_slice(ref_ext, (dy, M - R),
+                                         (ph, pw + 2 * R))
+            cand = jnp.stack([rows[:, dx:dx + pw]
+                              for dx in range(2 * R + 1)])   # [2R+1, ph, pw]
+            d = jnp.abs(orig[None] - cand)
+            c = d.reshape(2 * R + 1, gh, n, gw, n).sum(axis=(2, 4))
+            return 0, c                                      # [2R+1, gh, gw]
 
-        init = (jnp.full((gh, gw), 2 ** 30, jnp.int32),
-                jnp.zeros((gh, gw), jnp.int32), jnp.int32(0))
-        (_, idx, _), _ = jax.lax.scan(body, init, jnp.asarray(offs))
-        mvi = jnp.asarray(offs)[idx].reshape(-1, 2)      # [B] (dy, dx)
+        _, cs = jax.lax.scan(row_body, 0,
+                             jnp.arange(M - R, M + R + 1, dtype=jnp.int32))
+        # cs: [2R+1(dy), 2R+1(dx), gh, gw] -> [gh*gw, (2R+1)^2] raster
+        costs = cs.transpose(2, 3, 0, 1).reshape(gh * gw, -1)
+        idx = jnp.argmin(costs, axis=1)         # first win == offs order
+        mvi = jnp.asarray(offs)[idx]                         # [B] (dy, dx)
 
-        # ONE per-block window gather [B, n+9, n+9] around the integer
-        # winner; every subpel candidate below is a STATIC slice of it.
-        # (Per-block dynamic gathers cost ~55 ms each on TPU — the round
-        # is batched into one MC call over 9 statically-sliced windows.)
-        oy = np.arange(n + 9)
-        by = (np.repeat(np.arange(gh), gw) * n + M - 4)
-        bx = (np.tile(np.arange(gw), gh) * n + M - 4)
-        rows = (jnp.asarray(by) + mvi[:, 0])[:, None] + oy[None, :]
-        cols = (jnp.asarray(bx) + mvi[:, 1])[:, None] + oy[None, :]
-        W = ref_ext[rows[:, :, None], cols[:, None, :]]
+        # per-block window [B, n+9, n+9] around the integer winner, as a
+        # masked select from the patch tensor; every subpel candidate
+        # below is a STATIC slice of it.
+        P = build_patches(ref_ext)
+        W = select_window(P, mvi[:, 0] + R, mvi[:, 1] + R, n + 9, 2 * R + 1)
 
         def refine_round(center, step):
             """Evaluate the 3x3 neighborhood center + step*delta (all
@@ -363,20 +410,15 @@ def _inter_tools_builder(enc):
         # ~ lambda * typical mvd bits (SATD-domain lambda = 2^((qp-12)/6))
         lam_bias = 12.0 * 2.0 ** ((qp.astype(jnp.float32) - 12.0) / 6.0)
 
-        oy2 = np.arange(n + 7)
-        byb = jnp.asarray(np.repeat(np.arange(gh), gw) * n + M)
-        bxb = jnp.asarray(np.tile(np.arange(gw), gh) * n + M)
+        P2 = jnp.tile(P, (2, 1, 1))
 
         def eval_mv2(mvq_c2):
             """Batched SATD eval of TWO candidate MV fields at once
-            ([2B, 2] (y, x)): one window gather instead of two."""
+            ([2B, 2] (y, x)): one masked window select instead of two."""
             iy = (mvq_c2[:, 0] >> 2)
             ix = (mvq_c2[:, 1] >> 2)
-            byb2 = jnp.concatenate([byb, byb])
-            bxb2 = jnp.concatenate([bxb, bxb])
-            rows = (byb2 + iy - 3)[:, None] + oy2[None, :]
-            cols = (bxb2 + ix - 3)[:, None] + oy2[None, :]
-            win = ref_ext[rows[:, :, None], cols[:, None, :]]
+            win = select_window(P2, iy + R + 1, ix + R + 1, n + 7,
+                                2 * R + 2)
             p = mc_luma_batch(win, mvq_c2[:, 1] & 3, mvq_c2[:, 0] & 3,
                               n, n, enc.bit_depth)
             return p, satd_fn(jnp.tile(ob, (2, 1, 1)), p)
@@ -409,26 +451,19 @@ def _inter_tools_builder(enc):
 
     def eval_mv_ps(ref_ext, mv):
         """14-bit-domain luma prediction at per-block (x, y) qpel MVs
-        (window gather from the extended plane)."""
-        oy2 = np.arange(n + 7)
-        byb = jnp.asarray(np.repeat(np.arange(gh), gw) * n + M)
-        bxb = jnp.asarray(np.tile(np.arange(gw), gh) * n + M)
+        (masked window select from the patch tensor)."""
+        P = build_patches(ref_ext)
         iy = mv[:, 1] >> 2
         ix = mv[:, 0] >> 2
-        rows = (byb + iy - 3)[:, None] + oy2[None, :]
-        cols = (bxb + ix - 3)[:, None] + oy2[None, :]
-        win = ref_ext[rows[:, :, None], cols[:, None, :]]
+        win = select_window(P, iy + R + 1, ix + R + 1, n + 7, 2 * R + 2)
         return mc_luma_batch_ps(win, mv[:, 0] & 3, mv[:, 1] & 3, n, n, bd)
 
     def _chroma_windows(ref_ext, mv):
+        PC = build_patches_c(ref_ext)
         icx = mv[:, 0] >> 3
         icy = mv[:, 1] >> 3
-        oy = np.arange(cn + 3)
-        by = (np.repeat(np.arange(gh), gw) * cn + CM - 1)
-        bx = (np.tile(np.arange(gw), gh) * cn + CM - 1)
-        rows = (jnp.asarray(by) + icy)[:, None] + oy[None, :]
-        cols = (jnp.asarray(bx) + icx)[:, None] + oy[None, :]
-        return ref_ext[rows[:, :, None], cols[:, None, :]]
+        return select_window(PC, icy + R // 2 + 1, icx + R // 2 + 1,
+                             cn + 3, R + 2)
 
     def chroma_pred(ref_ext, mv):
         # mv [B, 2] (x, y) qpel == chroma eighth-pel
