@@ -147,28 +147,56 @@ def _filter_stage_builder(enc):
             sao_bpos = jnp.zeros((nctb, 3), jnp.int32)
             sao_offs = jnp.zeros((nctb, 3, 4), jnp.int32)
 
+        # coefficient planes ship as int8 + an overflow count; the int16
+        # planes are returned as device-resident arrays the host fetches
+        # only when a level exceeded int8 (rare: very low QP).  Halves the
+        # per-frame device->host transfer (the link runs ~30 MB/s).
+        cy16 = cy.astype(jnp.int16)
+        ccb16 = ccb.astype(jnp.int16)
+        ccr16 = ccr.astype(jnp.int16)
+        ovf = ((jnp.abs(cy) > 127).sum() + (jnp.abs(ccb) > 127).sum()
+               + (jnp.abs(ccr) > 127).sum()).astype(jnp.int32)
         return ((planes[0].astype(out_dtype), planes[1].astype(out_dtype),
                  planes[2].astype(out_dtype),
-                 cy.astype(jnp.int16), ccb.astype(jnp.int16),
-                 ccr.astype(jnp.int16)),
-                (sao_type, sao_class, sao_bpos, sao_offs))
+                 jnp.clip(cy, -128, 127).astype(jnp.int8),
+                 jnp.clip(ccb, -128, 127).astype(jnp.int8),
+                 jnp.clip(ccr, -128, 127).astype(jnp.int8), ovf),
+                (sao_type, sao_class, sao_bpos, sao_offs),
+                (cy16, ccb16, ccr16))
 
     return finish
 
 
 def _analyse_builder(enc, n, gh, gw, ph, pw):
     """Open-loop all-modes SATD analysis at block size n (batched matmul
-    over the 35-mode weight tensor; x265 intra analysis analogue)."""
+    over the 35-mode weight tensor; x265 intra analysis analogue).
+
+    Reference vectors are assembled from STATIC slices of the plane
+    (per-block index gathers cost ~40 ms at 1080p; slices are free)."""
     import jax.numpy as jnp
 
     from ..ops.cost import satd
     from ..ops.intra import predict_all_modes, substitute_references
 
-    ridx, avails = enc._mode_gather_tables(n, gh, gw, ph, pw)
+    _, avails = enc._mode_gather_tables(n, gh, gw, ph, pw)
+
+    def analysis_refs(y):
+        """[B, 4n+1] canonical (unsubstituted) open-loop references:
+        reversed left column (incl. corner) + top row, via static
+        slices of the edge-padded source plane."""
+        ypad = jnp.pad(y.astype(jnp.int32), ((1, 2 * n), (1, 2 * n)),
+                       mode="edge")
+        rows = jnp.stack([ypad[r * n:r * n + 2 * n + 1, :]
+                          for r in range(gh)])        # [gh, 2n+1, pwp]
+        lc = jnp.stack([rows[:, :, c * n] for c in range(gw)], 1)
+        toprow = rows[:, 0, :]                        # [gh, pwp]
+        top = jnp.stack([toprow[:, c * n + 1:c * n + 1 + 2 * n]
+                         for c in range(gw)], 1)      # [gh, gw, 2n]
+        return jnp.concatenate([lc[:, :, ::-1], top], -1).reshape(
+            gh * gw, 4 * n + 1)
 
     def analyse(y):
-        refs = y.reshape(-1)[jnp.asarray(ridx)].astype(jnp.int32)
-        refs = substitute_references(refs, jnp.asarray(avails),
+        refs = substitute_references(analysis_refs(y), jnp.asarray(avails),
                                      enc.bit_depth)
         preds = predict_all_modes(refs, n, True, enc.bit_depth)
         blocks = y.astype(jnp.int32).reshape(gh, n, gw, n).transpose(
@@ -222,12 +250,13 @@ def build_i_pipeline(enc):
                        jnp.full((nctb,), qpb, jnp.int32),
                        jnp.full((nctb,), qpr, jnp.int32),
                        lam=jnp.full((nctb,), lam, jnp.float32))
-        planes6, sao4 = finish((oy, ocb, ocr), out, qp_base, dqp_cb,
-                               dqp_cr, sao_lam)
+        planes7, sao4, c16 = finish((oy, ocb, ocr), out, qp_base, dqp_cb,
+                                    dqp_cr, sao_lam)
         # device-resident DPB entry: the ME/MC-extended reference planes
-        # stay on device for the next frame's prep (no host roundtrip)
-        return ((modes, mode32, out[9]) + planes6 + sao4,
-                extend(planes6[:3]))
+        # stay on device for the next frame's prep (no host roundtrip);
+        # int16 coeff planes ride at the END so the host can skip them
+        return ((modes, mode32, out[9]) + planes7 + sao4 + c16,
+                extend(planes7[:3]))
 
     return jax.jit(run)
 
@@ -552,20 +581,20 @@ def build_p_pipeline(enc):
                        lam=jnp.full((nctb,), lam, jnp.float32),
                        is_inter=inter, ipred_y=pred_y,
                        ipred_cb=pred_cb, ipred_cr=pred_cr)
-        planes6, sao4 = finish((oy, ocb, ocr), out, qp_base, dqp_cb,
-                               dqp_cr, sao_lam, inter=inter, mv=mv)
-        return (out[9],) + planes6 + sao4, extend(planes6[:3])
+        planes7, sao4, c16 = finish((oy, ocb, ocr), out, qp_base, dqp_cb,
+                                    dqp_cr, sao_lam, inter=inter, mv=mv)
+        return ((out[9],) + planes7 + sao4, c16), extend(planes7[:3])
 
     def run(oy, ocb, ocr, ref_y_ext, ref_cb_ext, ref_cr_ext,
             qpy, qpb, qpr, lam, qp_base, dqp_cb, dqp_cr, sao_lam):
         (modes, mode32, mv, inter, pred_y, pred_cb, pred_cr,
          cost_p, cost_i) = prep(oy, ref_y_ext, ref_cb_ext, ref_cr_ext, qpy)
-        out2, ext = main(oy, ocb, ocr, modes, mode32, mv, inter, pred_y,
-                         pred_cb, pred_cr, qpy, qpb, qpr, lam, qp_base,
-                         dqp_cb, dqp_cr, sao_lam)
+        (out2, c16), ext = main(oy, ocb, ocr, modes, mode32, mv, inter,
+                                pred_y, pred_cb, pred_cr, qpy, qpb, qpr,
+                                lam, qp_base, dqp_cb, dqp_cr, sao_lam)
         import jax.numpy as _jnp
         return ((modes, mode32, out2[0], mv.astype(_jnp.int16), inter)
-                + tuple(out2[1:]) + (cost_p, cost_i)), ext
+                + tuple(out2[1:]) + (cost_p, cost_i) + c16), ext
 
     run.prep = prep
     run.main = main
@@ -683,22 +712,23 @@ def build_b_pipeline(enc):
         pocb = jnp.where(dir_eff == 3, poc_l1, poca)
         motion_b = (rep4(nmv)[:, :, 0], rep4(mva), rep4(mvb),
                     rep4(poca)[:, :, 0], rep4(pocb)[:, :, 0])
-        planes6, sao4 = finish((oy, ocb, ocr), out, qp_base, dqp_cb,
-                               dqp_cr, sao_lam, inter=inter, mv=mv0,
-                               motion_b=motion_b)
-        return (out[9],) + planes6 + sao4
+        planes7, sao4, c16 = finish((oy, ocb, ocr), out, qp_base, dqp_cb,
+                                    dqp_cr, sao_lam, inter=inter, mv=mv0,
+                                    motion_b=motion_b)
+        return (out[9],) + planes7 + sao4, c16
 
     def run(oy, ocb, ocr, r0y, r0cb, r0cr, r1y, r1cb, r1cr,
             qpy, qpb, qpr, lam, qp_base, dqp_cb, dqp_cr, sao_lam,
             poc_l0, poc_l1):
         (modes, mode32, mv0, mv1, d, inter, pred_y, pred_cb,
          pred_cr) = prep(oy, r0y, r0cb, r0cr, r1y, r1cb, r1cr, qpy)
-        out2 = main(oy, ocb, ocr, modes, mode32, mv0, mv1, d, inter,
-                    pred_y, pred_cb, pred_cr, qpy, qpb, qpr, lam,
-                    qp_base, dqp_cb, dqp_cr, sao_lam, poc_l0, poc_l1)
+        out2, c16 = main(oy, ocb, ocr, modes, mode32, mv0, mv1, d, inter,
+                         pred_y, pred_cb, pred_cr, qpy, qpb, qpr, lam,
+                         qp_base, dqp_cb, dqp_cr, sao_lam, poc_l0, poc_l1)
         # Bs are never referenced (TRAIL_N) — no DPB extension needed
         return ((modes, mode32, out2[0], mv0.astype(jnp.int16),
-                 mv1.astype(jnp.int16), d, inter) + tuple(out2[1:])), None
+                 mv1.astype(jnp.int16), d, inter) + tuple(out2[1:])
+                + c16), None
 
     run.prep = prep
     run.main = main

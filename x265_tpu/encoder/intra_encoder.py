@@ -595,6 +595,17 @@ class Encoder:
                     self.sps.strong_intra_smoothing))
         return self._ctu_scan
 
+    def _expand_outs(self, p7, tail_dev):
+        """int8-packed coeff planes -> full-range planes: the int16
+        device copies (pipeline tail) are fetched only on overflow."""
+        fy, fcb, fcr, cy8, ccb8, ccr8, ovf = p7
+        if int(ovf):
+            import jax
+            cy, ccb, ccr = jax.device_get(tail_dev)
+        else:
+            cy, ccb, ccr = cy8, ccb8, ccr8
+        return (fy, fcb, fcr, cy, ccb, ccr)
+
     def _scatter_device_outputs(self, ps, rec, outs):
         """Device finish-stage outputs -> rec planes + coeff planes +
         SAO syntax.  outs: (final x3, coeff x3, sao x4)."""
@@ -648,7 +659,7 @@ class Encoder:
             orig[0], orig[1], orig[2], *(np.int32(q) for q in qps),
             np.float32(lambda_ssd(self.qp)), *self._filter_qps())
         self._pending_ext = ext
-        out = jax.device_get(out_dev)
+        out = jax.device_get(out_dev[:-3])
         modes, mode32, use32 = out[0], out[1], out[2]
         g = self.geom
         ph = g.ctbs_h << g.log2_ctb
@@ -662,7 +673,8 @@ class Encoder:
             use32 = np.asarray(use32).reshape(ph // 32, pw // 32)
             mode32 = np.asarray(mode32).reshape(ph // 32, pw // 32)
             self._apply_cu32(ps, use32, mode32)
-        self._scatter_device_outputs(ps, rec, out[3:])
+        outs = self._expand_outs(out[3:10], out_dev[-3:])
+        self._scatter_device_outputs(ps, rec, outs + tuple(out[10:14]))
         return modes
 
     def _extend_ref(self, ref):
@@ -713,9 +725,9 @@ class Encoder:
             *(np.int32(q) for q in qps), np.float32(lambda_ssd(self.qp)),
             *self._filter_qps())
         self._pending_ext = ext
-        out = jax.device_get(out_dev)
+        out = jax.device_get(out_dev[:-3])
         modes, mode32, use32, mv, inter = out[:5]
-        cost_p, cost_i = out[15], out[16]
+        cost_p, cost_i = out[16], out[17]
         self.last_frame_costs = (float(cost_p), float(cost_i))
         gh, gw = (ph // cu_size, pw // cu_size)
         modes = np.asarray(modes).reshape(gh, gw)
@@ -735,7 +747,8 @@ class Encoder:
             mode32 = np.asarray(mode32).reshape(ph // 32, pw // 32)
             self._apply_cu32(ps, use32, mode32)
         self._merge_inter_cus(ps, inter_mask, mv, n)
-        self._scatter_device_outputs(ps, rec, out[5:15])
+        outs = self._expand_outs(out[5:12], out_dev[-3:])
+        self._scatter_device_outputs(ps, rec, outs + tuple(out[12:16]))
         self._derive_inter_all(ps)
         return inter_mask, modes
 
@@ -762,7 +775,7 @@ class Encoder:
             orig[0], orig[1], orig[2], *refs0, *refs1,
             *(np.int32(q) for q in qps), np.float32(lambda_ssd(self.qp)),
             *self._filter_qps(), np.int32(l0_poc), np.int32(l1_poc))
-        out = jax.device_get(out_dev)
+        out = jax.device_get(out_dev[:-3])
         modes, mode32, use32, mv0, mv1, dirs, inter = out[:7]
         gh, gw = (ph // cu_size, pw // cu_size)
         modes = np.asarray(modes).reshape(gh, gw)
@@ -794,7 +807,8 @@ class Encoder:
             self._apply_cu32(ps, use32, mode32)
         self._merge_inter_cus(ps, inter_mask, mv0, n,
                               extra=(mv1, dirs))
-        self._scatter_device_outputs(ps, rec, out[7:17])
+        outs = self._expand_outs(out[7:14], out_dev[-3:])
+        self._scatter_device_outputs(ps, rec, outs + tuple(out[14:18]))
         self._derive_inter_all(ps)
         return inter_mask, modes
 
