@@ -24,6 +24,11 @@ def test_procedural_api_roundtrip():
           rng.randint(0, 256, (32, 32), np.uint8))
     au, rec = api.x265_encoder_encode(enc, fr)
     stream += au
+    # the lookahead may buffer (x265.h:1334 delayed-output contract):
+    # flush with pic_in == NULL until the AU arrives
+    while not au:
+        au, rec = api.x265_encoder_encode(enc, None)
+        stream += au
     assert decode_annexb(stream)[0].hash_ok is True
     st = api.x265_encoder_get_stats(enc)
     assert st.encoded_picture_count == 1 and st.accumulated_bits > 0

@@ -24,7 +24,8 @@ def _frames(w, h, seed=3):
 @pytest.mark.parametrize("sign_hide", [False, True])
 def test_ctu_scan_matches_block_wavefront_i(w, h, sign_hide):
     p = Params(bframes=0, source_width=w, source_height=h, qp=30, sao=False,
-               deblock=False, sign_hide=sign_hide)
+               deblock=False, sign_hide=sign_hide,
+               aq_mode=0)              # uniform QP (scan fed one QP below)
     enc = Encoder(p)
     enc.force_cu16 = True      # compare against the fixed-16 configuration
     frame = _frames(w, h)

@@ -92,6 +92,13 @@ class PicSyntax:
     cur_poc: int = 0
     ref_pocs_l0: tuple = ()
     ref_pocs_l1: tuple = ()
+    # per-CTB QP (cu_qp_delta, QG == CTB i.e. diff_cu_qp_delta_depth 0):
+    # the ACTUAL QpY of each CTB — equal to the predicted QP (previous CTB
+    # in raster order / slice QP) when the CTB codes no coefficients.
+    # None -> cu_qp_delta disabled (uniform slice QP).  §8.6.1.
+    qp_ctb: np.ndarray = field(default=None)
+    slice_qp: int = 26
+    cu_qp_delta_enabled: bool = False
 
     def __post_init__(self):
         g = self.geom
@@ -116,6 +123,8 @@ class PicSyntax:
             self.sao_band_pos = np.zeros((nctb, 3), dtype=np.int8)
         if self.sao_offsets is None:
             self.sao_offsets = np.zeros((nctb, 3, 4), dtype=np.int8)
+        if self.qp_ctb is None:
+            self.qp_ctb = np.full((nctb,), self.slice_qp, dtype=np.int32)
         h, w = h4 * 4, w4 * 4
         if self.coeff_y is None:
             self.coeff_y = np.zeros((h, w), dtype=np.int32)
@@ -205,6 +214,11 @@ class CtuCoder:
         self.num_ref_l0 = num_ref_l0
         self.num_ref_l1 = num_ref_l1
         self.mvd_l1_zero = mvd_l1_zero
+        # cu_qp_delta state (§8.6.1, QG == CTB): qPY_PREV chain + the
+        # one-delta-per-QG latch (IsCuQpDeltaCoded)
+        self._qp_pred = ps.slice_qp
+        self._qp_delta_pending = False
+        self._cur_ctu = 0
 
     # -- shared context helpers ---------------------------------------------
 
@@ -319,11 +333,42 @@ class CtuCoder:
                 ps.sao_offsets[ctu_addr, c_idx] = [absv[0], absv[1],
                                                    -absv[2], -absv[3]]
 
+    def _enc_cu_qp_delta(self, enc: CabacEncoder, delta: int) -> None:
+        """cu_qp_delta_abs (TR prefix cMax 5 + EG0 suffix) + sign
+        (§9.3.3.8; ctx: bin 0 -> 0, bins 1..4 -> 1)."""
+        a = abs(delta)
+        base = CTX_OFFSET["CU_QP_DELTA"]
+        enc.encode_bin(base, 1 if a > 0 else 0)
+        if a > 0:
+            for k in range(1, min(a, 5)):
+                enc.encode_bin(base + 1, 1)
+            if a < 5:
+                enc.encode_bin(base + 1, 0)
+            else:
+                enc.encode_eg_k(a - 5, 0)
+            enc.encode_bypass(1 if delta < 0 else 0)
+
+    def _dec_cu_qp_delta(self, dec: CabacDecoder) -> int:
+        base = CTX_OFFSET["CU_QP_DELTA"]
+        if not dec.decode_bin(base):
+            return 0
+        a = 1
+        while a < 5 and dec.decode_bin(base + 1):
+            a += 1
+        if a == 5:
+            a += dec.decode_eg_k(0)
+        return -a if dec.decode_bypass() else a
+
     def encode_ctu(self, enc: CabacEncoder, ctu_addr: int) -> None:
         x0, y0 = self.g.ctu_origin(ctu_addr)
         if self.sao_luma or self.sao_chroma:
             self._enc_sao(enc, ctu_addr)
+        self._cur_ctu = ctu_addr
+        self._qp_delta_pending = self.ps.cu_qp_delta_enabled
         self._enc_quadtree(enc, x0, y0, self.g.log2_ctb, 0)
+        if self.ps.cu_qp_delta_enabled:
+            # chain: the QG's actual QP (== predicted when nothing coded)
+            self._qp_pred = int(self.ps.qp_ctb[ctu_addr])
 
     def _enc_quadtree(self, enc: CabacEncoder, x0: int, y0: int,
                       log2_size: int, depth: int) -> None:
@@ -620,6 +665,10 @@ class CtuCoder:
         ps = self.ps
         if not (cbf_luma or cbf_cb or cbf_cr):
             return
+        if self._qp_delta_pending:
+            self._enc_cu_qp_delta(
+                enc, int(ps.qp_ctb[self._cur_ctu]) - self._qp_pred)
+            self._qp_delta_pending = False
         size = 1 << log2_size
         if cbf_luma:
             mode = int(ps.luma_mode[y0 >> 2, x0 >> 2])
@@ -650,7 +699,13 @@ class CtuCoder:
         x0, y0 = self.g.ctu_origin(ctu_addr)
         if self.sao_luma or self.sao_chroma:
             self._dec_sao(dec, ctu_addr)
+        self._cur_ctu = ctu_addr
+        self._qp_delta_pending = self.ps.cu_qp_delta_enabled
+        if self.ps.cu_qp_delta_enabled:
+            self.ps.qp_ctb[ctu_addr] = self._qp_pred   # until a delta lands
         self._dec_quadtree(dec, x0, y0, self.g.log2_ctb, 0)
+        if self.ps.cu_qp_delta_enabled:
+            self._qp_pred = int(self.ps.qp_ctb[ctu_addr])
 
     def _dec_quadtree(self, dec: CabacDecoder, x0: int, y0: int,
                       log2_size: int, depth: int) -> None:
@@ -848,6 +903,11 @@ class CtuCoder:
         ps = self.ps
         if not (cbf_luma or cbf_cb or cbf_cr):
             return
+        if self._qp_delta_pending:
+            delta = self._dec_cu_qp_delta(dec)
+            # §8.6.1 QpY wrap (QpBdOffsetY handled by the recon layer)
+            ps.qp_ctb[self._cur_ctu] = (self._qp_pred + delta + 52) % 52
+            self._qp_delta_pending = False
         size = 1 << log2_size
         if cbf_luma:
             mode = int(ps.luma_mode[y0 >> 2, x0 >> 2])

@@ -255,10 +255,18 @@ def reconstruct_picture(ps: PicSyntax, planes, qp_y: int, bit_depth: int = 8,
     g = ps.geom
     y_pl, cb_pl, cr_pl = planes
     bd_off = 6 * (bit_depth - 8)      # QpBdOffset (§8.6.1 Qp' derivation)
-    qp_cb = chroma_qp(qp_y, cb_qp_offset) + bd_off
-    qp_cr = chroma_qp(qp_y, cr_qp_offset) + bd_off
-    qp_y = qp_y + bd_off
+    qp_cb0 = chroma_qp(qp_y, cb_qp_offset) + bd_off
+    qp_cr0 = chroma_qp(qp_y, cr_qp_offset) + bd_off
+    qp_y0 = qp_y + bd_off
     for ctu in range(g.n_ctbs):
+        if ps.cu_qp_delta_enabled:
+            # QG == CTB: every CU in the CTB shares the signaled QP
+            q = int(ps.qp_ctb[ctu])
+            qp_y = q + bd_off
+            qp_cb = chroma_qp(q, cb_qp_offset) + bd_off
+            qp_cr = chroma_qp(q, cr_qp_offset) + bd_off
+        else:
+            qp_y, qp_cb, qp_cr = qp_y0, qp_cb0, qp_cr0
         for (cx, cy, log2_cb) in cu_leaves(ps, ctu):
             if ps.pred_mode[cy >> 2, cx >> 2] != _INTRA:
                 reconstruct_inter_cu(ps, planes, ref_planes, cx, cy,

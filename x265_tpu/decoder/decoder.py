@@ -179,6 +179,9 @@ class Decoder:
         ps.cur_poc = poc
         ps.ref_pocs_l0 = tuple(pocs_l0)
         ps.ref_pocs_l1 = tuple(pocs_l1)
+        ps.slice_qp = sh.slice_qp
+        ps.cu_qp_delta_enabled = bool(pps.cu_qp_delta_enabled)
+        ps.qp_ctb[:] = sh.slice_qp
         coder = CtuCoder(ps, sps.log2_min_cb_size, sps.log2_min_tb_size,
                          sps.log2_max_tb_size, slice_type=sh.slice_type,
                          sao_luma=bool(sh.sao_luma),
@@ -267,6 +270,8 @@ class Decoder:
         n = 16
         if (1 << geom.log2_ctb) < n or geom.width % n or geom.height % n:
             return False
+        if pps.cu_qp_delta_enabled:
+            return False             # per-CTB QP -> numpy spec path
         h4c, w4c = geom.height >> 2, geom.width >> 2
         d = geom.log2_ctb - 4
         from ..cabac.ctu import MODE_INTRA as _INTRA

@@ -46,6 +46,137 @@ def _filter_stage_builder(enc):
     eo_c, in_c = eo_valid_masks_np(ph // 2, pw // 2, g.width // 2,
                                    g.height // 2)
     out_dtype = jnp.uint8 if bd == 8 else jnp.uint16
+    aq = bool(p.aq_mode)
+    cbo, cro = enc.pps.cb_qp_offset, enc.pps.cr_qp_offset
+    chw, cww = g.ctbs_h, g.ctbs_w
+    n4ctb = ctb // 4
+
+    def _chroma_qp_jnp(qp, offset):
+        from ..cabac.ctu import _CHROMA_QP_MAP
+        qpi = jnp.clip(qp + offset, -12, 57)
+        return jnp.where(qpi < 30, jnp.maximum(0, qpi),
+                         jnp.where(qpi > 43, qpi - 6,
+                                   jnp.asarray(_CHROMA_QP_MAP)[
+                                       jnp.clip(qpi - 30, 0, 13)]))
+
+    # z-order index of every 16x16 block within its CTB (first-coded-CU
+    # boundary for the per-CU deblock QP, see _qp_planes)
+    n16ctb = ctb // 16
+    _z16 = np.zeros((gh, gw), np.int32)
+    for _by in range(gh):
+        for _bx in range(gw):
+            x, y, z = _bx % n16ctb, _by % n16ctb, 0
+            for _i in range(4):
+                z |= ((x >> _i) & 1) << (2 * _i)
+                z |= ((y >> _i) & 1) << (2 * _i + 1)
+            _z16[_by, _bx] = z
+
+    def _qp_planes(cy, ccb, ccr, use32, merged, qp_base_ctb, slice_qp):
+        """(actual per-CTB QP [nctb], per-4x4 QpY plane).
+
+        §8.6.1 semantics at QG == CTB: a QG with no coded coefficients
+        keeps the predicted QP (previous QG's actual, slice QP first) —
+        an associative last-valid scan.  Within a coded QG, CUs that
+        z-precede the first coefficient-bearing CU were decoded before
+        the delta and keep the predicted QP (libde265 transform.cc:31).
+        ``merged`` = (m32 [gh32, gw32], m64 [chw, cww]) inter CU merges
+        (the device twin of the host _merge_inter_cus decision) or None.
+        """
+        import jax
+
+        def rep2(a):
+            return jnp.repeat(jnp.repeat(a, 2, 0), 2, 1)
+
+        has16 = (jnp.any(cy.reshape(gh, 16, gw, 16) != 0, axis=(1, 3))
+                 | jnp.any(ccb.reshape(gh, 8, gw, 8) != 0, axis=(1, 3))
+                 | jnp.any(ccr.reshape(gh, 8, gw, 8) != 0, axis=(1, 3)))
+        # per-16-block z index of the CONTAINING CU's first block, and
+        # has-any-coeff broadcast over each CU
+        cuz = jnp.asarray(_z16)
+        has_cu = has16
+        if has32:
+            q32 = use32.reshape(gh32, gw32)
+            if merged is not None:
+                q32 = q32 | merged[0]
+            zq = jnp.asarray(_z16)[0::2, 0::2]     # quad base z
+            q_has = jnp.any(has16.reshape(gh32, 2, gw32, 2), axis=(1, 3))
+            cuz = jnp.where(rep2(q32), rep2(zq), cuz)
+            has_cu = jnp.where(rep2(q32), rep2(q_has), has_cu)
+        hasctb = jnp.any(
+            has16.reshape(chw, n16ctb, cww, n16ctb), axis=(1, 3))
+        if merged is not None and ctb == 64:
+            m64 = merged[1]
+            r64 = jnp.repeat(jnp.repeat(m64, n16ctb, 0), n16ctb, 1)
+            cuz = jnp.where(r64, 0, cuz)
+            hc = jnp.repeat(jnp.repeat(hasctb, n16ctb, 0), n16ctb, 1)
+            has_cu = jnp.where(r64, hc, has_cu)
+
+        def comb(a, b):
+            av, aq_ = a
+            bv, bq = b
+            return av | bv, jnp.where(bv, bq, aq_)
+
+        valid, qch = jax.lax.associative_scan(
+            comb, (hasctb.reshape(-1), qp_base_ctb))
+        actual = jnp.where(valid, qch, slice_qp)
+        pred = jnp.concatenate([jnp.asarray([0], jnp.int32)
+                                + slice_qp, actual[:-1]])
+        # first coded CU's z per CTB; blocks in z-earlier CUs -> pred
+        zz = jnp.where(has_cu, cuz, 1 << 20)
+        firstz = jnp.min(zz.reshape(chw, n16ctb, cww, n16ctb),
+                         axis=(1, 3))
+        before16 = cuz < jnp.repeat(
+            jnp.repeat(firstz, n16ctb, 0), n16ctb, 1)
+        a16 = jnp.repeat(jnp.repeat(actual.reshape(chw, cww),
+                                    n16ctb, 0), n16ctb, 1)
+        p16 = jnp.repeat(jnp.repeat(pred.reshape(chw, cww),
+                                    n16ctb, 0), n16ctb, 1)
+        qp16 = jnp.where(before16, p16, a16)
+        qp4 = jnp.repeat(jnp.repeat(qp16, 4, 0), 4, 1)
+        return actual, qp4
+
+    # static in-bounds masks for the inter CU merge twin
+    _inb32 = np.zeros((gh32, gw32), bool)
+    for _qy in range(gh32):
+        for _qx in range(gw32):
+            _inb32[_qy, _qx] = (_qx * 32 + 32 <= g.width
+                                and _qy * 32 + 32 <= g.height)
+    _inb64 = np.zeros((chw, cww), bool)
+    for _cy2 in range(chw):
+        for _cx2 in range(cww):
+            _inb64[_cy2, _cx2] = ((_cx2 + 1) << g.log2_ctb) <= g.width \
+                and ((_cy2 + 1) << g.log2_ctb) <= g.height
+
+    def merged_masks(inter, fields):
+        """Device twin of the host inter-CU merge (_merge_inter_cus):
+        (m32 [gh32, gw32], m64 [chw, cww]) — aligned quads of inter
+        blocks with identical motion merge to 32/64 CUs."""
+        if not has32:
+            return None
+        ig = inter.reshape(gh, gw)
+        ff = jnp.concatenate(
+            [f.reshape(gh, gw, -1).astype(jnp.int32) for f in fields], -1)
+        q = ff.reshape(gh32, 2, gw32, 2, -1)
+        same32 = jnp.all(q == q[:, :1, :, :1], axis=(1, 3, 4))
+        i32 = jnp.all(ig.reshape(gh32, 2, gw32, 2), axis=(1, 3))
+        m32 = same32 & i32 & jnp.asarray(_inb32)
+        if ctb == 64:
+            q6 = ff.reshape(chw, 4, cww, 4, -1)
+            same64 = jnp.all(q6 == q6[:, :1, :, :1], axis=(1, 3, 4))
+            i64 = jnp.all(ig.reshape(chw, 4, cww, 4), axis=(1, 3))
+            m64 = same64 & i64 & jnp.asarray(_inb64)
+        else:
+            m64 = jnp.zeros((chw, cww), bool)
+        return m32, m64
+
+    def _qp_edge_maps(qp4):
+        """(luma, cb, cr) per-edge QP map pairs for the deblock stage."""
+        qv = (jnp.roll(qp4, 1, axis=1) + qp4 + 1) >> 1
+        qh = (jnp.roll(qp4, 1, axis=0) + qp4 + 1) >> 1
+        qvc, qhc = qv[::2, ::2], qh[::2, ::2]
+        return ((qv, qh),
+                (_chroma_qp_jnp(qvc, cbo), _chroma_qp_jnp(qhc, cbo)),
+                (_chroma_qp_jnp(qvc, cro), _chroma_qp_jnp(qhc, cro)))
 
     def to_plane(lv, gh_, gw_, bn):
         return lv.reshape(gh_, gw_, bn, bn).transpose(0, 2, 1, 3).reshape(
@@ -55,7 +186,8 @@ def _filter_stage_builder(enc):
         return jnp.repeat(jnp.repeat(a, f, 0), f, 1)
 
     def finish(oy3, scan_out, qp_base, dqp_cb, dqp_cr, sao_lam,
-               inter=None, mv=None, motion_b=None):
+               inter=None, mv=None, motion_b=None, qp_base_ctb=None,
+               merged=None):
         (rec_y, rec_cb, rec_cr, lv16_y, lv8_cb, lv8_cr,
          lv32_y, lv16_cb, lv16_cr, use32) = scan_out
         # ---- coefficient planes (merged by the CU decision) ----
@@ -71,6 +203,17 @@ def _filter_stage_builder(enc):
             ccr = jnp.where(mc, to_plane(lv16_cr, gh32, gw32, 16), ccr)
         planes = (rec_y.astype(jnp.int32), rec_cb.astype(jnp.int32),
                   rec_cr.astype(jnp.int32))
+
+        # ---- per-CTB actual QP (cu_qp_delta) ----
+        if aq:
+            qp_actual, qp4 = _qp_planes(cy, ccb, ccr,
+                                        use32 if has32 else None,
+                                        merged, qp_base_ctb, qp_base)
+            dqp_y, dqp_cb, dqp_cr = _qp_edge_maps(qp4)
+        else:
+            nctb_ = g.n_ctbs
+            qp_actual = jnp.full((nctb_,), qp_base, jnp.int32)
+            dqp_y = qp_base
 
         # ---- deblocking ----
         if p.deblock:
@@ -89,7 +232,7 @@ def _filter_stage_builder(enc):
                 cbf4 = jnp.where(rep(u, 8), rep(cbf32, 8), cbf4)
             planes = deblock_picture_jnp(
                 planes, intra4, cbf4, mv4,
-                u if has32 else None, masks, qp_base, dqp_cb, dqp_cr,
+                u if has32 else None, masks, dqp_y, dqp_cb, dqp_cr,
                 bd, p.deblock_beta_offset, p.deblock_tc_offset,
                 motion_b=motion_b)
 
@@ -160,10 +303,12 @@ def _filter_stage_builder(enc):
                  planes[2].astype(out_dtype),
                  jnp.clip(cy, -128, 127).astype(jnp.int8),
                  jnp.clip(ccb, -128, 127).astype(jnp.int8),
-                 jnp.clip(ccr, -128, 127).astype(jnp.int8), ovf),
+                 jnp.clip(ccr, -128, 127).astype(jnp.int8), ovf,
+                 qp_actual),
                 (sao_type, sao_class, sao_bpos, sao_offs),
                 (cy16, ccb16, ccr16))
 
+    finish.merged_masks = merged_masks
     return finish
 
 
@@ -238,20 +383,17 @@ def build_i_pipeline(enc):
     extend = _extend_builder(enc)
 
     def run(oy, ocb, ocr, qpy, qpb, qpr, lam, qp_base, dqp_cb, dqp_cr,
-            sao_lam):
+            sao_lam, qp_base_ctb):
         modes, _cost = analyse(oy)
         if decide:
             mode32, _c32 = analyse32(oy)
         else:
             mode32 = jnp.zeros((B32,), jnp.int32)
         out = run_scan(oy, ocb, ocr, modes, mode32,
-                       jnp.zeros((B32,), bool),
-                       jnp.full((nctb,), qpy, jnp.int32),
-                       jnp.full((nctb,), qpb, jnp.int32),
-                       jnp.full((nctb,), qpr, jnp.int32),
-                       lam=jnp.full((nctb,), lam, jnp.float32))
+                       jnp.zeros((B32,), bool), qpy, qpb, qpr, lam=lam)
         planes7, sao4, c16 = finish((oy, ocb, ocr), out, qp_base, dqp_cb,
-                                    dqp_cr, sao_lam)
+                                    dqp_cr, sao_lam,
+                                    qp_base_ctb=qp_base_ctb)
         # device-resident DPB entry: the ME/MC-extended reference planes
         # stay on device for the next frame's prep (no host roundtrip);
         # int16 coeff planes ride at the END so the host can skip them
@@ -572,26 +714,27 @@ def build_p_pipeline(enc):
     @jax.jit
     def main(oy, ocb, ocr, modes, mode32, mv, inter, pred_y, pred_cb,
              pred_cr, qpy, qpb, qpr, lam, qp_base, dqp_cb, dqp_cr,
-             sao_lam):
+             sao_lam, qp_base_ctb):
         out = run_scan(oy, ocb, ocr, modes, mode32,
-                       jnp.zeros((B32,), bool),
-                       jnp.full((nctb,), qpy, jnp.int32),
-                       jnp.full((nctb,), qpb, jnp.int32),
-                       jnp.full((nctb,), qpr, jnp.int32),
-                       lam=jnp.full((nctb,), lam, jnp.float32),
+                       jnp.zeros((B32,), bool), qpy, qpb, qpr, lam=lam,
                        is_inter=inter, ipred_y=pred_y,
                        ipred_cb=pred_cb, ipred_cr=pred_cr)
+        merged = finish.merged_masks(inter, (mv,))
         planes7, sao4, c16 = finish((oy, ocb, ocr), out, qp_base, dqp_cb,
-                                    dqp_cr, sao_lam, inter=inter, mv=mv)
+                                    dqp_cr, sao_lam, inter=inter, mv=mv,
+                                    qp_base_ctb=qp_base_ctb, merged=merged)
         return ((out[9],) + planes7 + sao4, c16), extend(planes7[:3])
 
     def run(oy, ocb, ocr, ref_y_ext, ref_cb_ext, ref_cr_ext,
-            qpy, qpb, qpr, lam, qp_base, dqp_cb, dqp_cr, sao_lam):
+            qpy, qpb, qpr, lam, qp_base, dqp_cb, dqp_cr, sao_lam,
+            qp_base_ctb):
         (modes, mode32, mv, inter, pred_y, pred_cb, pred_cr,
-         cost_p, cost_i) = prep(oy, ref_y_ext, ref_cb_ext, ref_cr_ext, qpy)
+         cost_p, cost_i) = prep(oy, ref_y_ext, ref_cb_ext, ref_cr_ext,
+                                qp_base)
         (out2, c16), ext = main(oy, ocb, ocr, modes, mode32, mv, inter,
                                 pred_y, pred_cb, pred_cr, qpy, qpb, qpr,
-                                lam, qp_base, dqp_cb, dqp_cr, sao_lam)
+                                lam, qp_base, dqp_cb, dqp_cr, sao_lam,
+                                qp_base_ctb)
         import jax.numpy as _jnp
         return ((modes, mode32, out2[0], mv.astype(_jnp.int16), inter)
                 + tuple(out2[1:]) + (cost_p, cost_i) + c16), ext
@@ -690,13 +833,10 @@ def build_b_pipeline(enc):
     @jax.jit
     def main(oy, ocb, ocr, modes, mode32, mv0, mv1, d, inter,
              pred_y, pred_cb, pred_cr, qpy, qpb, qpr, lam,
-             qp_base, dqp_cb, dqp_cr, sao_lam, poc_l0, poc_l1):
+             qp_base, dqp_cb, dqp_cr, sao_lam, poc_l0, poc_l1,
+             qp_base_ctb):
         out = run_scan(oy, ocb, ocr, modes, mode32,
-                       jnp.zeros((B32,), bool),
-                       jnp.full((nctb,), qpy, jnp.int32),
-                       jnp.full((nctb,), qpb, jnp.int32),
-                       jnp.full((nctb,), qpr, jnp.int32),
-                       lam=jnp.full((nctb,), lam, jnp.float32),
+                       jnp.zeros((B32,), bool), qpy, qpb, qpr, lam=lam,
                        is_inter=inter, ipred_y=pred_y,
                        ipred_cb=pred_cb, ipred_cr=pred_cr)
         # normalized per-4x4 motion state for the in-pipeline deblock
@@ -712,19 +852,22 @@ def build_b_pipeline(enc):
         pocb = jnp.where(dir_eff == 3, poc_l1, poca)
         motion_b = (rep4(nmv)[:, :, 0], rep4(mva), rep4(mvb),
                     rep4(poca)[:, :, 0], rep4(pocb)[:, :, 0])
+        merged = finish.merged_masks(inter, (mv0, mv1, d))
         planes7, sao4, c16 = finish((oy, ocb, ocr), out, qp_base, dqp_cb,
                                     dqp_cr, sao_lam, inter=inter, mv=mv0,
-                                    motion_b=motion_b)
+                                    motion_b=motion_b,
+                                    qp_base_ctb=qp_base_ctb, merged=merged)
         return (out[9],) + planes7 + sao4, c16
 
     def run(oy, ocb, ocr, r0y, r0cb, r0cr, r1y, r1cb, r1cr,
             qpy, qpb, qpr, lam, qp_base, dqp_cb, dqp_cr, sao_lam,
-            poc_l0, poc_l1):
+            poc_l0, poc_l1, qp_base_ctb):
         (modes, mode32, mv0, mv1, d, inter, pred_y, pred_cb,
-         pred_cr) = prep(oy, r0y, r0cb, r0cr, r1y, r1cb, r1cr, qpy)
+         pred_cr) = prep(oy, r0y, r0cb, r0cr, r1y, r1cb, r1cr, qp_base)
         out2, c16 = main(oy, ocb, ocr, modes, mode32, mv0, mv1, d, inter,
                          pred_y, pred_cb, pred_cr, qpy, qpb, qpr, lam,
-                         qp_base, dqp_cb, dqp_cr, sao_lam, poc_l0, poc_l1)
+                         qp_base, dqp_cb, dqp_cr, sao_lam, poc_l0, poc_l1,
+                         qp_base_ctb)
         # Bs are never referenced (TRAIL_N) — no DPB extension needed
         return ((modes, mode32, out2[0], mv0.astype(jnp.int16),
                  mv1.astype(jnp.int16), d, inter) + tuple(out2[1:])

@@ -122,6 +122,10 @@ class Encoder:
                            deblocking_filter_control_present=1,
                            deblocking_filter_disabled=1)
         self.vps = VPS(ptl=ptl)
+        # adaptive quantization (x265 aq-mode 1/2/3): per-CTB QPs signaled
+        # with cu_qp_delta at QG == CTB granularity
+        self.aq = bool(params.aq_mode and params.aq_strength > 0)
+        self.pps.cu_qp_delta_enabled = int(self.aq)
         self.qp = params.qp
         self.poc = 0
         self.frames_encoded = 0
@@ -153,6 +157,14 @@ class Encoder:
         self.dpb_dev = {}               # poc -> device-resident ext planes
         self._pending_ext = None        # ext planes of the frame in flight
         self.prev_anchor_poc = None
+        # lookahead (x265 slicetype.cpp role): cuTree propagation over a
+        # rc_lookahead-deep window; adds output delay exactly like the
+        # reference (push_frame/flush API).  encode_frame() is the
+        # zero-latency path (x265 tune zerolatency: no lookahead/cutree).
+        self.lookahead = None
+        self._use_lookahead = (params.cu_tree and params.rc_lookahead > 0
+                               and self.aq and self.bit_depth == 8)
+        self._la_frame = None           # (offsets16, satd) for _encode_one
         if self.bframes:
             # one anchor precedes its Bs in decode order but follows in
             # output order; libde265 bumps off the VPS value (decctx.cc:1959)
@@ -305,6 +317,11 @@ class Encoder:
         if self.bframes:
             raise ValueError(
                 "bframes > 0 reorders output; use push_frame()/flush()")
+        # zero-latency contract: drop the lookahead window (x265 tune
+        # zerolatency semantics — rc-lookahead 0 / no cutree)
+        assert self.lookahead is None, \
+            "encode_frame() after push_frame() with an active lookahead"
+        self._use_lookahead = False
         out = self.push_frame(planes)
         assert len(out) == 1
         return out[0].au, out[0].recon
@@ -314,38 +331,65 @@ class Encoder:
         produced by this push (possibly empty, possibly a whole mini-GOP
         in ENCODE order).  Mirrors x265_encoder_encode's delayed-output
         contract (x265.h:1334; lookahead queue slicetype.cpp:649)."""
+        if self._use_lookahead:
+            if self.lookahead is None:
+                from .lookahead import Lookahead
+                self.lookahead = Lookahead(self.params, self.bit_depth)
+            from .aq import aq_offsets
+            cw, ch = self.sps.pic_width, self.sps.pic_height
+            y = np.asarray(planes[0])
+            coded = (y, np.asarray(planes[1]), np.asarray(planes[2]))
+            off = aq_offsets(coded, self.params.aq_mode,
+                             self.params.aq_strength, self.bit_depth)
+            out = []
+            for (pl, off16, satd) in self.lookahead.push(planes, off):
+                self._la_frame = (off16, satd)
+                out += self._gop_input(pl)
+            return out
+        return self._gop_input(planes)
+
+    def flush(self) -> list:
+        """Encode any queued frames (end of stream)."""
+        out = []
+        if self.lookahead is not None:
+            for (pl, off16, satd) in self.lookahead.flush():
+                self._la_frame = (off16, satd)
+                out += self._gop_input(pl)
+        out += self._emit_minigop()
+        return out
+
+    def _gop_input(self, planes) -> list:
+        """GOP structuring of one display-order frame (post-lookahead)."""
         p = self.params
         keyint = max(1, p.keyint_max)
         out = []
         gop_start = ((self._display_idx - self._cvs_base) % keyint == 0
                      or self.prev_anchor_poc is None
                      or self.force_all_intra or self.bit_depth > 8)
+        la = self._la_frame
+        self._la_frame = None
         if self.bframes == 0:
             poc = 0 if gop_start else self._next_poc
             kind = "I" if gop_start else "P"
             ef = self._encode_one(planes, poc, kind,
-                                  l0_poc=self.prev_anchor_poc)
+                                  l0_poc=self.prev_anchor_poc, la=la)
             self._after_anchor(ef, idr=ef.kind == "I")
             self._display_idx += 1
             return [ef]
         if gop_start:
             out += self._emit_minigop()     # pending frames end their GOP
             self._cvs_base = self._display_idx  # before encode: display_idx
-            ef = self._encode_one(planes, 0, "I")  # = _cvs_base + poc
+            ef = self._encode_one(planes, 0, "I", la=la)  # = _cvs_base+poc
             self._next_poc = 1
             self._after_anchor(ef, idr=True)
             out.append(ef)
         else:
-            self._queue.append((self._next_poc, planes))
+            self._queue.append((self._next_poc, planes, la))
             self._next_poc += 1
             if len(self._queue) == self.bframes + 1:
                 out += self._emit_minigop()
         self._display_idx += 1
         return out
-
-    def flush(self) -> list:
-        """Encode any queued frames (end of stream)."""
-        return self._emit_minigop()
 
     def _after_anchor(self, ef, idr: bool = False) -> None:
         """DPB management after an anchor (I/P): anchors are the only
@@ -370,25 +414,26 @@ class Encoder:
         if not self._queue:
             return []
         frames, self._queue = self._queue, []
-        anchor_poc, anchor_planes = frames[-1]
+        anchor_poc, anchor_planes, anchor_la = frames[-1]
         l0 = self.prev_anchor_poc
         out = [self._encode_one(anchor_planes, anchor_poc,
-                                "P" if l0 is not None else "I", l0_poc=l0)]
+                                "P" if l0 is not None else "I", l0_poc=l0,
+                                la=anchor_la)]
         prev_dpb = dict(self.dpb)
         prev_dpb_dev = dict(self.dpb_dev)
         self._after_anchor(out[0])
         self.dpb.update(prev_dpb)       # Bs still need the previous anchor
         self.dpb_dev.update(prev_dpb_dev)
-        for poc, planes in frames[:-1]:
+        for poc, planes, la in frames[:-1]:
             out.append(self._encode_one(planes, poc, "B", l0_poc=l0,
-                                        l1_poc=anchor_poc))
+                                        l1_poc=anchor_poc, la=la))
         self.dpb = {anchor_poc: out[0].coded}
         self.dpb_dev = ({anchor_poc: out[0].coded_dev}
                         if out[0].coded_dev is not None else {})
         return out
 
     def _encode_one(self, planes, poc: int, kind: str,
-                    l0_poc=None, l1_poc=None):
+                    l0_poc=None, l1_poc=None, la=None):
         """Encode one picture of the given slice type against DPB refs.
 
         Returns an EncodedFrame; does NOT advance GOP state (push_frame
@@ -410,7 +455,14 @@ class Encoder:
             poc = 0
         is_p = kind == "P"
         is_b = kind == "B"
-        cplx = self._complexity_estimate(orig, kind != "I")
+        # frame complexity for rate control: lowres lookahead cost when
+        # the window is active (x265 m_currentSatd), else the inline
+        # half-res estimate
+        if la is not None and la[1]:
+            cplx = float(la[1])
+        else:
+            cplx = self._complexity_estimate(orig, kind != "I")
+        self._la_off16 = la[0] if la is not None else None
         self.qp = self.rc.frame_qp(is_intra=kind == "I", satd=cplx,
                                    is_b=is_b)
 
@@ -421,7 +473,8 @@ class Encoder:
         ps = PicSyntax(
             g, max_tr_depth_intra=self.sps.max_transform_hierarchy_depth_intra,
             max_tr_depth_inter=self.sps.max_transform_hierarchy_depth_inter,
-            sign_hiding=bool(self.pps.sign_data_hiding))
+            sign_hiding=bool(self.pps.sign_data_hiding),
+            slice_qp=self.qp, cu_qp_delta_enabled=self.aq)
         ps.depth[:] = cu_depth
         ps.pred_mode[:] = MODE_INTRA
         ps.tu_depth[:] = 0
@@ -437,6 +490,7 @@ class Encoder:
         qp_y = self.qp + bd_off
         qp_cb = chroma_qp(self.qp, self.pps.cb_qp_offset) + bd_off
         qp_cr = chroma_qp(self.qp, self.pps.cr_qp_offset) + bd_off
+        self._qp_plan(orig)
 
         # slice-level reference info for the NORMATIVE MV derivations
         ps.cur_poc = poc
@@ -472,13 +526,15 @@ class Encoder:
                 qp_y = self.qp + bd_off
                 qp_cb = chroma_qp(self.qp, self.pps.cb_qp_offset) + bd_off
                 qp_cr = chroma_qp(self.qp, self.pps.cr_qp_offset) + bd_off
+                self._qp_plan(orig)
                 ps = PicSyntax(
                     g,
                     max_tr_depth_intra=(
                         self.sps.max_transform_hierarchy_depth_intra),
                     max_tr_depth_inter=(
                         self.sps.max_transform_hierarchy_depth_inter),
-                    sign_hiding=bool(self.pps.sign_data_hiding))
+                    sign_hiding=bool(self.pps.sign_data_hiding),
+                    slice_qp=self.qp, cu_qp_delta_enabled=self.aq)
                 ps.depth[:] = cu_depth
                 ps.pred_mode[:] = MODE_INTRA
                 ps.cur_poc = 0
@@ -648,6 +704,38 @@ class Encoder:
         return (np.int32(self.qp), np.int32(dq_cb), np.int32(dq_cr),
                 np.float32(sao_lam))
 
+    def _qp_plan(self, orig):
+        """Per-CTB desired QPs + lambdas for this frame: frame QP plus AQ
+        offsets (encoder/aq.py; x265 calcAdaptiveQuantFrame ->
+        calculateQpforCuSize averaging).  Device pipelines quantize with
+        these; the signaled per-CTB QP (ps.qp_ctb) is the device-computed
+        ACTUAL chain (uncoded CTBs keep the predicted QP)."""
+        g = self.geom
+        p = self.params
+        bd_off = 6 * (self.bit_depth - 8)
+        if self.aq:
+            from .aq import aq_offsets, per_ctb_qp
+            off16 = getattr(self, "_la_off16", None)
+            if off16 is None:
+                cw, ch = self.sps.pic_width, self.sps.pic_height
+                coded = (orig[0][:ch, :cw], orig[1][:ch // 2, :cw // 2],
+                         orig[2][:ch // 2, :cw // 2])
+                off16 = aq_offsets(coded, p.aq_mode, p.aq_strength,
+                                   self.bit_depth)
+            qp_ctb = per_ctb_qp(np.asarray(off16), self.qp, g)
+        else:
+            qp_ctb = np.full((g.n_ctbs,), self.qp, np.int32)
+        from ..ops.deblock import _chroma_qp_arr
+        lam = 2.0 ** (qp_ctb / 6.0 - 2.0)
+        self._qp_arrays = (
+            (qp_ctb + bd_off).astype(np.int32),
+            (_chroma_qp_arr(qp_ctb, self.pps.cb_qp_offset)
+             + bd_off).astype(np.int32),
+            (_chroma_qp_arr(qp_ctb, self.pps.cr_qp_offset)
+             + bd_off).astype(np.int32),
+            (0.85 * lam * lam).astype(np.float32),
+            qp_ctb.astype(np.int32))
+
     def _run_i_pipeline(self, ps, orig, rec, cu_size, qps):
         from .device_pipeline import build_i_pipeline
         from ..common.rdcost import lambda_ssd
@@ -655,9 +743,10 @@ class Encoder:
         if self._i_pipeline is None:
             self._i_pipeline = build_i_pipeline(self)
         import jax
+        qpy, qpb, qpr, lam, qp_ctb = self._qp_arrays
         out_dev, ext = self._i_pipeline(
-            orig[0], orig[1], orig[2], *(np.int32(q) for q in qps),
-            np.float32(lambda_ssd(self.qp)), *self._filter_qps())
+            orig[0], orig[1], orig[2], qpy, qpb, qpr, lam,
+            *self._filter_qps(), qp_ctb)
         self._pending_ext = ext
         out = jax.device_get(out_dev[:-3])
         modes, mode32, use32 = out[0], out[1], out[2]
@@ -674,7 +763,8 @@ class Encoder:
             mode32 = np.asarray(mode32).reshape(ph // 32, pw // 32)
             self._apply_cu32(ps, use32, mode32)
         outs = self._expand_outs(out[3:10], out_dev[-3:])
-        self._scatter_device_outputs(ps, rec, outs + tuple(out[10:14]))
+        ps.qp_ctb[:] = np.asarray(out[10], np.int32)
+        self._scatter_device_outputs(ps, rec, outs + tuple(out[11:15]))
         return modes
 
     def _extend_ref(self, ref):
@@ -720,14 +810,14 @@ class Encoder:
         refs = self._get_ref_ext(l0_poc)
         from ..common.rdcost import lambda_ssd
         import jax
+        qpy, qpb, qpr, lam, qp_ctb = self._qp_arrays
         out_dev, ext = self._p_pipeline(
             orig[0], orig[1], orig[2], *refs,
-            *(np.int32(q) for q in qps), np.float32(lambda_ssd(self.qp)),
-            *self._filter_qps())
+            qpy, qpb, qpr, lam, *self._filter_qps(), qp_ctb)
         self._pending_ext = ext
         out = jax.device_get(out_dev[:-3])
         modes, mode32, use32, mv, inter = out[:5]
-        cost_p, cost_i = out[16], out[17]
+        cost_p, cost_i = out[17], out[18]
         self.last_frame_costs = (float(cost_p), float(cost_i))
         gh, gw = (ph // cu_size, pw // cu_size)
         modes = np.asarray(modes).reshape(gh, gw)
@@ -748,7 +838,8 @@ class Encoder:
             self._apply_cu32(ps, use32, mode32)
         self._merge_inter_cus(ps, inter_mask, mv, n)
         outs = self._expand_outs(out[5:12], out_dev[-3:])
-        self._scatter_device_outputs(ps, rec, outs + tuple(out[12:16]))
+        ps.qp_ctb[:] = np.asarray(out[12], np.int32)
+        self._scatter_device_outputs(ps, rec, outs + tuple(out[13:17]))
         self._derive_inter_all(ps)
         return inter_mask, modes
 
@@ -771,10 +862,12 @@ class Encoder:
         refs1 = self._get_ref_ext(l1_poc)
         from ..common.rdcost import lambda_ssd
         import jax
+        qpy, qpb, qpr, lam, qp_ctb = self._qp_arrays
         out_dev, _ = self._b_pipeline(
             orig[0], orig[1], orig[2], *refs0, *refs1,
-            *(np.int32(q) for q in qps), np.float32(lambda_ssd(self.qp)),
-            *self._filter_qps(), np.int32(l0_poc), np.int32(l1_poc))
+            qpy, qpb, qpr, lam,
+            *self._filter_qps(), np.int32(l0_poc), np.int32(l1_poc),
+            qp_ctb)
         out = jax.device_get(out_dev[:-3])
         modes, mode32, use32, mv0, mv1, dirs, inter = out[:7]
         gh, gw = (ph // cu_size, pw // cu_size)
@@ -808,7 +901,8 @@ class Encoder:
         self._merge_inter_cus(ps, inter_mask, mv0, n,
                               extra=(mv1, dirs))
         outs = self._expand_outs(out[7:14], out_dev[-3:])
-        self._scatter_device_outputs(ps, rec, outs + tuple(out[14:18]))
+        ps.qp_ctb[:] = np.asarray(out[14], np.int32)
+        self._scatter_device_outputs(ps, rec, outs + tuple(out[15:19]))
         self._derive_inter_all(ps)
         return inter_mask, modes
 

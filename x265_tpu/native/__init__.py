@@ -61,6 +61,7 @@ def get_lib():
         fn.restype = ctypes.c_long
         fn.argtypes = [u8p] * 14 + [i16p] * 2 + [i32p] * 3 + [i64p] \
             + [i8p] * 4 + [ctypes.c_int] * 19 \
+            + [i32p, ctypes.c_int, ctypes.c_int] \
             + [u8p, ctypes.c_int, u8p, ctypes.c_long]
         dr = lib.derive_inter_syntax
         dr.restype = ctypes.c_long
@@ -121,6 +122,8 @@ def encode_slice_data_native(ps, qp: int, *, log2_min_cb=3, log2_min_tb=2,
         ps.max_tr_depth_intra, ps.max_tr_depth_inter, int(ps.sign_hiding),
         slice_type, ps.max_merge_cand,
         num_ref_l0, num_ref_l1, int(mvd_l1_zero),
+        np.ascontiguousarray(ps.qp_ctb, np.int32), ps.slice_qp,
+        int(ps.cu_qp_delta_enabled),
         ctx, NUM_CTX, out, cap)
     if n < 0:
         raise RuntimeError(f"native slice encode failed: {n}")

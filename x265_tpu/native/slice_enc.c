@@ -43,6 +43,7 @@ enum {
     CTX_MVD_GREATER = 146,
     CTX_MVP_FLAG = 148,
     CTX_RQT_ROOT_CBF = 149,
+    CTX_CU_QP_DELTA = 150,
     NUM_CTX_EXPECT = 154,
 };
 
@@ -147,6 +148,9 @@ typedef struct {
     int log2_ctb, min_cb, min_tb, max_tb, max_tr_intra, max_tr_inter;
     int sign_hide, slice_type, max_merge;  /* slice_type: 2=I, 1=P, 0=B */
     int num_ref_l0, num_ref_l1, mvd_l1_zero;
+    /* cu_qp_delta (QG == CTB): per-CTB actual QPs + qPY_PREV chain */
+    const int32_t *qp_ctb;
+    int cu_qp_delta_on, qp_pred, qp_delta_pending, cur_ctu;
 } Enc;
 
 /* ---- bit output ---- */
@@ -454,12 +458,31 @@ static int region_nz(const int32_t *plane, int stride, int x, int y, int sz) {
 }
 
 /* ---- transform tree ---- */
+static void enc_eg_k(Enc *e, int value, int k);
+
+/* cu_qp_delta_abs (TR prefix cMax 5 + EG0 suffix) + sign (9.3.3.8) */
+static void enc_cu_qp_delta(Enc *e, int delta) {
+    int a = delta < 0 ? -delta : delta, k;
+    encode_bin(e, CTX_CU_QP_DELTA, a > 0);
+    if (a > 0) {
+        for (k = 1; k < (a < 5 ? a : 5); k++)
+            encode_bin(e, CTX_CU_QP_DELTA + 1, 1);
+        if (a < 5) encode_bin(e, CTX_CU_QP_DELTA + 1, 0);
+        else enc_eg_k(e, a - 5, 0);
+        encode_bypass(e, delta < 0);
+    }
+}
+
 static void enc_transform_unit(Enc *e, int x0, int y0, int xb, int yb,
                                int log2_size, int blk_idx, int cbf_luma,
                                int cbf_cb, int cbf_cr, int is_intra) {
     int size = 1 << log2_size;
     int cx, cy, clog2, csz, cmode, cscan;
     if (!(cbf_luma || cbf_cb || cbf_cr)) return;
+    if (e->qp_delta_pending) {
+        enc_cu_qp_delta(e, e->qp_ctb[e->cur_ctu] - e->qp_pred);
+        e->qp_delta_pending = 0;
+    }
     if (cbf_luma) {
         int mode = e->luma_mode[(y0 >> 2) * e->w4 + (x0 >> 2)];
         int scan = is_intra ? scan_for_intra(log2_size, 0, mode) : SCAN_DIAG;
@@ -797,6 +820,7 @@ long encode_slice_data(
     int max_tr_depth_intra, int max_tr_depth_inter, int sign_hiding,
     int slice_type, int max_merge,
     int num_ref_l0, int num_ref_l1, int mvd_l1_zero,
+    const int32_t *qp_ctb, int slice_qp, int cu_qp_delta_on,
     const uint8_t *ctx_init, int num_ctx,
     uint8_t *out, long out_cap)
 {
@@ -830,6 +854,8 @@ long encode_slice_data(
     e.sao_band_pos = sao_band_pos; e.sao_offsets = sao_offsets;
     e.sao_luma = sao_luma; e.sao_chroma = sao_chroma;
     e.bit_depth = bit_depth;
+    e.qp_ctb = qp_ctb; e.cu_qp_delta_on = cu_qp_delta_on;
+    e.qp_pred = slice_qp; e.qp_delta_pending = 0; e.cur_ctu = 0;
 
     ctb_size = 1 << log2_ctb;
     ctbs_w = (width + ctb_size - 1) >> log2_ctb;
@@ -841,7 +867,10 @@ long encode_slice_data(
         int x0 = (ctu % ctbs_w) << log2_ctb;
         int y0 = (ctu / ctbs_w) << log2_ctb;
         if (sao_luma || sao_chroma) enc_sao(&e, ctu);
+        e.cur_ctu = ctu;
+        e.qp_delta_pending = e.cu_qp_delta_on;
         enc_quadtree(&e, x0, y0, log2_ctb, 0);
+        if (e.cu_qp_delta_on) e.qp_pred = e.qp_ctb[ctu];
         encode_terminate(&e, ctu == n_ctbs - 1 ? 1 : 0);
         if (e.overflow) return -1;
     }

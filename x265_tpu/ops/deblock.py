@@ -48,12 +48,20 @@ def luma_edge_filter(seg: np.ndarray, qp: int, bit_depth: int = 8,
     if e == 0:
         return out
     shift = bit_depth - 8
-    qb = _clip3(0, 51, qp + beta_off * 2)
-    qt = _clip3(0, 53, qp + 2 * (bs - 1) + tc_off * 2)
-    beta = int(BETA_TABLE[qb]) << shift
-    tc = int(TC_TABLE[qt]) << shift
-    if tc == 0 and beta == 0:
-        return out
+    # qp may be a scalar or a per-edge [E] array (cu_qp_delta: edge QP is
+    # the average of the two adjacent CUs' QpY, §8.7.2.5.3)
+    qb = _clip3(0, 51, np.asarray(qp) + beta_off * 2)
+    qt = _clip3(0, 53, np.asarray(qp) + 2 * (bs - 1) + tc_off * 2)
+    beta = BETA_TABLE[qb] << shift
+    tc = TC_TABLE[qt] << shift
+    if np.ndim(tc) == 0:
+        beta = int(beta)
+        tc = int(tc)
+        if tc == 0 and beta == 0:
+            return out
+        tcl = tc                      # line-math (broadcasts over [E, 4])
+    else:
+        tcl = tc[:, None]
     p3, p2, p1, p0 = (seg[:, :, i].astype(np.int32) for i in range(4))
     q0, q1, q2, q3 = (seg[:, :, i].astype(np.int32) for i in range(4, 8))
 
@@ -78,28 +86,28 @@ def luma_edge_filter(seg: np.ndarray, qp: int, bit_depth: int = 8,
     strong = strong_cond(0) & strong_cond(3)                # [E]
 
     # ---- strong filter (all 4 lines) ----
-    sp0 = _clip3(p0 - 2 * tc, p0 + 2 * tc,
+    sp0 = _clip3(p0 - 2 * tcl, p0 + 2 * tcl,
                  (p2 + 2 * p1 + 2 * p0 + 2 * q0 + q1 + 4) >> 3)
-    sp1 = _clip3(p1 - 2 * tc, p1 + 2 * tc, (p2 + p1 + p0 + q0 + 2) >> 2)
-    sp2 = _clip3(p2 - 2 * tc, p2 + 2 * tc,
+    sp1 = _clip3(p1 - 2 * tcl, p1 + 2 * tcl, (p2 + p1 + p0 + q0 + 2) >> 2)
+    sp2 = _clip3(p2 - 2 * tcl, p2 + 2 * tcl,
                  (2 * p3 + 3 * p2 + p1 + p0 + q0 + 4) >> 3)
-    sq0 = _clip3(q0 - 2 * tc, q0 + 2 * tc,
+    sq0 = _clip3(q0 - 2 * tcl, q0 + 2 * tcl,
                  (p1 + 2 * p0 + 2 * q0 + 2 * q1 + q2 + 4) >> 3)
-    sq1 = _clip3(q1 - 2 * tc, q1 + 2 * tc, (p0 + q0 + q1 + q2 + 2) >> 2)
-    sq2 = _clip3(q2 - 2 * tc, q2 + 2 * tc,
+    sq1 = _clip3(q1 - 2 * tcl, q1 + 2 * tcl, (p0 + q0 + q1 + q2 + 2) >> 2)
+    sq2 = _clip3(q2 - 2 * tcl, q2 + 2 * tcl,
                  (p0 + q0 + q1 + 3 * q2 + 2 * q3 + 4) >> 3)
 
     # ---- weak filter ----
     delta = (9 * (q0 - p0) - 3 * (q1 - p1) + 8) >> 4
-    w_on = np.abs(delta) < tc * 10                           # per line
-    dlt = _clip3(-tc, tc, delta)
+    w_on = np.abs(delta) < tcl * 10                          # per line
+    dlt = _clip3(-tcl, tcl, delta)
     maxval = (1 << bit_depth) - 1
     wp0 = _clip3(0, maxval, p0 + dlt)
     wq0 = _clip3(0, maxval, q0 - dlt)
     side_thresh = (beta + (beta >> 1)) >> 3
     dEp1 = (dp < side_thresh)[:, None]                       # [E,1]
     dEq1 = (dq < side_thresh)[:, None]
-    tc2 = tc >> 1
+    tc2 = tcl >> 1
     dp1 = _clip3(-tc2, tc2, (((p2 + p0 + 1) >> 1) - p1 + dlt) >> 1)
     dq1 = _clip3(-tc2, tc2, (((q2 + q0 + 1) >> 1) - q1 - dlt) >> 1)
     wp1 = _clip3(0, maxval, p1 + dp1)
@@ -128,10 +136,14 @@ def chroma_edge_filter(seg: np.ndarray, qp: int, bit_depth: int = 8,
     if seg.shape[0] == 0:
         return out
     shift = bit_depth - 8
-    qt = _clip3(0, 53, qp + 2 + tc_off * 2)
-    tc = int(TC_TABLE[qt]) << shift
-    if tc == 0:
-        return out
+    qt = _clip3(0, 53, np.asarray(qp) + 2 + tc_off * 2)
+    tc = TC_TABLE[qt] << shift
+    if np.ndim(tc) == 0:
+        tc = int(tc)
+        if tc == 0:
+            return out
+    else:
+        tc = tc[:, None]
     p1, p0, q0, q1 = (seg[:, :, i].astype(np.int32) for i in range(4))
     delta = _clip3(-tc, tc, ((((q0 - p0) << 2) + p1 - q1 + 4) >> 3))
     maxval = (1 << bit_depth) - 1
@@ -159,6 +171,9 @@ def deblock_plane_np(plane: np.ndarray, bs_v: np.ndarray,
     h, w = plane.shape
     out = plane.astype(np.int32).copy()
     reach = 2 if chroma else 4
+    # per-edge QP: pass (qp_v_map, qp_h_map) [h4, w4] arrays holding the
+    # §8.7.2.5.3 (QpP + QpQ + 1) >> 1 average at each edge position
+    qp_map = isinstance(qp, tuple)
 
     def run(mask, bs, horizontal):
         ys, xs = np.nonzero(mask)
@@ -178,8 +193,9 @@ def deblock_plane_np(plane: np.ndarray, bs_v: np.ndarray,
             cols = (xs[:, None] * 4 - reach + np.arange(2 * reach)[None, :])
             idx = (rows[:, :, None], cols[:, None, :])
         seg = out[idx]                                       # [E, 4, 2R]
-        f = (chroma_edge_filter(seg, qp, bit_depth, tc_off) if chroma
-             else luma_edge_filter(seg, qp, bit_depth, beta_off, tc_off,
+        q = qp[1 if horizontal else 0][ys, xs] if qp_map else qp
+        f = (chroma_edge_filter(seg, q, bit_depth, tc_off) if chroma
+             else luma_edge_filter(seg, q, bit_depth, beta_off, tc_off,
                                    bs=bs))
         out[idx] = f
 
@@ -293,6 +309,47 @@ def derive_bs(ps, ev, eh, cbf4):
     return bs_dir(ev, axis=1), bs_dir(eh, axis=0)
 
 
+def qp4_per_cu(ps) -> np.ndarray:
+    """[h4, w4] per-4x4 QpY under cu_qp_delta (QG == CTB).
+
+    Within a CTB, CUs preceding (z-order) the first coefficient-bearing
+    CU have QpY = qPY_PRED (the previous CTB's actual QP, slice QP for
+    the first); the first coded CU and all following CUs have the
+    signaled QP (ps.qp_ctb).  Mirrors libde265's per-CU
+    decode_quantization_parameters calls (transform.cc:31, slice.cc:4256).
+    """
+    from ..common.recon import cu_leaves
+
+    g = ps.geom
+    qp4 = np.zeros((g.h4, g.w4), np.int32)
+    pred = ps.slice_qp
+    for ctu in range(g.n_ctbs):
+        q_ctb = int(ps.qp_ctb[ctu])
+        delta_seen = False
+        for (cx, cy, log2_cb) in cu_leaves(ps, ctu):
+            sz = 1 << log2_cb
+            if not delta_seen:
+                if (np.any(ps.coeff_y[cy:cy + sz, cx:cx + sz])
+                        or np.any(ps.coeff_cb[cy >> 1:(cy + sz) >> 1,
+                                              cx >> 1:(cx + sz) >> 1])
+                        or np.any(ps.coeff_cr[cy >> 1:(cy + sz) >> 1,
+                                              cx >> 1:(cx + sz) >> 1])):
+                    delta_seen = True
+            q = q_ctb if delta_seen else pred
+            qp4[cy >> 2:(cy + sz) >> 2, cx >> 2:(cx + sz) >> 2] = q
+        pred = q_ctb
+    return qp4
+
+
+def _chroma_qp_arr(qp: np.ndarray, offset: int) -> np.ndarray:
+    """Vectorized §8.6.1 chroma QP mapping (4:2:0) for per-edge QP maps."""
+    from ..cabac.ctu import _CHROMA_QP_MAP
+    qpi = np.clip(qp + offset, -12, 57)
+    return np.where(qpi < 30, np.maximum(0, qpi),
+                    np.where(qpi > 43, qpi - 6,
+                             _CHROMA_QP_MAP[np.clip(qpi - 30, 0, 13)]))
+
+
 def deblock_picture_np(ps, planes, qp_y: int, bit_depth: int = 8,
                        beta_off: int = 0, tc_off: int = 0,
                        cb_qp_offset: int = 0, cr_qp_offset: int = 0):
@@ -307,7 +364,29 @@ def deblock_picture_np(ps, planes, qp_y: int, bit_depth: int = 8,
     lv, lh = bs_v.copy(), bs_h.copy()
     lv[:, 1::2] = 0
     lh[1::2, :] = 0
-    y = deblock_plane_np(planes[0], lv, lh, qp_y, bit_depth, beta_off,
+    if ps.cu_qp_delta_enabled:
+        # per-4x4 QpY (§8.6.1 as embodied by libde265 transform.cc:31):
+        # CUs decoded BEFORE the QG's cu_qp_delta keep the predicted QP
+        # (CuQpDeltaVal still 0 at their decode), the delta-carrying CU
+        # and everything after get the signaled QP.  qp_ctb holds the
+        # QG's final (actual) QP; pred = previous QG's actual QP.
+        g = ps.geom
+        qp4_full = qp4_per_cu(ps)
+        h4, w4 = planes[0].shape[0] >> 2, planes[0].shape[1] >> 2
+        qp4 = qp4_full[:h4, :w4]
+        qv = (np.roll(qp4, 1, axis=1) + qp4 + 1) >> 1
+        qh = (np.roll(qp4, 1, axis=0) + qp4 + 1) >> 1
+        qp_l = (qv, qh)
+        cqv = _chroma_qp_arr(qv[::2, ::2], cb_qp_offset)
+        cqh = _chroma_qp_arr(qh[::2, ::2], cb_qp_offset)
+        qp_cb = (cqv, cqh)
+        qp_cr = (_chroma_qp_arr(qv[::2, ::2], cr_qp_offset),
+                 _chroma_qp_arr(qh[::2, ::2], cr_qp_offset))
+    else:
+        qp_l = qp_y
+        qp_cb = chroma_qp(qp_y, cb_qp_offset)
+        qp_cr = chroma_qp(qp_y, cr_qp_offset)
+    y = deblock_plane_np(planes[0], lv, lh, qp_l, bit_depth, beta_off,
                          tc_off)
     # chroma (4:2:0): 16-luma-px (8-chroma-px) grid, BS==2 only
     h4c, w4c = ev.shape[0] // 2, ev.shape[1] // 2
@@ -315,8 +394,6 @@ def deblock_picture_np(ps, planes, qp_y: int, bit_depth: int = 8,
     ch = np.zeros((h4c, w4c), np.uint8)
     cv[:, 0::2] = np.where(bs_v[::2, 0::4] == 2, 2, 0)
     ch[0::2, :] = np.where(bs_h[0::4, ::2] == 2, 2, 0)
-    qp_cb = chroma_qp(qp_y, cb_qp_offset)
-    qp_cr = chroma_qp(qp_y, cr_qp_offset)
     cb = deblock_plane_np(planes[1], cv, ch, qp_cb, bit_depth,
                           tc_off=tc_off, chroma=True)
     cr = deblock_plane_np(planes[2], cv, ch, qp_cr, bit_depth,
@@ -455,6 +532,8 @@ def _deblock_dir_jnp(plane, bs_edge, qp, bit_depth, beta_off, tc_off,
     seg = win.reshape(H // 4, 4, nk, G).transpose(0, 2, 1, 3).reshape(
         -1, 4, G)
     bs = bs_edge.reshape(-1)
+    if getattr(qp, "ndim", 0) == 2:      # per-edge QP map [H//4, nk]
+        qp = qp.reshape(-1)
     f = (_chroma_seg_filter_jnp(seg[:, :, :2 * R], bs, qp, bit_depth,
                                 tc_off) if chroma
          else _luma_seg_filter_jnp(seg, bs, qp, bit_depth, beta_off,
@@ -478,14 +557,18 @@ def deblock_plane_jnp(plane, bs_v, bs_h, qp, bit_depth=8, beta_off=0,
     H, W = plane.shape
     nkv = W // 8 - 1
     nkh = H // 8 - 1
+    # per-edge QP maps: qp = (qp_v, qp_h) [H//4, W//4] (§8.7.2.5.3 P/Q avg)
+    per_edge = isinstance(qp, tuple)
     # per-edge BS: edge k at x = 8(k+1) -> bs at x4 = 2(k+1)
     if nkv >= 1:
         bsv = bs_v[:, 2::2][:, :nkv]
-        plane = _deblock_dir_jnp(plane, bsv, qp, bit_depth, beta_off,
+        q = qp[0][:, 2::2][:, :nkv] if per_edge else qp
+        plane = _deblock_dir_jnp(plane, bsv, q, bit_depth, beta_off,
                                  tc_off, chroma)
     if nkh >= 1:
         bsh = bs_h[2::2, :][:nkh].T
-        plane = _deblock_dir_jnp(plane.T, bsh, qp, bit_depth, beta_off,
+        q = qp[1][2::2, :][:nkh].T if per_edge else qp
+        plane = _deblock_dir_jnp(plane.T, bsh, q, bit_depth, beta_off,
                                  tc_off, chroma).T
     return plane
 
