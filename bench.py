@@ -35,26 +35,32 @@ def main():
     from x265_tpu.encoder import Encoder
 
     w, h = 1920, 1080
-    n_frames = int(os.environ.get("BENCH_FRAMES", "4"))
+    n_frames = int(os.environ.get("BENCH_FRAMES", "8"))
     base = synthetic_frame(w, h, 0)
     # panning content: a realistic IPPP workload (I + P frames)
     frames = [(np.roll(base[0], 3 * t, axis=1), base[1], base[2])
               for t in range(n_frames)]
 
+    # streaming (pipelined) encode: dispatch of frame N+1 overlaps the
+    # host entropy pass of frame N; decoded-picture-hash SEI is the
+    # D.3.19 checksum computed on device (verified by dec265 -c / the
+    # in-repo decoder exactly like MD5)
     p = Params(bframes=0, source_width=w, source_height=h, qp=32,
-               decoded_picture_hash=1)
+               decoded_picture_hash=3, aq_mode=0, cu_tree=False)
     enc = Encoder(p)
-    # warmup: compile both the I and P device pipelines
+    # warmup: compile the I and P device pipelines
     enc.headers()
-    enc.encode_frame(frames[0])
-    if n_frames > 1:
-        enc.encode_frame(frames[1])
+    for fr in frames[:2]:
+        enc.push_frame(fr)
+    enc.flush()
 
     t0 = time.time()
     total_bytes = 0
     for fr in frames:
-        au, _rec = enc.encode_frame(fr)
-        total_bytes += len(au)
+        for ef in enc.push_frame(fr):
+            total_bytes += len(ef.au)
+    for ef in enc.flush():
+        total_bytes += len(ef.au)
     dt = time.time() - t0
     fps = n_frames / dt
 

@@ -39,6 +39,7 @@ def _filter_stage_builder(enc):
     ph = g.ctbs_h << g.log2_ctb
     pw = g.ctbs_w << g.log2_ctb
     gh, gw = ph // 16, pw // 16
+    B16 = gh * gw
     has32 = ctb >= 32
     gh32, gw32 = (ph // 32, pw // 32) if has32 else (1, 1)
     masks = edge_masks_np(g, g.log2_ctb)
@@ -290,26 +291,89 @@ def _filter_stage_builder(enc):
             sao_bpos = jnp.zeros((nctb, 3), jnp.int32)
             sao_offs = jnp.zeros((nctb, 3, 4), jnp.int32)
 
-        # coefficient planes ship as int8 + an overflow count; the int16
-        # planes are returned as device-resident arrays the host fetches
-        # only when a level exceeded int8 (rare: very low QP).  Halves the
-        # per-frame device->host transfer (the link runs ~30 MB/s).
-        cy16 = cy.astype(jnp.int16)
-        ccb16 = ccb.astype(jnp.int16)
-        ccr16 = ccr.astype(jnp.int16)
+        # ---- transfer-diet output packing ----
+        # The device link runs ~30 MB/s down, so per-frame output is
+        # tiered: a small always-fetched dict (syntax, chroma int8
+        # planes, nonzero-compacted luma coefficients, plane checksums)
+        # plus device-resident tails (full int8/int16 planes, recon)
+        # fetched only on overflow / when the host really needs pixels.
         ovf = ((jnp.abs(cy) > 127).sum() + (jnp.abs(ccb) > 127).sum()
                + (jnp.abs(ccr) > 127).sum()).astype(jnp.int32)
-        return ((planes[0].astype(out_dtype), planes[1].astype(out_dtype),
-                 planes[2].astype(out_dtype),
-                 jnp.clip(cy, -128, 127).astype(jnp.int8),
-                 jnp.clip(ccb, -128, 127).astype(jnp.int8),
-                 jnp.clip(ccr, -128, 127).astype(jnp.int8), ovf,
-                 qp_actual),
-                (sao_type, sao_class, sao_bpos, sao_offs),
-                (cy16, ccb16, ccr16))
+
+        # luma coefficients: compact the nonzero 8x8 subblocks (typical
+        # occupancy at medium QP is 3-15%; low-QP I frames overflow to
+        # the full-plane tiers)
+        cap = max(1, (B16 * 4) * 3 // 16)
+        yb = cy.reshape(ph // 8, 8, pw // 8, 8).transpose(
+            0, 2, 1, 3).reshape(-1, 8, 8)
+        nz = jnp.any(yb != 0, axis=(1, 2))
+        pos = jnp.where(nz, jnp.cumsum(nz) - 1, cap)
+        buf = jnp.zeros((cap + 1, 8, 8), jnp.int8).at[pos].set(
+            jnp.clip(yb, -128, 127).astype(jnp.int8), mode="drop")[:cap]
+        count_y = nz.sum().astype(jnp.int32)
+
+        small = dict(
+            ccb8=jnp.clip(ccb, -128, 127).astype(jnp.int8),
+            ccr8=jnp.clip(ccr, -128, 127).astype(jnp.int8),
+            y_nzmask=nz, y_buf=buf, y_count=count_y,
+            ovf=ovf, qp_actual=qp_actual,
+            checksums=_plane_checksums(planes, bd, g),
+            sao_type=sao_type, sao_class=sao_class,
+            sao_bpos=sao_bpos, sao_offs=sao_offs)
+        if merged is not None:
+            small["m32"], small["m64"] = merged
+        tails = dict(
+            cy16=cy.astype(jnp.int16), ccb16=ccb.astype(jnp.int16),
+            ccr16=ccr.astype(jnp.int16),
+            cy8=jnp.clip(cy, -128, 127).astype(jnp.int8),
+            rec_coded=tuple(pl.astype(out_dtype)[:dim[0], :dim[1]]
+                            for pl, dim in zip(
+                                planes, ((g.height, g.width),
+                                         (g.height // 2, g.width // 2),
+                                         (g.height // 2, g.width // 2)))),
+            rec_conf=_conf_crop(planes, out_dtype))
+        # third element: full padded final planes, consumed in-program by
+        # the DPB extension (never transferred)
+        return small, tails, tuple(pl.astype(out_dtype) for pl in planes)
+
+    # conformance-window crop of the final planes (EncodedFrame.recon)
+    cw0, cr0, ct0, cb0 = getattr(enc.sps, "conf_win", (0, 0, 0, 0))
+    _wl = g.width - 2 * (cw0 + cr0)
+    _hl = g.height - 2 * (ct0 + cb0)
+
+    def _conf_crop(planes, out_dtype):
+        y, cb_, cr_ = planes
+        return (y.astype(out_dtype)[2 * ct0:2 * ct0 + _hl,
+                                    2 * cw0:2 * cw0 + _wl],
+                cb_.astype(out_dtype)[ct0:ct0 + _hl // 2,
+                                      cw0:cw0 + _wl // 2],
+                cr_.astype(out_dtype)[ct0:ct0 + _hl // 2,
+                                      cw0:cw0 + _wl // 2])
 
     finish.merged_masks = merged_masks
     return finish
+
+
+def _plane_checksums(planes, bit_depth, g):
+    """Device twin of common/sei.py plane_checksum (H.265 D.3.19): the
+    32-bit position-masked byte sum per plane, computed on device so the
+    host never fetches recon pixels for the hash SEI."""
+    import jax.numpy as jnp
+
+    def one(pl, h, w):
+        p = pl[:h, :w].astype(jnp.uint32)
+        xs = jnp.arange(w, dtype=jnp.uint32)
+        ys = jnp.arange(h, dtype=jnp.uint32)
+        mask = (((xs & 0xFF) ^ (xs >> 8))[None, :]
+                ^ ((ys & 0xFF) ^ (ys >> 8))[:, None])
+        s = jnp.sum((p & 0xFF) ^ mask, dtype=jnp.uint32)
+        if bit_depth > 8:
+            s = s + jnp.sum((p >> 8) ^ mask, dtype=jnp.uint32)
+        return s
+
+    return jnp.stack([one(planes[0], g.height, g.width),
+                      one(planes[1], g.height // 2, g.width // 2),
+                      one(planes[2], g.height // 2, g.width // 2)])
 
 
 def _analyse_builder(enc, n, gh, gw, ph, pw):
@@ -391,14 +455,13 @@ def build_i_pipeline(enc):
             mode32 = jnp.zeros((B32,), jnp.int32)
         out = run_scan(oy, ocb, ocr, modes, mode32,
                        jnp.zeros((B32,), bool), qpy, qpb, qpr, lam=lam)
-        planes7, sao4, c16 = finish((oy, ocb, ocr), out, qp_base, dqp_cb,
-                                    dqp_cr, sao_lam,
-                                    qp_base_ctb=qp_base_ctb)
+        small, tails, fplanes = finish((oy, ocb, ocr), out, qp_base,
+                                       dqp_cb, dqp_cr, sao_lam,
+                                       qp_base_ctb=qp_base_ctb)
+        small = dict(small, modes=modes, mode32=mode32, use32=out[9])
         # device-resident DPB entry: the ME/MC-extended reference planes
-        # stay on device for the next frame's prep (no host roundtrip);
-        # int16 coeff planes ride at the END so the host can skip them
-        return ((modes, mode32, out[9]) + planes7 + sao4 + c16,
-                extend(planes7[:3]))
+        # stay on device for the next frame's prep (no host roundtrip)
+        return small, tails, extend(fplanes)
 
     return jax.jit(run)
 
@@ -720,10 +783,13 @@ def build_p_pipeline(enc):
                        is_inter=inter, ipred_y=pred_y,
                        ipred_cb=pred_cb, ipred_cr=pred_cr)
         merged = finish.merged_masks(inter, (mv,))
-        planes7, sao4, c16 = finish((oy, ocb, ocr), out, qp_base, dqp_cb,
-                                    dqp_cr, sao_lam, inter=inter, mv=mv,
-                                    qp_base_ctb=qp_base_ctb, merged=merged)
-        return ((out[9],) + planes7 + sao4, c16), extend(planes7[:3])
+        small, tails, fplanes = finish((oy, ocb, ocr), out, qp_base,
+                                       dqp_cb, dqp_cr, sao_lam,
+                                       inter=inter, mv=mv,
+                                       qp_base_ctb=qp_base_ctb,
+                                       merged=merged)
+        small = dict(small, use32=out[9])
+        return small, tails, extend(fplanes)
 
     def run(oy, ocb, ocr, ref_y_ext, ref_cb_ext, ref_cr_ext,
             qpy, qpb, qpr, lam, qp_base, dqp_cb, dqp_cr, sao_lam,
@@ -731,13 +797,15 @@ def build_p_pipeline(enc):
         (modes, mode32, mv, inter, pred_y, pred_cb, pred_cr,
          cost_p, cost_i) = prep(oy, ref_y_ext, ref_cb_ext, ref_cr_ext,
                                 qp_base)
-        (out2, c16), ext = main(oy, ocb, ocr, modes, mode32, mv, inter,
-                                pred_y, pred_cb, pred_cr, qpy, qpb, qpr,
-                                lam, qp_base, dqp_cb, dqp_cr, sao_lam,
-                                qp_base_ctb)
+        small, tails, ext = main(oy, ocb, ocr, modes, mode32, mv, inter,
+                                 pred_y, pred_cb, pred_cr, qpy, qpb, qpr,
+                                 lam, qp_base, dqp_cb, dqp_cr, sao_lam,
+                                 qp_base_ctb)
         import jax.numpy as _jnp
-        return ((modes, mode32, out2[0], mv.astype(_jnp.int16), inter)
-                + tuple(out2[1:]) + (cost_p, cost_i) + c16), ext
+        small = dict(small, modes=modes, mode32=mode32,
+                     mv=mv.astype(_jnp.int16), inter=inter,
+                     cost_p=cost_p, cost_i=cost_i)
+        return small, tails, ext
 
     run.prep = prep
     run.main = main
@@ -853,25 +921,26 @@ def build_b_pipeline(enc):
         motion_b = (rep4(nmv)[:, :, 0], rep4(mva), rep4(mvb),
                     rep4(poca)[:, :, 0], rep4(pocb)[:, :, 0])
         merged = finish.merged_masks(inter, (mv0, mv1, d))
-        planes7, sao4, c16 = finish((oy, ocb, ocr), out, qp_base, dqp_cb,
-                                    dqp_cr, sao_lam, inter=inter, mv=mv0,
-                                    motion_b=motion_b,
-                                    qp_base_ctb=qp_base_ctb, merged=merged)
-        return (out[9],) + planes7 + sao4, c16
+        small, tails, _fp = finish((oy, ocb, ocr), out, qp_base, dqp_cb,
+                                   dqp_cr, sao_lam, inter=inter, mv=mv0,
+                                   motion_b=motion_b,
+                                   qp_base_ctb=qp_base_ctb, merged=merged)
+        return dict(small, use32=out[9]), tails
 
     def run(oy, ocb, ocr, r0y, r0cb, r0cr, r1y, r1cb, r1cr,
             qpy, qpb, qpr, lam, qp_base, dqp_cb, dqp_cr, sao_lam,
             poc_l0, poc_l1, qp_base_ctb):
         (modes, mode32, mv0, mv1, d, inter, pred_y, pred_cb,
          pred_cr) = prep(oy, r0y, r0cb, r0cr, r1y, r1cb, r1cr, qp_base)
-        out2, c16 = main(oy, ocb, ocr, modes, mode32, mv0, mv1, d, inter,
-                         pred_y, pred_cb, pred_cr, qpy, qpb, qpr, lam,
-                         qp_base, dqp_cb, dqp_cr, sao_lam, poc_l0, poc_l1,
-                         qp_base_ctb)
+        small, tails = main(oy, ocb, ocr, modes, mode32, mv0, mv1, d,
+                            inter, pred_y, pred_cb, pred_cr, qpy, qpb,
+                            qpr, lam, qp_base, dqp_cb, dqp_cr, sao_lam,
+                            poc_l0, poc_l1, qp_base_ctb)
+        small = dict(small, modes=modes, mode32=mode32,
+                     mv0=mv0.astype(jnp.int16), mv1=mv1.astype(jnp.int16),
+                     dirs=d, inter=inter)
         # Bs are never referenced (TRAIL_N) — no DPB extension needed
-        return ((modes, mode32, out2[0], mv0.astype(jnp.int16),
-                 mv1.astype(jnp.int16), d, inter) + tuple(out2[1:])
-                + c16), None
+        return small, tails, None
 
     run.prep = prep
     run.main = main

@@ -59,6 +59,33 @@ class EncodedFrame:
     coded_dev: tuple = None   # device-resident ME-extended recon planes
 
 
+@dataclass
+class _Pending:
+    """A dispatched frame awaiting its host finish (fetch + entropy).
+
+    The device programs were queued asynchronously; the DPB already points
+    at this frame's device-resident recon, so later frames' device work can
+    be dispatched before this one's host pass runs — the TPU analogue of
+    x265's frame-thread overlap (frameencoder.cpp:296: entropy of frame N
+    runs while frame N+1's workers are already compressing).
+    """
+    poc: int
+    kind: str
+    qp: int
+    ps: object
+    display_idx: int
+    planes: tuple = None        # original (uncropped) source planes
+    orig: tuple = None          # padded coded-size source
+    out_dev: object = None      # device output tuple (None = host path)
+    ext: object = None          # device ME-extended recon (anchors)
+    l0_poc: object = None
+    l1_poc: object = None
+    rec: tuple = None           # recon planes (host path fills at dispatch)
+    cu_size: int = 16
+    allow_scenecut: bool = False
+    la: object = None
+
+
 def pad_plane(p: np.ndarray, h: int, w: int) -> np.ndarray:
     """Edge-replicate pad a plane to (h, w) (reference: PicYuv padding)."""
     out = np.empty((h, w), dtype=p.dtype)
@@ -155,7 +182,6 @@ class Encoder:
         self._cvs_base = 0              # global index of the current IDR
         self.dpb = {}                   # poc -> coded-size recon planes
         self.dpb_dev = {}               # poc -> device-resident ext planes
-        self._pending_ext = None        # ext planes of the frame in flight
         self.prev_anchor_poc = None
         # lookahead (x265 slicetype.cpp role): cuTree propagation over a
         # rc_lookahead-deep window; adds output delay exactly like the
@@ -164,7 +190,12 @@ class Encoder:
         self.lookahead = None
         self._use_lookahead = (params.cu_tree and params.rc_lookahead > 0
                                and self.aq and self.bit_depth == 8)
-        self._la_frame = None           # (offsets16, satd) for _encode_one
+        self._la_frame = None           # (offsets16, satd, scenecut)
+        # frame pipeline: dispatched-but-unfinished frames (x265 frame
+        # parallelism analogue, SURVEY §2.6 P2: device work of frame N+1
+        # overlaps the host entropy pass of frame N)
+        self._inflight: list[_Pending] = []
+        self.pipeline_depth = max(1, params.frame_parallelism)
         if self.bframes:
             # one anchor precedes its Bs in decode order but follows in
             # output order; libde265 bumps off the VPS value (decctx.cc:1959)
@@ -318,11 +349,12 @@ class Encoder:
             raise ValueError(
                 "bframes > 0 reorders output; use push_frame()/flush()")
         # zero-latency contract: drop the lookahead window (x265 tune
-        # zerolatency semantics — rc-lookahead 0 / no cutree)
+        # zerolatency semantics — rc-lookahead 0 / no cutree) and drain
+        # the frame pipeline synchronously
         assert self.lookahead is None, \
             "encode_frame() after push_frame() with an active lookahead"
         self._use_lookahead = False
-        out = self.push_frame(planes)
+        out = self.push_frame(planes) + self._drain(0)
         assert len(out) == 1
         return out[0].au, out[0].recon
 
@@ -341,105 +373,128 @@ class Encoder:
             coded = (y, np.asarray(planes[1]), np.asarray(planes[2]))
             off = aq_offsets(coded, self.params.aq_mode,
                              self.params.aq_strength, self.bit_depth)
-            out = []
-            for (pl, off16, satd) in self.lookahead.push(planes, off):
-                self._la_frame = (off16, satd)
-                out += self._gop_input(pl)
-            return out
-        return self._gop_input(planes)
+            for la_out in self.lookahead.push(planes, off):
+                self._la_frame = la_out[1:]
+                self._gop_input(la_out[0])
+        else:
+            self._gop_input(planes)
+        depth = 0 if self.force_host_recon else self.pipeline_depth
+        return self._drain(depth)
 
     def flush(self) -> list:
         """Encode any queued frames (end of stream)."""
-        out = []
         if self.lookahead is not None:
-            for (pl, off16, satd) in self.lookahead.flush():
-                self._la_frame = (off16, satd)
-                out += self._gop_input(pl)
-        out += self._emit_minigop()
+            for la_out in self.lookahead.flush():
+                self._la_frame = la_out[1:]
+                self._gop_input(la_out[0])
+        self._emit_minigop()
+        return self._drain(0)
+
+    def _drain(self, depth: int) -> list:
+        """Finish in-flight frames down to ``depth`` (encode order)."""
+        out = []
+        while len(self._inflight) > depth:
+            out.append(self._finish_one(self._inflight.pop(0)))
         return out
 
-    def _gop_input(self, planes) -> list:
-        """GOP structuring of one display-order frame (post-lookahead)."""
+    def _gop_input(self, planes) -> None:
+        """GOP structuring of one display-order frame (post-lookahead).
+        Dispatches device work; finished frames are drained by the
+        caller."""
         p = self.params
         keyint = max(1, p.keyint_max)
-        out = []
-        gop_start = ((self._display_idx - self._cvs_base) % keyint == 0
-                     or self.prev_anchor_poc is None
-                     or self.force_all_intra or self.bit_depth > 8)
         la = self._la_frame
         self._la_frame = None
+        # lookahead scenecut (x265 slicetype.cpp:1437 analogue): the
+        # lowres cost ratio decides BEFORE dispatch, so the pipeline
+        # never needs a mid-stream re-encode
+        min_keyint = p.keyint_min if p.keyint_min > 0 else 2
+        la_scenecut = (la is not None and len(la) > 2 and la[2]
+                       and p.scenecut_threshold > 0
+                       and (self._display_idx - self._cvs_base)
+                       >= min_keyint)
+        gop_start = ((self._display_idx - self._cvs_base) % keyint == 0
+                     or self.prev_anchor_poc is None
+                     or self.force_all_intra or self.bit_depth > 8
+                     or la_scenecut)
         if self.bframes == 0:
             poc = 0 if gop_start else self._next_poc
             kind = "I" if gop_start else "P"
-            ef = self._encode_one(planes, poc, kind,
-                                  l0_poc=self.prev_anchor_poc, la=la)
-            self._after_anchor(ef, idr=ef.kind == "I")
+            pend = self._dispatch_one(planes, poc, kind,
+                                      l0_poc=self.prev_anchor_poc, la=la)
+            if gop_start:
+                self._cvs_base = self._display_idx
+            self._after_anchor(pend, idr=pend.kind == "I")
+            pend.display_idx = self._display_idx
+            self._inflight.append(pend)
             self._display_idx += 1
-            return [ef]
+            return
         if gop_start:
-            out += self._emit_minigop()     # pending frames end their GOP
+            self._emit_minigop()            # pending frames end their GOP
             self._cvs_base = self._display_idx  # before encode: display_idx
-            ef = self._encode_one(planes, 0, "I", la=la)  # = _cvs_base+poc
+            pend = self._dispatch_one(planes, 0, "I", la=la)
             self._next_poc = 1
-            self._after_anchor(ef, idr=True)
-            out.append(ef)
+            self._after_anchor(pend, idr=True)
+            pend.display_idx = self._cvs_base + pend.poc
+            self._inflight.append(pend)
         else:
             self._queue.append((self._next_poc, planes, la))
             self._next_poc += 1
             if len(self._queue) == self.bframes + 1:
-                out += self._emit_minigop()
+                self._emit_minigop()
         self._display_idx += 1
-        return out
 
-    def _after_anchor(self, ef, idr: bool = False) -> None:
-        """DPB management after an anchor (I/P): anchors are the only
-        reference pictures (Bs are non-referenced, TRAIL_N)."""
+    def _after_anchor(self, pf: _Pending, idr: bool = False) -> None:
+        """DPB management after an anchor (I/P) DISPATCH: anchors are the
+        only reference pictures (Bs are non-referenced, TRAIL_N).  The
+        device-resident extended recon (pf.ext) is already queued, so
+        dependent frames can dispatch immediately; the host recon lands
+        in self.dpb when the frame finishes."""
         if idr:
             self.dpb.clear()
             self.dpb_dev.clear()
-            self._cvs_base = self._display_idx
             self._next_poc = 1
         else:
-            self._next_poc = ef.poc + 1
+            self._next_poc = pf.poc + 1
         # keep only the new anchor (single active reference per list)
-        self.dpb = {ef.poc: ef.coded}
-        self.dpb_dev = ({ef.poc: ef.coded_dev}
-                        if ef.coded_dev is not None else {})
-        self.prev_anchor_poc = ef.poc
-        self.ref = ef.coded             # legacy alias (bframes == 0 path)
+        self.dpb = {pf.poc: pf}
+        self.dpb_dev = ({pf.poc: pf.ext} if pf.ext is not None else {})
+        self.prev_anchor_poc = pf.poc
 
-    def _emit_minigop(self) -> list:
-        """Encode the queued mini-GOP: last frame as the P anchor first,
+    def _emit_minigop(self) -> None:
+        """Dispatch the queued mini-GOP: last frame as the P anchor first,
         then the Bs (display order) against (prev anchor, new anchor)."""
         if not self._queue:
-            return []
+            return
         frames, self._queue = self._queue, []
         anchor_poc, anchor_planes, anchor_la = frames[-1]
         l0 = self.prev_anchor_poc
-        out = [self._encode_one(anchor_planes, anchor_poc,
-                                "P" if l0 is not None else "I", l0_poc=l0,
-                                la=anchor_la)]
+        base = self._cvs_base
+        pend = self._dispatch_one(anchor_planes, anchor_poc,
+                                  "P" if l0 is not None else "I", l0_poc=l0,
+                                  la=anchor_la)
+        pend.display_idx = base + anchor_poc
+        self._inflight.append(pend)
         prev_dpb = dict(self.dpb)
         prev_dpb_dev = dict(self.dpb_dev)
-        self._after_anchor(out[0])
+        self._after_anchor(pend)
         self.dpb.update(prev_dpb)       # Bs still need the previous anchor
         self.dpb_dev.update(prev_dpb_dev)
         for poc, planes, la in frames[:-1]:
-            out.append(self._encode_one(planes, poc, "B", l0_poc=l0,
-                                        l1_poc=anchor_poc, la=la))
-        self.dpb = {anchor_poc: out[0].coded}
-        self.dpb_dev = ({anchor_poc: out[0].coded_dev}
-                        if out[0].coded_dev is not None else {})
-        return out
+            bp = self._dispatch_one(planes, poc, "B", l0_poc=l0,
+                                    l1_poc=anchor_poc, la=la)
+            bp.display_idx = base + poc
+            self._inflight.append(bp)
+        self.dpb = {anchor_poc: pend}
+        self.dpb_dev = ({anchor_poc: pend.ext}
+                        if pend.ext is not None else {})
 
-    def _encode_one(self, planes, poc: int, kind: str,
-                    l0_poc=None, l1_poc=None, la=None):
-        """Encode one picture of the given slice type against DPB refs.
-
-        Returns an EncodedFrame; does NOT advance GOP state (push_frame
-        owns the ordering).  A scenecut may upgrade a P to an IDR — the
-        returned .kind and .poc reflect what was coded.
-        """
+    def _dispatch_one(self, planes, poc: int, kind: str,
+                      l0_poc=None, l1_poc=None, la=None, cplx=None):
+        """Dispatch one picture's device work (async) and return the
+        _Pending handle.  Does NOT advance GOP state (push_frame owns the
+        ordering); the host finish (fetch + entropy) runs later in
+        _finish_one, overlapping subsequent frames' device work."""
         g = self.geom
         p = self.params
         ph = g.ctbs_h << g.log2_ctb
@@ -448,7 +503,6 @@ class Encoder:
                 pad_plane(np.asarray(planes[1]), ph // 2, pw // 2),
                 pad_plane(np.asarray(planes[2]), ph // 2, pw // 2))
 
-        keyint = max(1, p.keyint_max)
         if kind != "I" and (self.force_all_intra or self.bit_depth > 8
                             or l0_poc is None):
             kind = "I"      # Main10 inter lands with >8-bit MC pipelines
@@ -458,10 +512,11 @@ class Encoder:
         # frame complexity for rate control: lowres lookahead cost when
         # the window is active (x265 m_currentSatd), else the inline
         # half-res estimate
-        if la is not None and la[1]:
-            cplx = float(la[1])
-        else:
-            cplx = self._complexity_estimate(orig, kind != "I")
+        if cplx is None:
+            if la is not None and la[1]:
+                cplx = float(la[1])
+            else:
+                cplx = self._complexity_estimate(orig, kind != "I")
         self._la_off16 = la[0] if la is not None else None
         self.qp = self.rc.frame_qp(is_intra=kind == "I", satd=cplx,
                                    is_b=is_b)
@@ -480,10 +535,6 @@ class Encoder:
         ps.tu_depth[:] = 0
         s4 = cu_size // 4
 
-        rec = (np.zeros((ph, pw), np.int16),
-               np.zeros((ph // 2, pw // 2), np.int16),
-               np.zeros((ph // 2, pw // 2), np.int16))
-
         # quantizer parameters include QpBdOffset = 6*(bd-8) (§8.6.1 Qp');
         # the slice header still carries the base 0..51 QP
         bd_off = 6 * (self.bit_depth - 8)
@@ -497,65 +548,92 @@ class Encoder:
         ps.ref_pocs_l0 = (l0_poc,) if l0_poc is not None else ()
         ps.ref_pocs_l1 = (l1_poc,) if l1_poc is not None else ()
 
-        inter_mask = None
-        self._pending_ext = None
+        pend = _Pending(poc=poc, kind=kind, qp=self.qp, ps=ps,
+                        display_idx=0, planes=planes, orig=orig,
+                        l0_poc=l0_poc, l1_poc=l1_poc, cu_size=cu_size)
         # the CTU scan handles partial CTBs natively (coded size is always
         # 16-aligned); the host fallback remains for tests/oracle runs
         use_pipeline = not self.force_host_recon
         if is_b:
             assert use_pipeline, "B frames require the device pipeline"
-            self._run_b_pipeline(ps, orig, rec, cu_size,
-                                 (qp_y, qp_cb, qp_cr), l0_poc, l1_poc)
+            pend.out_dev = self._dispatch_b(orig, l0_poc, l1_poc)
         elif is_p:
             assert use_pipeline, "P frames require the device pipeline"
-            inter_mask, modes = self._run_p_pipeline(
-                ps, orig, rec, cu_size, (qp_y, qp_cb, qp_cr), l0_poc)
-            cost_p, cost_i = self.last_frame_costs
-            min_keyint = p.keyint_min if p.keyint_min > 0 else 2
-            if (p.scenecut_threshold and self.bframes == 0
-                    and cost_p > 0.85 * cost_i
-                    and poc % keyint >= min_keyint):
-                # scene change: most CUs went intra — restart the GOP with
-                # an IDR instead (x265 scenecut analogue)
-                is_p = False
-                kind = "I"
-                inter_mask = None
-                poc = 0
-                # satd=0: the complexity blur was already fed this frame
-                self.qp = self.rc.frame_qp(is_intra=True, satd=0.0)
-                qp_y = self.qp + bd_off
-                qp_cb = chroma_qp(self.qp, self.pps.cb_qp_offset) + bd_off
-                qp_cr = chroma_qp(self.qp, self.pps.cr_qp_offset) + bd_off
-                self._qp_plan(orig)
-                ps = PicSyntax(
-                    g,
-                    max_tr_depth_intra=(
-                        self.sps.max_transform_hierarchy_depth_intra),
-                    max_tr_depth_inter=(
-                        self.sps.max_transform_hierarchy_depth_inter),
-                    sign_hiding=bool(self.pps.sign_data_hiding),
-                    slice_qp=self.qp, cu_qp_delta_enabled=self.aq)
-                ps.depth[:] = cu_depth
-                ps.pred_mode[:] = MODE_INTRA
-                ps.cur_poc = 0
-                modes = self._run_i_pipeline(ps, orig, rec, cu_size,
-                                             (qp_y, qp_cb, qp_cr))
+            pend.out_dev, pend.ext = self._dispatch_p(orig, l0_poc)
+            pend.allow_scenecut = bool(p.scenecut_threshold
+                                       and self.bframes == 0
+                                       and not self._use_lookahead)
         elif use_pipeline:
-            modes = self._run_i_pipeline(ps, orig, rec, cu_size,
-                                         (qp_y, qp_cb, qp_cr))
+            pend.out_dev, pend.ext = self._dispatch_i(orig)
         else:
+            rec = (np.zeros((ph, pw), np.int16),
+                   np.zeros((ph // 2, pw // 2), np.int16),
+                   np.zeros((ph // 2, pw // 2), np.int16))
             cu_size, modes, _c = self._decide_modes(orig)
             ps.luma_mode[:] = np.kron(modes, np.ones((s4, s4), np.uint8))
             ps.chroma_mode[:] = ps.luma_mode
             self._recon_host_fallback(ps, orig, rec, modes, cu_size,
                                       (qp_y, qp_cb, qp_cr))
-        # in-loop filters run on the coded-size picture; intra prediction
-        # above used the unfiltered planes, so filter a copy (§8.4.4.2.1).
-        # The device pipelines already applied deblock + SAO on device.
-        cw, ch_ = self.sps.pic_width, self.sps.pic_height
-        rec = (rec[0][:ch_, :cw], rec[1][:ch_ // 2, :cw // 2],
-               rec[2][:ch_ // 2, :cw // 2])
-        if not use_pipeline:
+            pend.rec = rec
+        return pend
+
+    def _finish_one(self, pend: _Pending) -> EncodedFrame:
+        """Host finish of a dispatched frame: fetch device outputs,
+        scatter syntax, derive inter syntax, entropy-code, hash, package
+        the access unit, and feed rate-control."""
+        g = self.geom
+        p = self.params
+        ph = g.ctbs_h << g.log2_ctb
+        pw = g.ctbs_w << g.log2_ctb
+        self.qp = pend.qp
+        ps = pend.ps
+        kind = pend.kind
+        is_p = kind == "P"
+        is_b = kind == "B"
+        poc = pend.poc
+        keyint = max(1, p.keyint_max)
+
+        checksums = None
+        if pend.out_dev is not None:
+            if is_b:
+                o = self._finish_b(pend)
+            elif is_p:
+                o = self._finish_p(pend)
+                cost_p, cost_i = self.last_frame_costs
+                min_keyint = p.keyint_min if p.keyint_min > 0 else 2
+                if (pend.allow_scenecut and not self._inflight
+                        and cost_p > 0.85 * cost_i
+                        and poc % keyint >= min_keyint):
+                    # scene change: most CUs went intra — restart the GOP
+                    # with an IDR (x265 scenecut analogue).  Only legal in
+                    # sync mode: no later frame was dispatched against
+                    # this P's recon.  satd=0: the complexity blur was
+                    # already fed this frame.
+                    redo = self._dispatch_one(pend.planes, 0, "I",
+                                              cplx=0.0)
+                    redo.display_idx = pend.display_idx
+                    self._cvs_base = pend.display_idx
+                    self._after_anchor(redo, idr=True)
+                    return self._finish_one(redo)
+            else:
+                o = self._finish_i(pend)
+            checksums = o["checksums"]
+            tails = pend.out_dev[1]
+            # recon stays DEVICE-resident (np.asarray-able on demand);
+            # the host never fetches pixels unless it needs them (MD5/CRC
+            # hash, --recon, tests)
+            coded_rec = tails["rec_coded"]
+            rec_crop = tails["rec_conf"]
+        else:
+            rec = pend.rec
+            # in-loop filters run on the coded-size picture; intra
+            # prediction above used the unfiltered planes, so filter a
+            # copy (§8.4.4.2.1).  The device pipelines apply deblock +
+            # SAO on device.
+            cw, ch_ = self.sps.pic_width, self.sps.pic_height
+            rec = (rec[0][:ch_, :cw], rec[1][:ch_ // 2, :cw // 2],
+                   rec[2][:ch_ // 2, :cw // 2])
+            orig = pend.orig
             if p.deblock:
                 # deblocking beta/tc derivation indexes by the BASE QpY (no
                 # QpBdOffset — the tables are clipped to 0..51, §8.7.2.5.3)
@@ -568,28 +646,34 @@ class Encoder:
                               orig[1][:ch_ // 2, :cw // 2],
                               orig[2][:ch_ // 2, :cw // 2])
                 rec = self._sao_decide_apply(ps, orig_coded, rec)
+            coded_rec = tuple(pl.astype(np.int16) for pl in rec)
+            cl, cr, ct, cb = self.sps.conf_win
+            wl = self.sps.pic_width - 2 * (cl + cr)
+            hl = self.sps.pic_height - 2 * (ct + cb)
+            rec_crop = (rec[0][2 * ct:2 * ct + hl, 2 * cl:2 * cl + wl],
+                        rec[1][ct:ct + hl // 2, cl:cl + wl // 2],
+                        rec[2][ct:ct + hl // 2, cl:cl + wl // 2])
 
         st = (SLICE_B if is_b else SLICE_P if is_p else SLICE_I)
-        au = self._entropy_encode(ps, st, poc, l0_poc, l1_poc)
-        coded_rec = tuple(pl.astype(np.int16) for pl in rec)
-
-        # crop recon to conformance window
-        cl, cr, ct, cb = self.sps.conf_win
-        wl = self.sps.pic_width - 2 * (cl + cr)
-        hl = self.sps.pic_height - 2 * (ct + cb)
-        rec_crop = (rec[0][2 * ct:2 * ct + hl, 2 * cl:2 * cl + wl],
-                    rec[1][ct:ct + hl // 2, cl:cl + wl // 2],
-                    rec[2][ct:ct + hl // 2, cl:cl + wl // 2])
+        au = self._entropy_encode(ps, st, poc, pend.l0_poc, pend.l1_poc)
+        if self.dpb.get(poc) is pend:
+            self.dpb[poc] = coded_rec   # host DPB mirror (fallback path)
 
         if p.decoded_picture_hash:
             # hash covers the full decoded picture (coded size, pre-crop)
-            dt = np.uint8 if self.bit_depth == 8 else np.uint16
-            cw, ch = self.sps.pic_width, self.sps.pic_height
-            coded = (rec[0][:ch, :cw], rec[1][:ch // 2, :cw // 2],
-                     rec[2][:ch // 2, :cw // 2])
-            payload = picture_hash_payload(
-                [pl.astype(dt) for pl in coded], self.bit_depth,
-                hash_type=p.decoded_picture_hash - 1)
+            from ..common.params import HASH_CHECKSUM
+            if (p.decoded_picture_hash == HASH_CHECKSUM
+                    and checksums is not None):
+                # checksum computed ON DEVICE (D.3.19 position-masked
+                # byte sum) — no recon pixel fetch needed
+                payload = bytes([2]) + b"".join(
+                    int(c).to_bytes(4, "big") for c in checksums)
+            else:
+                dt = np.uint8 if self.bit_depth == 8 else np.uint16
+                payload = picture_hash_payload(
+                    [np.asarray(pl).astype(dt) for pl in coded_rec],
+                    self.bit_depth,
+                    hash_type=p.decoded_picture_hash - 1)
             sei = write_sei_rbsp([(SEI_DECODED_PICTURE_HASH, payload)])
             au += wrap_nal(NAL_SUFFIX_SEI, sei, long_start_code=False)
 
@@ -612,12 +696,10 @@ class Encoder:
         self.frames_encoded += 1
         self.last_slice_type_str = "B" if is_b else "P" if is_p else "I"
         self.last_ps = ps      # exposed for tests / debugging
-        disp = (self._display_idx if self.bframes == 0
-                else self._cvs_base + poc)
         return EncodedFrame(
-            poc=poc, display_idx=disp, au=au,
+            poc=poc, display_idx=pend.display_idx, au=au,
             recon=rec_crop, coded=coded_rec, kind=self.last_slice_type_str,
-            qp=self.qp, coded_dev=self._pending_ext)
+            qp=self.qp, coded_dev=pend.ext)
 
     # -- fused device pipelines ----------------------------------------------
 
@@ -651,31 +733,62 @@ class Encoder:
                     self.sps.strong_intra_smoothing))
         return self._ctu_scan
 
-    def _expand_outs(self, p7, tail_dev):
-        """int8-packed coeff planes -> full-range planes: the int16
-        device copies (pipeline tail) are fetched only on overflow."""
-        fy, fcb, fcr, cy8, ccb8, ccr8, ovf = p7
-        if int(ovf):
-            import jax
-            cy, ccb, ccr = jax.device_get(tail_dev)
+    def _fetch_outputs(self, pend):
+        """Fetch the small output dict (one transfer) and reconstruct the
+        coefficient planes from the compacted nonzero-subblock form.
+        Tiered overflow fallback: compact int8 -> full int8 luma plane ->
+        int16 planes (|level| > 127, very low QP)."""
+        import jax
+        small, tails = pend.out_dev
+        o = jax.device_get(small)
+        g = self.geom
+        ph = g.ctbs_h << g.log2_ctb
+        pw = g.ctbs_w << g.log2_ctb
+        if int(o["ovf"]):
+            cy, ccb, ccr = (np.asarray(a) for a in jax.device_get(
+                (tails["cy16"], tails["ccb16"], tails["ccr16"])))
         else:
-            cy, ccb, ccr = cy8, ccb8, ccr8
-        return (fy, fcb, fcr, cy, ccb, ccr)
+            ccb, ccr = o["ccb8"], o["ccr8"]
+            count = int(o["y_count"])
+            if count <= o["y_buf"].shape[0]:
+                blocks = np.zeros((ph // 8, pw // 8, 8, 8), np.int8)
+                mask = o["y_nzmask"].reshape(ph // 8, pw // 8)
+                blocks[mask] = o["y_buf"][:count]
+                cy = blocks.transpose(0, 2, 1, 3).reshape(ph, pw)
+            else:
+                cy = np.asarray(jax.device_get(tails["cy8"]))
+        return o, (cy, ccb, ccr)
 
-    def _scatter_device_outputs(self, ps, rec, outs):
-        """Device finish-stage outputs -> rec planes + coeff planes +
-        SAO syntax.  outs: (final x3, coeff x3, sao x4)."""
-        (fy, fcb, fcr, cy, ccb, ccr, st, sc, sb, so) = outs[:10]
-        for rpl, pl in zip(rec, (fy, fcb, fcr)):
-            rpl[:] = np.asarray(pl).astype(rpl.dtype)
-        ps.coeff_y[:] = np.asarray(cy).astype(np.int32)
-        ps.coeff_cb[:] = np.asarray(ccb).astype(np.int32)
-        ps.coeff_cr[:] = np.asarray(ccr).astype(np.int32)
+    def _scatter_syntax(self, ps, o, coeffs):
+        """Fetched device outputs -> PicSyntax coefficient planes, per-CTB
+        QPs and SAO syntax."""
+        cy, ccb, ccr = coeffs
+        ps.coeff_y[:] = cy.astype(np.int32)
+        ps.coeff_cb[:] = ccb.astype(np.int32)
+        ps.coeff_cr[:] = ccr.astype(np.int32)
+        ps.qp_ctb[:] = o["qp_actual"].astype(np.int32)
         if self.sps.sao_enabled:
-            ps.sao_type[:] = np.asarray(st).astype(np.int8)
-            ps.sao_eo_class[:] = np.asarray(sc).astype(np.int8)
-            ps.sao_band_pos[:] = np.asarray(sb).astype(np.int8)
-            ps.sao_offsets[:] = np.asarray(so).astype(np.int8)
+            ps.sao_type[:] = o["sao_type"].astype(np.int8)
+            ps.sao_eo_class[:] = o["sao_class"].astype(np.int8)
+            ps.sao_band_pos[:] = o["sao_bpos"].astype(np.int8)
+            ps.sao_offsets[:] = o["sao_offs"].astype(np.int8)
+
+    def _apply_inter_merge(self, ps, o):
+        """Apply the device-computed inter CU merge masks (the twin of
+        the former host loop): aligned quads of inter blocks with
+        identical motion become one 32/64 CU whose TU tree keeps the
+        16x16 transforms — identical recon, cheaper syntax."""
+        g = self.geom
+        m32 = o.get("m32")
+        m64 = o.get("m64")
+        if m32 is not None and m32.any():
+            u8 = np.kron(m32, np.ones((8, 8), bool))
+            ps.depth[u8] = g.log2_ctb - 5
+            ps.tu_depth[u8] = 1
+        if m64 is not None and m64.any():
+            u16 = np.kron(m64, np.ones((16, 16), bool))
+            ps.depth[u16] = g.log2_ctb - 6
+            ps.tu_depth[u16] = 2
 
     def _apply_cu32(self, ps, use32, mode32):
         """Set the PicSyntax CU structure for chosen 32x32 intra CUs.
@@ -736,36 +849,35 @@ class Encoder:
             (0.85 * lam * lam).astype(np.float32),
             qp_ctb.astype(np.int32))
 
-    def _run_i_pipeline(self, ps, orig, rec, cu_size, qps):
+    def _dispatch_i(self, orig):
         from .device_pipeline import build_i_pipeline
-        from ..common.rdcost import lambda_ssd
 
         if self._i_pipeline is None:
             self._i_pipeline = build_i_pipeline(self)
-        import jax
         qpy, qpb, qpr, lam, qp_ctb = self._qp_arrays
-        out_dev, ext = self._i_pipeline(
+        small, tails, ext = self._i_pipeline(
             orig[0], orig[1], orig[2], qpy, qpb, qpr, lam,
             *self._filter_qps(), qp_ctb)
-        self._pending_ext = ext
-        out = jax.device_get(out_dev[:-3])
-        modes, mode32, use32 = out[0], out[1], out[2]
+        return (small, tails), ext
+
+    def _finish_i(self, pend):
+        ps = pend.ps
+        o, coeffs = self._fetch_outputs(pend)
         g = self.geom
         ph = g.ctbs_h << g.log2_ctb
         pw = g.ctbs_w << g.log2_ctb
         gh, gw = ph // 16, pw // 16
-        modes = np.asarray(modes).reshape(gh, gw)
-        s4 = cu_size // 4
-        ps.luma_mode[:] = np.kron(modes, np.ones((s4, s4), np.uint8))
+        modes = o["modes"].reshape(gh, gw)
+        s4 = pend.cu_size // 4
+        ps.luma_mode[:] = np.kron(modes.astype(np.uint8),
+                                  np.ones((s4, s4), np.uint8))
         ps.chroma_mode[:] = ps.luma_mode
         if self._ctu_scan.t["has32"]:
-            use32 = np.asarray(use32).reshape(ph // 32, pw // 32)
-            mode32 = np.asarray(mode32).reshape(ph // 32, pw // 32)
+            use32 = o["use32"].reshape(ph // 32, pw // 32)
+            mode32 = o["mode32"].reshape(ph // 32, pw // 32)
             self._apply_cu32(ps, use32, mode32)
-        outs = self._expand_outs(out[3:10], out_dev[-3:])
-        ps.qp_ctb[:] = np.asarray(out[10], np.int32)
-        self._scatter_device_outputs(ps, rec, outs + tuple(out[11:15]))
-        return modes
+        self._scatter_syntax(ps, o, coeffs)
+        return o
 
     def _extend_ref(self, ref):
         """Edge-replicate a reference to coded size + ME/MC margin (host
@@ -794,35 +906,35 @@ class Encoder:
         dev = self.dpb_dev.get(poc)
         if dev is not None:
             return dev
-        return self._extend_ref(self.dpb[poc])
+        entry = self.dpb[poc]
+        assert not isinstance(entry, _Pending), \
+            "host reference requested before the frame finished"
+        return self._extend_ref(entry)
 
-    def _run_p_pipeline(self, ps, orig, rec, cu_size, qps, l0_poc):
+    def _dispatch_p(self, orig, l0_poc):
         from .device_pipeline import build_p_pipeline
-
-        g = self.geom
-        n = cu_size
-        ph = g.ctbs_h << g.log2_ctb
-        pw = g.ctbs_w << g.log2_ctb
 
         if self._p_pipeline is None:
             self._p_pipeline = build_p_pipeline(self)
-
         refs = self._get_ref_ext(l0_poc)
-        from ..common.rdcost import lambda_ssd
-        import jax
         qpy, qpb, qpr, lam, qp_ctb = self._qp_arrays
-        out_dev, ext = self._p_pipeline(
+        small, tails, ext = self._p_pipeline(
             orig[0], orig[1], orig[2], *refs,
             qpy, qpb, qpr, lam, *self._filter_qps(), qp_ctb)
-        self._pending_ext = ext
-        out = jax.device_get(out_dev[:-3])
-        modes, mode32, use32, mv, inter = out[:5]
-        cost_p, cost_i = out[17], out[18]
-        self.last_frame_costs = (float(cost_p), float(cost_i))
+        return (small, tails), ext
+
+    def _finish_p(self, pend):
+        ps = pend.ps
+        g = self.geom
+        n = cu_size = pend.cu_size
+        ph = g.ctbs_h << g.log2_ctb
+        pw = g.ctbs_w << g.log2_ctb
+        o, coeffs = self._fetch_outputs(pend)
+        self.last_frame_costs = (float(o["cost_p"]), float(o["cost_i"]))
         gh, gw = (ph // cu_size, pw // cu_size)
-        modes = np.asarray(modes).reshape(gh, gw)
-        mv = np.asarray(mv).reshape(gh, gw, 2)
-        inter_mask = np.asarray(inter).reshape(gh, gw)
+        modes = o["modes"].reshape(gh, gw)
+        mv = o["mv"].reshape(gh, gw, 2)
+        inter_mask = o["inter"].reshape(gh, gw)
         s4 = n // 4
         ps.luma_mode[:] = np.kron(modes.astype(np.uint8),
                                   np.ones((s4, s4), np.uint8))
@@ -833,49 +945,47 @@ class Encoder:
             mv.astype(np.int16).transpose(2, 0, 1),
             np.ones((1, s4, s4), np.int16)).transpose(1, 2, 0)
         if self._ctu_scan.t["has32"]:
-            use32 = np.asarray(use32).reshape(ph // 32, pw // 32)
-            mode32 = np.asarray(mode32).reshape(ph // 32, pw // 32)
+            use32 = o["use32"].reshape(ph // 32, pw // 32)
+            mode32 = o["mode32"].reshape(ph // 32, pw // 32)
             self._apply_cu32(ps, use32, mode32)
-        self._merge_inter_cus(ps, inter_mask, mv, n)
-        outs = self._expand_outs(out[5:12], out_dev[-3:])
-        ps.qp_ctb[:] = np.asarray(out[12], np.int32)
-        self._scatter_device_outputs(ps, rec, outs + tuple(out[13:17]))
+        self._apply_inter_merge(ps, o)
+        self._scatter_syntax(ps, o, coeffs)
         self._derive_inter_all(ps)
-        return inter_mask, modes
+        return o
 
-    def _run_b_pipeline(self, ps, orig, rec, cu_size, qps, l0_poc, l1_poc):
+    def _dispatch_b(self, orig, l0_poc, l1_poc):
         """B-frame device program dispatch: both list searches + bi trial
-        happen on device (device_pipeline.build_b_pipeline); this scatters
-        the chosen motion into PicSyntax and derives the merge/AMVP syntax.
-        TPU-first shape of x265 interModeBidir (search.cpp:2013)."""
+        happen on device (device_pipeline.build_b_pipeline).  TPU-first
+        shape of x265 interModeBidir (search.cpp:2013)."""
         from .device_pipeline import build_b_pipeline
-
-        g = self.geom
-        n = cu_size
-        ph = g.ctbs_h << g.log2_ctb
-        pw = g.ctbs_w << g.log2_ctb
 
         if self._b_pipeline is None:
             self._b_pipeline = build_b_pipeline(self)
-
         refs0 = self._get_ref_ext(l0_poc)
         refs1 = self._get_ref_ext(l1_poc)
-        from ..common.rdcost import lambda_ssd
-        import jax
         qpy, qpb, qpr, lam, qp_ctb = self._qp_arrays
-        out_dev, _ = self._b_pipeline(
+        small, tails, _ = self._b_pipeline(
             orig[0], orig[1], orig[2], *refs0, *refs1,
             qpy, qpb, qpr, lam,
             *self._filter_qps(), np.int32(l0_poc), np.int32(l1_poc),
             qp_ctb)
-        out = jax.device_get(out_dev[:-3])
-        modes, mode32, use32, mv0, mv1, dirs, inter = out[:7]
+        return (small, tails)
+
+    def _finish_b(self, pend):
+        """Scatter the fetched B outputs into PicSyntax and derive the
+        merge/AMVP syntax."""
+        ps = pend.ps
+        g = self.geom
+        n = cu_size = pend.cu_size
+        ph = g.ctbs_h << g.log2_ctb
+        pw = g.ctbs_w << g.log2_ctb
+        o, coeffs = self._fetch_outputs(pend)
         gh, gw = (ph // cu_size, pw // cu_size)
-        modes = np.asarray(modes).reshape(gh, gw)
-        mv0 = np.asarray(mv0).reshape(gh, gw, 2)
-        mv1 = np.asarray(mv1).reshape(gh, gw, 2)
-        dirs = np.asarray(dirs).reshape(gh, gw)
-        inter_mask = np.asarray(inter).reshape(gh, gw)
+        modes = o["modes"].reshape(gh, gw)
+        mv0 = o["mv0"].reshape(gh, gw, 2)
+        mv1 = o["mv1"].reshape(gh, gw, 2)
+        dirs = o["dirs"].reshape(gh, gw)
+        inter_mask = o["inter"].reshape(gh, gw)
         s4 = n // 4
         ps.luma_mode[:] = np.kron(modes.astype(np.uint8),
                                   np.ones((s4, s4), np.uint8))
@@ -895,56 +1005,13 @@ class Encoder:
         ps.mv0[ps.inter_dir == 2] = 0
         ps.mv1[ps.inter_dir == 1] = 0
         if self._ctu_scan.t["has32"]:
-            use32 = np.asarray(use32).reshape(ph // 32, pw // 32)
-            mode32 = np.asarray(mode32).reshape(ph // 32, pw // 32)
+            use32 = o["use32"].reshape(ph // 32, pw // 32)
+            mode32 = o["mode32"].reshape(ph // 32, pw // 32)
             self._apply_cu32(ps, use32, mode32)
-        self._merge_inter_cus(ps, inter_mask, mv0, n,
-                              extra=(mv1, dirs))
-        outs = self._expand_outs(out[7:14], out_dev[-3:])
-        ps.qp_ctb[:] = np.asarray(out[14], np.int32)
-        self._scatter_device_outputs(ps, rec, outs + tuple(out[15:19]))
+        self._apply_inter_merge(ps, o)
+        self._scatter_syntax(ps, o, coeffs)
         self._derive_inter_all(ps)
-        return inter_mask, modes
-
-    def _merge_inter_cus(self, ps, inter_mask, mv, cu_size, extra=()):
-        """Merge aligned quads of inter CUs with identical MVs into 32/64
-        CUs whose TU trees keep the analysis-grid 16x16 transforms — the
-        reconstruction is IDENTICAL, only the syntax gets cheaper (one
-        merge/mvd + skip flag instead of four).  Pure bitrate win."""
-        g = self.geom
-        n = cu_size
-        gh, gw = inter_mask.shape
-        base_depth = g.log2_ctb - (n.bit_length() - 1)
-        mergeable = inter_mask.copy()
-        for size in (32, 64):
-            if size > (1 << g.log2_ctb):
-                break
-            f = size // n                      # sub-CUs per merged side
-            depth = g.log2_ctb - (size.bit_length() - 1)
-            tu_d = size.bit_length() - 1 - 4   # back to 16x16 TUs
-            mh, mw = gh // f, gw // f
-            for by in range(mh):
-                for bx in range(mw):
-                    ys, xs = by * f, bx * f
-                    x0, y0 = xs * n, ys * n
-                    if x0 + size > g.width or y0 + size > g.height:
-                        continue
-                    q = mergeable[ys:ys + f, xs:xs + f]
-                    if not q.all():
-                        continue
-                    same = True
-                    for m in (mv,) + tuple(extra):
-                        ms = m[ys:ys + f, xs:xs + f]
-                        if not (ms == ms[0, 0]).all():
-                            same = False
-                            break
-                    if not same:
-                        mergeable[ys:ys + f, xs:xs + f] = False
-                        continue
-                    ps.set_region(ps.depth, x0, y0, size, depth)
-                    ps.set_region(ps.tu_depth, x0, y0, size, tu_d)
-            # only fully-merged regions can merge to the next size
-        # un-merged blocks keep base depth / tu_depth 0 (already set)
+        return o
 
     def _recon_host_fallback(self, ps, orig, rec, modes, cu_size, qps):
         """Spec-loop encode (numpy oracle) for non-aligned geometries and

@@ -185,10 +185,20 @@ class Lookahead:
     def _pop(self) -> tuple:
         """Run cuTree over the current window and pop the front frame.
 
-        Returns (planes, offsets16 [gh, gw] float or None, satd_cost).
+        Returns (planes, offsets16 [gh, gw] float or None, satd_cost,
+        scenecut) — scenecut is the lowres cost-ratio decision
+        (x265 slicetype.cpp:1437 analogue: a frame whose inter cost is
+        close to its intra cost starts a new GOP), taken here BEFORE
+        dispatch so the encode pipeline never needs a mid-stream redo.
         """
         fr = self.queue[0]
         off = fr.aq_offsets
+        scenecut = False
+        if fr.intra_cost is not None:
+            bias = self.p.scenecut_threshold / 100.0
+            ic = float(fr.intra_cost.sum())
+            pc = float(np.minimum(fr.intra_cost, fr.inter_cost).sum())
+            scenecut = ic > 0 and pc >= (1.0 - bias) * ic
         if self.cutree and fr.intra_cost is not None:
             prop = self._propagate()
             ic = fr.intra_cost.astype(np.float64)
@@ -202,7 +212,7 @@ class Lookahead:
                     if fr.aq_offsets is not None else 0.0)
             off = base - self.strength * log2_ratio
         self.queue.pop(0)
-        return fr.planes, off, fr.satd_cost
+        return fr.planes, off, fr.satd_cost, scenecut
 
     def _propagate(self) -> np.ndarray:
         """estimateCUPropagate (slicetype.cpp:1741) over the window: each
