@@ -463,7 +463,9 @@ def build_i_pipeline(enc):
         # stay on device for the next frame's prep (no host roundtrip)
         return small, tails, extend(fplanes)
 
-    return jax.jit(run)
+    fn = jax.jit(run)
+    fn.raw = run        # unjitted body for shard_map wrapping (parallel/)
+    return fn
 
 
 def _extend_builder(enc):
@@ -751,8 +753,7 @@ def build_p_pipeline(enc):
     # wavefront lax.scan makes XLA schedule the whole thing ~6x slower
     # (measured 1.32s vs 0.20s at 1080p) — so analysis/ME dispatch first,
     # and the scan+filters program consumes their on-device outputs.
-    @jax.jit
-    def prep(oy, ref_y_ext, ref_cb_ext, ref_cr_ext, qpy):
+    def prep_raw(oy, ref_y_ext, ref_cb_ext, ref_cr_ext, qpy):
         modes, icost = analyse16(oy)
         ob = to_blocks(oy.astype(jnp.int32), n)
         if decide:
@@ -774,10 +775,9 @@ def build_p_pipeline(enc):
         return (modes, mode32, mv, inter, pred_y, pred_cb, pred_cr,
                 cost_p, cost_i)
 
-    @jax.jit
-    def main(oy, ocb, ocr, modes, mode32, mv, inter, pred_y, pred_cb,
-             pred_cr, qpy, qpb, qpr, lam, qp_base, dqp_cb, dqp_cr,
-             sao_lam, qp_base_ctb):
+    def main_raw(oy, ocb, ocr, modes, mode32, mv, inter, pred_y, pred_cb,
+                 pred_cr, qpy, qpb, qpr, lam, qp_base, dqp_cb, dqp_cr,
+                 sao_lam, qp_base_ctb):
         out = run_scan(oy, ocb, ocr, modes, mode32,
                        jnp.zeros((B32,), bool), qpy, qpb, qpr, lam=lam,
                        is_inter=inter, ipred_y=pred_y,
@@ -790,6 +790,9 @@ def build_p_pipeline(enc):
                                        merged=merged)
         small = dict(small, use32=out[9])
         return small, tails, extend(fplanes)
+
+    prep = jax.jit(prep_raw)
+    main = jax.jit(main_raw)
 
     def run(oy, ocb, ocr, ref_y_ext, ref_cb_ext, ref_cr_ext,
             qpy, qpb, qpr, lam, qp_base, dqp_cb, dqp_cr, sao_lam,
@@ -809,12 +812,21 @@ def build_p_pipeline(enc):
 
     run.prep = prep
     run.main = main
+    run.prep_raw = prep_raw
+    run.main_raw = main_raw
     return run
 
 
-def build_b_pipeline(enc):
+def build_b_pipeline(enc, batch: int | None = None):
     """B-frame device program: intra analysis + per-list ME + bi-prediction
     trial + direction decision + CTU-wavefront recon + in-loop filters.
+
+    With ``batch=F`` the returned function encodes F independent B frames
+    of one mini-GOP in a single pair of device programs (vmap over the
+    frame axis; the reference planes are shared/broadcast).  This is the
+    TPU-first shape of x265's frame parallelism for non-referenced Bs
+    (SURVEY §2.6 P2): they have no cross-dependency, so the whole
+    mini-GOP's B work is one batched dispatch.
 
     fn(orig x3, ref0_ext x3, ref1_ext x3, qps, lam, qp_base, dqp_cb,
        dqp_cr, sao_lam, poc_l0, poc_l1) ->
@@ -850,7 +862,6 @@ def build_b_pipeline(enc):
 
     # same two-program split as build_p_pipeline (ME fused into the
     # scan program wrecks the XLA schedule)
-    @jax.jit
     def prep(oy, r0y, r0cb, r0cr, r1y, r1cb, r1cr, qpy):
         modes, icost = analyse16(oy)
         ob = to_blocks(oy.astype(jnp.int32), n)
@@ -898,7 +909,6 @@ def build_b_pipeline(enc):
         return (modes, mode32, mv0, mv1, d, inter,
                 pred_y, pred_cb, pred_cr)
 
-    @jax.jit
     def main(oy, ocb, ocr, modes, mode32, mv0, mv1, d, inter,
              pred_y, pred_cb, pred_cr, qpy, qpb, qpr, lam,
              qp_base, dqp_cb, dqp_cr, sao_lam, poc_l0, poc_l1,
@@ -927,21 +937,32 @@ def build_b_pipeline(enc):
                                    qp_base_ctb=qp_base_ctb, merged=merged)
         return dict(small, use32=out[9]), tails
 
+    if batch is None:
+        prep_c = jax.jit(prep)
+        main_c = jax.jit(main)
+    else:
+        # F independent B frames: vmap over the frame axis; the two
+        # reference pictures (the mini-GOP anchors) broadcast
+        prep_c = jax.jit(jax.vmap(
+            prep, in_axes=(0, None, None, None, None, None, None, 0)))
+        main_c = jax.jit(jax.vmap(
+            main, in_axes=(0,) * 20 + (None, None, 0)))
+
     def run(oy, ocb, ocr, r0y, r0cb, r0cr, r1y, r1cb, r1cr,
             qpy, qpb, qpr, lam, qp_base, dqp_cb, dqp_cr, sao_lam,
             poc_l0, poc_l1, qp_base_ctb):
         (modes, mode32, mv0, mv1, d, inter, pred_y, pred_cb,
-         pred_cr) = prep(oy, r0y, r0cb, r0cr, r1y, r1cb, r1cr, qp_base)
-        small, tails = main(oy, ocb, ocr, modes, mode32, mv0, mv1, d,
-                            inter, pred_y, pred_cb, pred_cr, qpy, qpb,
-                            qpr, lam, qp_base, dqp_cb, dqp_cr, sao_lam,
-                            poc_l0, poc_l1, qp_base_ctb)
+         pred_cr) = prep_c(oy, r0y, r0cb, r0cr, r1y, r1cb, r1cr, qp_base)
+        small, tails = main_c(oy, ocb, ocr, modes, mode32, mv0, mv1, d,
+                              inter, pred_y, pred_cb, pred_cr, qpy, qpb,
+                              qpr, lam, qp_base, dqp_cb, dqp_cr, sao_lam,
+                              poc_l0, poc_l1, qp_base_ctb)
         small = dict(small, modes=modes, mode32=mode32,
                      mv0=mv0.astype(jnp.int16), mv1=mv1.astype(jnp.int16),
                      dirs=d, inter=inter)
         # Bs are never referenced (TRAIL_N) — no DPB extension needed
         return small, tails, None
 
-    run.prep = prep
-    run.main = main
+    run.prep = prep_c
+    run.main = main_c
     return run

@@ -84,6 +84,24 @@ class _Pending:
     cu_size: int = 16
     allow_scenecut: bool = False
     la: object = None
+    batch_idx: object = None    # index into a batched-B dispatch
+    qp_arrays: object = None    # stashed device QP inputs (deferred B)
+    filter_qps: object = None
+
+
+class _BatchFetch:
+    """Shared fetch cache for one batched-B dispatch: the first finished
+    frame fetches the whole mini-GOP's small outputs in ONE transfer."""
+
+    def __init__(self, small):
+        self.small = small
+        self._np = None
+
+    def fetch(self):
+        if self._np is None:
+            import jax
+            self._np = jax.device_get(self.small)
+        return self._np
 
 
 def pad_plane(p: np.ndarray, h: int, w: int) -> np.ndarray:
@@ -167,6 +185,7 @@ class Encoder:
         self._i_pipeline = None         # fused I-frame device program
         self._p_pipeline = None         # fused P-frame device program
         self._b_pipeline = None         # fused B-frame device program
+        self._b_batch_pipelines = {}    # F -> batched-B device program
         self.ref = None                 # (Y, Cb, Cr) coded-size ref planes
         self.force_all_intra = False
         self.me_range = min(8, params.me_range)  # full-search reach (v1)
@@ -480,17 +499,32 @@ class Encoder:
         self._after_anchor(pend)
         self.dpb.update(prev_dpb)       # Bs still need the previous anchor
         self.dpb_dev.update(prev_dpb_dev)
-        for poc, planes, la in frames[:-1]:
-            bp = self._dispatch_one(planes, poc, "B", l0_poc=l0,
-                                    l1_poc=anchor_poc, la=la)
-            bp.display_idx = base + poc
-            self._inflight.append(bp)
+        bs = frames[:-1]
+        if len(bs) >= 2 and not self.force_host_recon:
+            # all Bs of the mini-GOP are independent (non-referenced):
+            # ONE batched device dispatch for the whole set
+            pends = []
+            for poc, planes, la in bs:
+                bp = self._dispatch_one(planes, poc, "B", l0_poc=l0,
+                                        l1_poc=anchor_poc, la=la,
+                                        defer_b=True)
+                bp.display_idx = base + poc
+                pends.append(bp)
+            self._dispatch_b_batch(pends, l0, anchor_poc)
+            self._inflight.extend(pends)
+        else:
+            for poc, planes, la in bs:
+                bp = self._dispatch_one(planes, poc, "B", l0_poc=l0,
+                                        l1_poc=anchor_poc, la=la)
+                bp.display_idx = base + poc
+                self._inflight.append(bp)
         self.dpb = {anchor_poc: pend}
         self.dpb_dev = ({anchor_poc: pend.ext}
                         if pend.ext is not None else {})
 
     def _dispatch_one(self, planes, poc: int, kind: str,
-                      l0_poc=None, l1_poc=None, la=None, cplx=None):
+                      l0_poc=None, l1_poc=None, la=None, cplx=None,
+                      defer_b: bool = False, defer_all: bool = False):
         """Dispatch one picture's device work (async) and return the
         _Pending handle.  Does NOT advance GOP state (push_frame owns the
         ordering); the host finish (fetch + entropy) runs later in
@@ -554,9 +588,20 @@ class Encoder:
         # the CTU scan handles partial CTBs natively (coded size is always
         # 16-aligned); the host fallback remains for tests/oracle runs
         use_pipeline = not self.force_host_recon
-        if is_b:
+        if defer_all and not self.force_host_recon:
+            # external batch/sharded dispatcher (parallel/gop.py or the
+            # B mini-GOP batcher) stacks the device inputs itself
+            pend.qp_arrays = self._qp_arrays
+            pend.filter_qps = self._filter_qps()
+        elif is_b:
             assert use_pipeline, "B frames require the device pipeline"
-            pend.out_dev = self._dispatch_b(orig, l0_poc, l1_poc)
+            if defer_b:
+                # batched mini-GOP dispatch: stash the per-frame device
+                # inputs; _dispatch_b_batch stacks them
+                pend.qp_arrays = self._qp_arrays
+                pend.filter_qps = self._filter_qps()
+            else:
+                pend.out_dev = self._dispatch_b(orig, l0_poc, l1_poc)
         elif is_p:
             assert use_pipeline, "P frames require the device pipeline"
             pend.out_dev, pend.ext = self._dispatch_p(orig, l0_poc)
@@ -622,8 +667,12 @@ class Encoder:
             # recon stays DEVICE-resident (np.asarray-able on demand);
             # the host never fetches pixels unless it needs them (MD5/CRC
             # hash, --recon, tests)
+            k = pend.batch_idx
             coded_rec = tails["rec_coded"]
             rec_crop = tails["rec_conf"]
+            if k is not None:
+                coded_rec = tuple(pl[k] for pl in coded_rec)
+                rec_crop = tuple(pl[k] for pl in rec_crop)
         else:
             rec = pend.rec
             # in-loop filters run on the coded-size picture; intra
@@ -740,13 +789,19 @@ class Encoder:
         int16 planes (|level| > 127, very low QP)."""
         import jax
         small, tails = pend.out_dev
-        o = jax.device_get(small)
+        k = pend.batch_idx
+        if isinstance(small, _BatchFetch):
+            o = {key: v[k] for key, v in small.fetch().items()}
+        else:
+            o = jax.device_get(small)
         g = self.geom
         ph = g.ctbs_h << g.log2_ctb
         pw = g.ctbs_w << g.log2_ctb
         if int(o["ovf"]):
-            cy, ccb, ccr = (np.asarray(a) for a in jax.device_get(
-                (tails["cy16"], tails["ccb16"], tails["ccr16"])))
+            t16 = (tails["cy16"], tails["ccb16"], tails["ccr16"])
+            if k is not None:
+                t16 = tuple(a[k] for a in t16)
+            cy, ccb, ccr = (np.asarray(a) for a in jax.device_get(t16))
         else:
             ccb, ccr = o["ccb8"], o["ccr8"]
             count = int(o["y_count"])
@@ -756,7 +811,8 @@ class Encoder:
                 blocks[mask] = o["y_buf"][:count]
                 cy = blocks.transpose(0, 2, 1, 3).reshape(ph, pw)
             else:
-                cy = np.asarray(jax.device_get(tails["cy8"]))
+                t8 = tails["cy8"] if k is None else tails["cy8"][k]
+                cy = np.asarray(jax.device_get(t8))
         return o, (cy, ccb, ccr)
 
     def _scatter_syntax(self, ps, o, coeffs):
@@ -872,7 +928,7 @@ class Encoder:
         ps.luma_mode[:] = np.kron(modes.astype(np.uint8),
                                   np.ones((s4, s4), np.uint8))
         ps.chroma_mode[:] = ps.luma_mode
-        if self._ctu_scan.t["has32"]:
+        if self._get_ctu_scan().t["has32"]:
             use32 = o["use32"].reshape(ph // 32, pw // 32)
             mode32 = o["mode32"].reshape(ph // 32, pw // 32)
             self._apply_cu32(ps, use32, mode32)
@@ -944,7 +1000,7 @@ class Encoder:
         ps.mv0[:] = np.kron(
             mv.astype(np.int16).transpose(2, 0, 1),
             np.ones((1, s4, s4), np.int16)).transpose(1, 2, 0)
-        if self._ctu_scan.t["has32"]:
+        if self._get_ctu_scan().t["has32"]:
             use32 = o["use32"].reshape(ph // 32, pw // 32)
             mode32 = o["mode32"].reshape(ph // 32, pw // 32)
             self._apply_cu32(ps, use32, mode32)
@@ -970,6 +1026,33 @@ class Encoder:
             *self._filter_qps(), np.int32(l0_poc), np.int32(l1_poc),
             qp_ctb)
         return (small, tails)
+
+    def _dispatch_b_batch(self, pends, l0_poc, l1_poc):
+        """One batched device dispatch for all Bs of a mini-GOP (they are
+        mutually independent TRAIL_N pictures; x265 encodes them on
+        separate frame threads — here they ride one vmapped program)."""
+        from .device_pipeline import build_b_pipeline
+
+        F = len(pends)
+        pipe = self._b_batch_pipelines.get(F)
+        if pipe is None:
+            pipe = self._b_batch_pipelines[F] = build_b_pipeline(
+                self, batch=F)
+        refs0 = self._get_ref_ext(l0_poc)
+        refs1 = self._get_ref_ext(l1_poc)
+        oy = np.stack([p.orig[0] for p in pends])
+        ocb = np.stack([p.orig[1] for p in pends])
+        ocr = np.stack([p.orig[2] for p in pends])
+        qs = [np.stack([p.qp_arrays[i] for p in pends]) for i in range(5)]
+        fq = [np.stack([p.filter_qps[i] for p in pends]) for i in range(4)]
+        small, tails, _ = pipe(
+            oy, ocb, ocr, *refs0, *refs1,
+            qs[0], qs[1], qs[2], qs[3], fq[0], fq[1], fq[2], fq[3],
+            np.int32(l0_poc), np.int32(l1_poc), qs[4])
+        handle = _BatchFetch(small)
+        for k, p in enumerate(pends):
+            p.out_dev = (handle, tails)
+            p.batch_idx = k
 
     def _finish_b(self, pend):
         """Scatter the fetched B outputs into PicSyntax and derive the
@@ -1004,7 +1087,7 @@ class Encoder:
         ps.inter_dir[:] = np.kron(d_eff, np.ones((s4, s4), np.uint8))
         ps.mv0[ps.inter_dir == 2] = 0
         ps.mv1[ps.inter_dir == 1] = 0
-        if self._ctu_scan.t["has32"]:
+        if self._get_ctu_scan().t["has32"]:
             use32 = o["use32"].reshape(ph // 32, pw // 32)
             mode32 = o["mode32"].reshape(ph // 32, pw // 32)
             self._apply_cu32(ps, use32, mode32)
