@@ -25,3 +25,20 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+# Test-suite default: --merange 8 (single-stage ME).  The production
+# default (57) compiles reach-60 hierarchical-search programs whose CPU
+# compile time would dominate the suite; the hierarchical path itself is
+# covered explicitly by tests/test_me_range.py.  Tests that pass an
+# explicit me_range are unaffected.
+from x265_tpu.common.params import Params as _Params  # noqa: E402
+
+_orig_params_init = _Params.__init__
+
+
+def _test_params_init(self, *args, **kwargs):
+    kwargs.setdefault("me_range", 8)
+    _orig_params_init(self, *args, **kwargs)
+
+
+_Params.__init__ = _test_params_init

@@ -87,7 +87,7 @@ class Params:
     max_merge: int = 2
 
     # RDO / quant
-    rdoq_level: int = 0
+    rdoq_level: int = 1
     psy_rd: float = 0.3
     psy_rdoq: float = 1.0
     sign_hide: bool = True

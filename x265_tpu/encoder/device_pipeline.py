@@ -512,7 +512,10 @@ def _inter_tools_builder(enc):
 
     g = enc.geom
     n = 16
-    R = enc.me_range
+    R = enc.me_range                      # TOTAL full-pel reach
+    RF = enc.me_fine                      # fine full-search radius
+    RC = enc.me_coarse                    # quarter-res search radius
+    RS = 4 * RC                           # max seed magnitude (full-pel)
     M = R + 8
     CM = R // 2 + 4
     ph = g.ctbs_h << g.log2_ctb
@@ -522,8 +525,8 @@ def _inter_tools_builder(enc):
     cn = n // 2
     bd = enc.bit_depth
 
-    offs = np.array([(dy, dx) for dy in range(-R, R + 1)
-                     for dx in range(-R, R + 1)], np.int32)
+    offs_f = np.array([(dy, dx) for dy in range(-RF, RF + 1)
+                       for dx in range(-RF, RF + 1)], np.int32)
     deltas9 = [(dy, dx) for dy in (-1, 0, 1) for dx in (-1, 0, 1)]
 
     # ---- patch tensors: per-block neighborhoods as STATIC slices ----
@@ -531,7 +534,10 @@ def _inter_tools_builder(enc):
     # each on TPU; instead every block's full [-R-4, n+R+5) neighborhood is
     # materialized ONCE from static slices, and any window at a per-block
     # integer offset is a chain of masked selects over 2R+1 static slices.
+    # Patches keep the reference dtype (uint8/uint16); selected windows are
+    # widened at use.
     PS = n + 2 * R + 9                    # luma patch size (pad 4 + 5)
+    PSF = n + 2 * RF + 9                  # fine-stage search-region size
     # chroma: qpel mv in [-4R-3, 4R+3] -> eighth-pel int part in
     # [-R//2-1, R//2], window top-left a further -1
     CPS = cn + R + 4                      # chroma patch size
@@ -572,33 +578,78 @@ def _inter_tools_builder(enc):
                           W)
         return W
 
-    def me(orig, ref_ext, ob, qp):
-        # Full-search SAD over the (2R+1)^2 offset grid.  One scan step
-        # per ROW offset; the 2R+1 column offsets inside a step are
-        # STATIC slices evaluated as one batched abs-diff + box reduce
-        # (a 289-step scan is latency-bound on TPU: each step's work is
-        # ~2 MP, far below the dispatch/loop overhead).
+    def coarse_seeds(orig, ref_ext):
+        """Quarter-res full search: per-16x16-block full-pel seed MVs in
+        multiples of 4 pels, reach +-RS.  TPU-first stand-in for x265's
+        MVP/lowres seeding (motion.cpp:571, lowres.h:132): the downscaled
+        planes make a (2RC+1)^2 grid search over the whole merange cheap."""
+        def box4(p):
+            h, w = p.shape
+            return (p.astype(jnp.int32).reshape(h // 4, 4, w // 4, 4)
+                    .sum(axis=(1, 3)) + 8) >> 4
+
+        oq = box4(orig)                                     # [ph/4, pw/4]
+        rq = box4(jax.lax.dynamic_slice(
+            ref_ext, (M - RS, M - RS),
+            (ph + 2 * RS, pw + 2 * RS)).astype(jnp.int32))
+        qh, qw = ph // 4, pw // 4
+
         def row_body(_, dy):
-            rows = jax.lax.dynamic_slice(ref_ext, (dy, M - R),
-                                         (ph, pw + 2 * R))
-            cand = jnp.stack([rows[:, dx:dx + pw]
-                              for dx in range(2 * R + 1)])   # [2R+1, ph, pw]
-            d = jnp.abs(orig[None] - cand)
-            c = d.reshape(2 * R + 1, gh, n, gw, n).sum(axis=(2, 4))
-            return 0, c                                      # [2R+1, gh, gw]
+            rows = jax.lax.dynamic_slice(rq, (dy, 0), (qh, qw + 2 * RC))
+            cand = jnp.stack([rows[:, dx:dx + qw]
+                              for dx in range(2 * RC + 1)])
+            d = jnp.abs(oq[None] - cand)
+            c = d.reshape(2 * RC + 1, gh, 4, gw, 4).sum(axis=(2, 4))
+            return 0, c
 
         _, cs = jax.lax.scan(row_body, 0,
-                             jnp.arange(M - R, M + R + 1, dtype=jnp.int32))
-        # cs: [2R+1(dy), 2R+1(dx), gh, gw] -> [gh*gw, (2R+1)^2] raster
-        costs = cs.transpose(2, 3, 0, 1).reshape(gh * gw, -1)
-        idx = jnp.argmin(costs, axis=1)         # first win == offs order
-        mvi = jnp.asarray(offs)[idx]                         # [B] (dy, dx)
+                             jnp.arange(2 * RC + 1, dtype=jnp.int32))
+        # small zero-motion bias keeps seed fields coherent on flat areas
+        dists = (np.abs(np.arange(-RC, RC + 1))[:, None]
+                 + np.abs(np.arange(-RC, RC + 1))[None, :])
+        cs = cs + 2 * jnp.asarray(dists, jnp.int32)[:, :, None, None]
+        costs = cs.transpose(2, 3, 0, 1).reshape(nb, -1)
+        idx = jnp.argmin(costs, axis=1)
+        offs_c = np.array([(dy, dx) for dy in range(-RC, RC + 1)
+                           for dx in range(-RC, RC + 1)], np.int32)
+        return jnp.asarray(4 * offs_c)[idx]                 # [B] (dy, dx)
+
+    def me(orig, ref_ext, ob, qp):
+        # Stage 1: quarter-res seeds (skipped when merange <= fine reach).
+        P = build_patches(ref_ext)
+        if RC:
+            seed = coarse_seeds(orig, ref_ext)
+            # per-block fine search region [B, PSF, PSF] at the seed
+            # (top-left = seed - RF - 4), masked-select from the big patch
+            S = select_window(P, seed[:, 0] + RS, seed[:, 1] + RS, PSF,
+                              2 * RS + 1)
+        else:
+            seed = jnp.zeros((nb, 2), jnp.int32)
+            S = P
+
+        # Stage 2: full-search SAD over the (2RF+1)^2 local grid.  One
+        # scan step per ROW offset; the 2RF+1 column offsets inside a
+        # step are STATIC slices evaluated as one batched abs-diff + box
+        # reduce.
+        def row_body(_, dy):
+            rows = jax.lax.dynamic_slice(S, (0, dy, 0), (nb, n, PSF))
+            cand = jnp.stack([rows[:, :, dx:dx + n]
+                              for dx in range(4, 4 + 2 * RF + 1)], axis=0)
+            d = jnp.abs(ob[None] - cand.astype(jnp.int32))
+            return 0, d.sum(axis=(2, 3))                    # [2RF+1, B]
+
+        _, cs = jax.lax.scan(row_body, 0,
+                             jnp.arange(4, 4 + 2 * RF + 1, dtype=jnp.int32))
+        costs = cs.transpose(2, 0, 1).reshape(nb, -1)       # [B, (2RF+1)^2]
+        idx = jnp.argmin(costs, axis=1)
+        mvi = seed + jnp.asarray(offs_f)[idx]               # [B] (dy, dx)
+        dl = jnp.asarray(offs_f)[idx]                       # local delta
 
         # per-block window [B, n+9, n+9] around the integer winner, as a
-        # masked select from the patch tensor; every subpel candidate
+        # masked select from the search region; every subpel candidate
         # below is a STATIC slice of it.
-        P = build_patches(ref_ext)
-        W = select_window(P, mvi[:, 0] + R, mvi[:, 1] + R, n + 9, 2 * R + 1)
+        W = select_window(S, dl[:, 0] + RF, dl[:, 1] + RF, n + 9,
+                          2 * RF + 1).astype(jnp.int32)
 
         def refine_round(center, step):
             """Evaluate the 3x3 neighborhood center + step*delta (all
@@ -761,13 +812,13 @@ def build_p_pipeline(enc):
         else:
             mode32 = jnp.zeros((B32,), jnp.int32)
         mv, pcost, pred_y = tools["me"](oy.astype(jnp.int32),
-                                        ref_y_ext.astype(jnp.int32), ob, qpy)
+                                        ref_y_ext, ob, qpy)
         # intra blocks in P slices cost far more bits than SATD reflects
         # (mode + full coefficients); bias the decision toward inter
         inter = pcost.reshape(-1).astype(jnp.int64) <= (
             icost.astype(jnp.int64) * 9) // 8
-        pred_cb = tools["chroma_pred"](ref_cb_ext.astype(jnp.int32), mv)
-        pred_cr = tools["chroma_pred"](ref_cr_ext.astype(jnp.int32), mv)
+        pred_cb = tools["chroma_pred"](ref_cb_ext, mv)
+        pred_cr = tools["chroma_pred"](ref_cr_ext, mv)
         # frame-level costs for the scenecut decision (x265 slicetype
         # analysis analogue): P cost = per-block best of inter/intra
         cost_p = jnp.sum(jnp.minimum(pcost.reshape(-1), icost))
@@ -870,13 +921,13 @@ def build_b_pipeline(enc, batch: int | None = None):
         else:
             mode32 = jnp.zeros((B32,), jnp.int32)
         oy32 = oy.astype(jnp.int32)
-        mv0, c0, p0 = tools["me"](oy32, r0y.astype(jnp.int32), ob, qpy)
-        mv1, c1, p1 = tools["me"](oy32, r1y.astype(jnp.int32), ob, qpy)
+        mv0, c0, p0 = tools["me"](oy32, r0y, ob, qpy)
+        mv1, c1, p1 = tools["me"](oy32, r1y, ob, qpy)
         c0 = c0.astype(jnp.int32)
         c1 = c1.astype(jnp.int32)
         # bi trial at the two uni winners (x265 checkBidir shape)
-        ps0 = tools["eval_mv_ps"](r0y.astype(jnp.int32), mv0)
-        ps1 = tools["eval_mv_ps"](r1y.astype(jnp.int32), mv1)
+        ps0 = tools["eval_mv_ps"](r0y, mv0)
+        ps1 = tools["eval_mv_ps"](r1y, mv1)
         pbi = tools["bi_avg"](ps0, ps1)
         cbi = tools["satd"](ob, pbi).astype(jnp.int32)
         # direction decision with a bits bias: bi codes two mvd/mvp sets
@@ -892,18 +943,18 @@ def build_b_pipeline(enc, batch: int | None = None):
         pred_y = jnp.where(d3, pbi,
                            jnp.where((d == 1)[:, None, None], p0, p1))
         # chroma per direction
-        pc0 = tools["chroma_pred"](r0cb.astype(jnp.int32), mv0)
-        pc1 = tools["chroma_pred"](r1cb.astype(jnp.int32), mv1)
+        pc0 = tools["chroma_pred"](r0cb, mv0)
+        pc1 = tools["chroma_pred"](r1cb, mv1)
         pcbi = tools["bi_avg"](
-            tools["chroma_pred_ps"](r0cb.astype(jnp.int32), mv0),
-            tools["chroma_pred_ps"](r1cb.astype(jnp.int32), mv1))
+            tools["chroma_pred_ps"](r0cb, mv0),
+            tools["chroma_pred_ps"](r1cb, mv1))
         pred_cb = jnp.where(d3, pcbi,
                             jnp.where((d == 1)[:, None, None], pc0, pc1))
-        pr0 = tools["chroma_pred"](r0cr.astype(jnp.int32), mv0)
-        pr1 = tools["chroma_pred"](r1cr.astype(jnp.int32), mv1)
+        pr0 = tools["chroma_pred"](r0cr, mv0)
+        pr1 = tools["chroma_pred"](r1cr, mv1)
         prbi = tools["bi_avg"](
-            tools["chroma_pred_ps"](r0cr.astype(jnp.int32), mv0),
-            tools["chroma_pred_ps"](r1cr.astype(jnp.int32), mv1))
+            tools["chroma_pred_ps"](r0cr, mv0),
+            tools["chroma_pred_ps"](r1cr, mv1))
         pred_cr = jnp.where(d3, prbi,
                             jnp.where((d == 1)[:, None, None], pr0, pr1))
         return (modes, mode32, mv0, mv1, d, inter,

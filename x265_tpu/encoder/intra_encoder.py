@@ -188,7 +188,14 @@ class Encoder:
         self._b_batch_pipelines = {}    # F -> batched-B device program
         self.ref = None                 # (Y, Cb, Cr) coded-size ref planes
         self.force_all_intra = False
-        self.me_range = min(8, params.me_range)  # full-search reach (v1)
+        # hierarchical motion search (x265 motion.cpp:571 MVP-seeded search
+        # re-cast TPU-first): a quarter-res full search seeds a per-block
+        # +-me_fine full-res refine, honoring --merange up to 64.
+        # me_range is the TOTAL full-pel reach (= ME/MC margin driver).
+        mr = max(1, min(64, params.me_range))
+        self.me_fine = min(8, mr)
+        self.me_coarse = max(0, -(-(mr - self.me_fine) // 4))
+        self.me_range = 4 * self.me_coarse + self.me_fine
         from .ratecontrol import RateControl
         self.rc = RateControl(params)
         self._prev_half = None          # half-res Y of the previous source
