@@ -2,8 +2,8 @@
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
-Measures end-to-end all-intra 1080p encode throughput (the BASELINE.md
-north-star metric: >= 30 fps 1080p per chip == vs_baseline 1.0).
+Measures end-to-end 1080p IPPP (P-slice GOP) encode throughput — the
+BASELINE.md north-star metric: >= 30 fps 1080p per chip == vs_baseline 1.0.
 """
 
 import json

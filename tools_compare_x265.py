@@ -47,11 +47,17 @@ def psnr(a, b, maxval=255.0):
     return 10 * np.log10(maxval * maxval / mse)
 
 
-def run_ours(frames, w, h, qp, fps=25):
+def run_ours(frames, w, h, qp, fps=25, mode="matched"):
     from x265_tpu.common.params import Params
     from x265_tpu.encoder import Encoder
 
-    p = Params(source_width=w, source_height=h, qp=qp, fps_num=fps)
+    if mode == "medium":
+        # full defaults: B frames + AQ + cuTree + lookahead + weightp
+        p = Params(source_width=w, source_height=h, qp=qp, fps_num=fps,
+                   log_level=0)
+    else:
+        p = Params(source_width=w, source_height=h, qp=qp, fps_num=fps,
+                   bframes=0, aq_mode=0, weightp=False, log_level=0)
     enc = Encoder(p)
     bits = 0
     ps = []
@@ -68,16 +74,18 @@ def run_ours(frames, w, h, qp, fps=25):
     return kbps, float(np.mean(ps)), len(frames) / el
 
 
-def run_x265(y4m_path, frames, w, h, qp, fps=25):
+def run_x265(y4m_path, frames, w, h, qp, fps=25, mode="matched"):
     with tempfile.TemporaryDirectory() as td:
         out = os.path.join(td, "o.265")
         rec = os.path.join(td, "rec.yuv")
-        r = subprocess.run(
-            [X265, "--input", y4m_path, "--y4m", "-o", out, "--qp", str(qp),
-             "--preset", "medium", "--no-wpp", "--bframes", "0", "--ref", "1",
-             "--keyint", "250", "--no-sao-non-deblock",
-             "--recon", rec, "--no-progress", "--log-level", "error"],
-            capture_output=True, text=True, timeout=1200)
+        cmd = [X265, "--input", y4m_path, "--y4m", "-o", out,
+               "--qp", str(qp), "--preset", "medium", "--no-wpp",
+               "--keyint", "250", "--no-sao-non-deblock",
+               "--recon", rec, "--no-progress", "--log-level", "error"]
+        if mode == "matched":
+            cmd += ["--bframes", "0", "--ref", "1"]
+        r = subprocess.run(cmd, capture_output=True, text=True,
+                           timeout=1200)
         assert r.returncode == 0, r.stderr
         bits = os.path.getsize(out) * 8
         raw = np.fromfile(rec, np.uint8)
@@ -95,6 +103,10 @@ def main():
     ap.add_argument("--frames", type=int, default=24)
     ap.add_argument("--size", default="320x192")
     ap.add_argument("--qps", default="22,27,32,37")
+    ap.add_argument("--mode", default="matched",
+                    choices=["matched", "medium"],
+                    help="matched: both no-B/1-ref; medium: full defaults "
+                         "(ours B+AQ+cuTree+weightp vs x265 medium)")
     args = ap.parse_args()
     w, h = (int(v) for v in args.size.split("x"))
     frames = make_clip(w, h, args.frames)
@@ -106,14 +118,16 @@ def main():
     qps = [int(q) for q in args.qps.split(",")]
     ours, ref = [], []
     for qp in qps:
-        ko, po, fps_o = run_ours(frames, w, h, qp)
-        kr, pr = run_x265(y4m.name, frames, w, h, qp)
+        ko, po, fps_o = run_ours(frames, w, h, qp, mode=args.mode)
+        kr, pr = run_x265(y4m.name, frames, w, h, qp, mode=args.mode)
         ours.append((ko, po))
         ref.append((kr, pr))
         print(f"qp {qp}: ours {ko:8.1f} kbps {po:6.3f} dB ({fps_o:.2f} fps)"
-              f" | x265 {kr:8.1f} kbps {pr:6.3f} dB")
+              f" | x265 {kr:8.1f} kbps {pr:6.3f} dB", flush=True)
     from x265_tpu.tools.bdrate import bd_psnr, bd_rate
-    print(f"BD-rate (ours vs x265 medium/no-B/1-ref): "
+    anchor = ("x265 medium" if args.mode == "medium"
+              else "x265 medium/no-B/1-ref")
+    print(f"BD-rate (ours vs {anchor}): "
           f"{bd_rate(ref, ours):+.2f}%  BD-PSNR: {bd_psnr(ref, ours):+.3f} dB")
     os.unlink(y4m.name)
 

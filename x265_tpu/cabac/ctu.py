@@ -99,6 +99,7 @@ class PicSyntax:
     qp_ctb: np.ndarray = field(default=None)
     slice_qp: int = 26
     cu_qp_delta_enabled: bool = False
+    tq_bypass: np.ndarray = field(default=None)    # cu_transquant_bypass
 
     def __post_init__(self):
         g = self.geom
@@ -106,7 +107,7 @@ class PicSyntax:
         for name in ("depth", "part", "pred_mode", "luma_mode",
                      "chroma_mode", "tu_depth", "skip", "merge_flag",
                      "merge_idx", "mvp_flag", "mvp_flag1", "inter_dir",
-                     "ref_idx0", "ref_idx1"):
+                     "ref_idx0", "ref_idx1", "tq_bypass"):
             if getattr(self, name) is None:
                 setattr(self, name, np.zeros((h4, w4), dtype=np.uint8))
         for name in ("mv0", "mv1", "mvd", "mvd1"):
@@ -201,7 +202,9 @@ class CtuCoder:
                  slice_type: int = SLICE_I, sao_luma: bool = False,
                  sao_chroma: bool = False, bit_depth: int = 8,
                  num_ref_l0: int = 1, num_ref_l1: int = 1,
-                 mvd_l1_zero: bool = False):
+                 mvd_l1_zero: bool = False,
+                 transquant_bypass: bool = False):
+        self.transquant_bypass = transquant_bypass
         self.ps = ps
         self.g = ps.geom
         self.log2_min_cb = log2_min_cb
@@ -501,6 +504,10 @@ class CtuCoder:
         ps = self.ps
         size = 1 << log2_size
         y4, x4 = y0 >> 2, x0 >> 2
+        if self.transquant_bypass:
+            # §7.3.8.5: cu_transquant_bypass_flag leads the coding_unit
+            enc.encode_bin(CTX_OFFSET["CU_TRANSQUANT_BYPASS"],
+                           int(ps.tq_bypass[y4, x4]))
         if self.slice_type != SLICE_I:
             skip = int(ps.skip[y4, x4])
             enc.encode_bin(self._skip_ctx(x0, y0), skip)
@@ -743,6 +750,9 @@ class CtuCoder:
                 log2_size: int) -> None:
         ps = self.ps
         size = 1 << log2_size
+        if self.transquant_bypass:
+            bp = dec.decode_bin(CTX_OFFSET["CU_TRANSQUANT_BYPASS"])
+            ps.set_region(ps.tq_bypass, x0, y0, size, bp)
         if self.slice_type != SLICE_I:
             from ..common.motion import (MotionCand, amvp_candidates,
                                          merge_candidates)

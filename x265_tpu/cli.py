@@ -100,12 +100,16 @@ def main(argv=None):
             recon_w = YUVWriter(args.recon, p.internal_bit_depth)
     csv = open(args.csv, "w") if args.csv else None
     if csv:
-        csv.write("frame,type,qp,bits,psnr_y,psnr_u,psnr_v\n")
+        cols = "frame,type,qp,bits,psnr_y,psnr_u,psnr_v"
+        if p.ssim:
+            cols += ",ssim"
+        csv.write(cols + "\n")
 
     maxval = float((1 << p.internal_bit_depth) - 1)
     n = 0
     total_bits = 0
     psnr_acc = np.zeros(3)
+    ssim_acc = 0.0
     t0 = time.time()
     srcs = {}          # display_idx -> source frame (until PSNR'd)
     pending = {}       # display_idx -> EncodedFrame (until recon written)
@@ -113,7 +117,7 @@ def main(argv=None):
 
     def drain(efs):
         """AUs go out in encode order; recon/CSV in display order."""
-        nonlocal n, total_bits, next_disp
+        nonlocal n, total_bits, next_disp, ssim_acc
         for ef in efs:
             out.write(ef.au)
             total_bits += len(ef.au) * 8
@@ -125,12 +129,22 @@ def main(argv=None):
             ps = [_psnr(r, f, maxval) for r, f in zip(ef.recon, src)] \
                 if p.psnr else [0, 0, 0]
             psnr_acc[:] += ps
+            sv = 0.0
+            if p.ssim:
+                from .ops.ssim import ssim_plane_np
+                sv = ssim_plane_np(np.asarray(src[0]),
+                                   np.asarray(ef.recon[0]),
+                                   p.internal_bit_depth)
+                ssim_acc += sv
             if recon_w:
                 recon_w.write(ef.recon)
             if csv:
-                csv.write(f"{next_disp},{ef.kind},{ef.qp},"
-                          f"{len(ef.au) * 8},"
-                          f"{ps[0]:.4f},{ps[1]:.4f},{ps[2]:.4f}\n")
+                row = (f"{next_disp},{ef.kind},{ef.qp},"
+                       f"{len(ef.au) * 8},"
+                       f"{ps[0]:.4f},{ps[1]:.4f},{ps[2]:.4f}")
+                if p.ssim:
+                    row += f",{sv:.6f}"
+                csv.write(row + "\n")
             next_disp += 1
 
     n_in = 0
@@ -158,6 +172,10 @@ def main(argv=None):
             pa = psnr_acc / n
             msg += (f", Global PSNR Y:{pa[0]:.3f} U:{pa[1]:.3f} "
                     f"V:{pa[2]:.3f}")
+        if p.ssim:
+            from .ops.ssim import ssim_db
+            sa = ssim_acc / n
+            msg += f", SSIM Mean Y: {sa:.7f} ({ssim_db(sa):.3f} dB)"
         print(msg, file=sys.stderr)
     out.close()
     if recon_w:

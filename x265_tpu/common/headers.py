@@ -539,6 +539,12 @@ class SliceHeader:
     entry_points: list = field(default_factory=list)  # WPP substream byte sizes
     slice_segment_address: int = 0
     dependent_slice: int = 0
+    # pred_weight_table (§7.3.6.3), entries per l0/l1 ref:
+    # (luma_flag, w, o, chroma_flag, wcb, ocb, wcr, ocr)
+    luma_log2_weight_denom: int = 0
+    chroma_log2_weight_denom: int = 0
+    weights_l0: list = field(default_factory=list)
+    weights_l1: list = field(default_factory=list)
 
 
 def write_slice_header(sh: SliceHeader, sps: SPS, pps: PPS, nal_type: int,
@@ -602,7 +608,7 @@ def write_slice_header(sh: SliceHeader, sps: SPS, pps: PPS, nal_type: int,
                     bw.write_ue(sh.collocated_ref_idx)
             if (pps.weighted_pred and sh.slice_type == SLICE_P) or \
                (pps.weighted_bipred and sh.slice_type == SLICE_B):
-                raise NotImplementedError("pred weight table")
+                write_pred_weight_table(bw, sh)
             bw.write_ue(5 - sh.max_num_merge_cand)
         bw.write_se(sh.slice_qp - pps.init_qp)
         if pps.slice_chroma_qp_offsets_present:
@@ -636,6 +642,65 @@ def write_slice_header(sh: SliceHeader, sps: SPS, pps: PPS, nal_type: int,
         bw.write_ue(0)
     bw.byte_alignment()
     return bw
+
+
+DEFAULT_WEIGHT = (0, 64, 0, 0, 64, 0, 64, 0)  # flags off -> unity weights
+
+
+def write_pred_weight_table(bw: BitWriter, sh: SliceHeader) -> None:
+    """§7.3.6.3 / x265 entropy.cpp:1088 codePredWeightTable.  Entries:
+    (luma_flag, w, o, chroma_flag, wcb, ocb, wcr, ocr); weights are in
+    denom units, offsets in pixel units (8-bit domain)."""
+    d = sh.luma_log2_weight_denom
+    dc = sh.chroma_log2_weight_denom
+    bw.write_ue(d)
+    lists = [sh.weights_l0]
+    if sh.slice_type == SLICE_B:
+        lists.append(sh.weights_l1)
+    bw.write_se(dc - d)
+    for lst in lists:
+        for (lf, _w, _o, cf, *_rest) in lst:
+            bw.write_flag(lf)
+        for (_lf, _w, _o, cf, *_rest) in lst:
+            bw.write_flag(cf)
+        for (lf, w, o, cf, wcb, ocb, wcr, ocr) in lst:
+            if lf:
+                bw.write_se(w - (1 << d))
+                bw.write_se(o)
+            if cf:
+                for wc, oc in ((wcb, ocb), (wcr, ocr)):
+                    bw.write_se(wc - (1 << dc))
+                    # delta_chroma_offset prediction (§7.4.7.3)
+                    pred = 128 - ((128 * wc) >> dc)
+                    bw.write_se(oc - pred)
+
+
+def parse_pred_weight_table(br: BitReader, sh: SliceHeader) -> None:
+    d = br.read_ue()
+    dc = d + br.read_se()
+    sh.luma_log2_weight_denom = d
+    sh.chroma_log2_weight_denom = dc
+    for which in ("l0", "l1") if sh.slice_type == SLICE_B else ("l0",):
+        n = sh.num_ref_idx_l0 if which == "l0" else sh.num_ref_idx_l1
+        lflags = [br.read_flag() for _ in range(n)]
+        cflags = [br.read_flag() for _ in range(n)]
+        out = []
+        for i in range(n):
+            w, o, wcb, ocb, wcr, ocr = 1 << d, 0, 1 << dc, 0, 1 << dc, 0
+            if lflags[i]:
+                w = (1 << d) + br.read_se()
+                o = br.read_se()
+            if cflags[i]:
+                wcb = (1 << dc) + br.read_se()
+                ocb = max(-128, min(127,
+                                    br.read_se()
+                                    + (128 - ((128 * wcb) >> dc))))
+                wcr = (1 << dc) + br.read_se()
+                ocr = max(-128, min(127,
+                                    br.read_se()
+                                    + (128 - ((128 * wcr) >> dc))))
+            out.append((lflags[i], w, o, cflags[i], wcb, ocb, wcr, ocr))
+        setattr(sh, f"weights_{which}", out)
 
 
 def parse_slice_header(br: BitReader, sps: SPS, pps: PPS,
@@ -697,7 +762,7 @@ def parse_slice_header(br: BitReader, sps: SPS, pps: PPS,
                     sh.collocated_ref_idx = br.read_ue()
             if (pps.weighted_pred and sh.slice_type == SLICE_P) or \
                (pps.weighted_bipred and sh.slice_type == SLICE_B):
-                raise NotImplementedError("pred weight table")
+                parse_pred_weight_table(br, sh)
             sh.max_num_merge_cand = 5 - br.read_ue()
         sh.slice_qp = pps.init_qp + br.read_se()
         if pps.slice_chroma_qp_offsets_present:

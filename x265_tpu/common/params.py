@@ -87,7 +87,7 @@ class Params:
     max_merge: int = 2
 
     # RDO / quant
-    rdoq_level: int = 1
+    rdoq_level: int = 0     # x265 1.9 medium default; slow+ presets use 2
     psy_rd: float = 0.3
     psy_rdoq: float = 1.0
     sign_hide: bool = True
@@ -346,6 +346,10 @@ _PARSE_ALIASES = {
     "qcomp": "qcomp",
     "qpstep": "qp_step",
     "scenecut": "scenecut_threshold",
+    "pass": "stats_pass",
+    "stats": "stats_file",
+    "qblur": "qblur",
+    "cplxblur": "cplxblur",
     "max-merge": "max_merge",
     "temporal-mvp": "temporal_mvp",
     "tu-intra-depth": "tu_intra_depth",
@@ -361,6 +365,60 @@ _PARSE_ALIASES = {
     "high-tier": "high_tier",
     "fps": None,  # handled specially
 }
+
+
+# ---------------------------------------------------------------------------
+# Honesty layer: options x265 honors that this engine does not (yet).
+# x265 silently obeys everything in param.cpp; here anything accepted by
+# param_parse but without engine effect is declared, and Encoder startup
+# warns when the user set it away from the effective behavior — so
+# "supported" vs "parsed-but-dropped" is always visible (VERDICT r02).
+# Entries are removed as features land.
+# ---------------------------------------------------------------------------
+
+_UNSUPPORTED: dict[str, tuple[object, str]] = {
+    # field: (effective value used by the engine, explanation)
+    "rect": (False, "NxN/rect partitions not implemented (2NX2N only)"),
+    "amp": (False, "asymmetric partitions not implemented"),
+    "tskip": (False, "transform-skip not implemented"),
+    "tskip_fast": (False, "transform-skip not implemented"),
+    "cu_lossless": (False, "per-CU lossless trial not implemented"),
+    # --lossless itself IS honored (all-intra transquant bypass)
+    "b_adapt": (0, "adaptive B placement not implemented (fixed pattern)"),
+    "b_pyramid": (False, "B frames are never referenced yet"),
+    "noise_reduction_intra": (0, "DCT-domain denoise not implemented"),
+    "noise_reduction_inter": (0, "DCT-domain denoise not implemented"),
+    "temporal_mvp": (False, "TMVP candidate not implemented"),
+    "weightb": (False, "weighted bi-prediction not implemented"),
+    "intra_refresh": (False, "periodic intra refresh not implemented"),
+    "interlace_mode": (0, "field coding not implemented"),
+    "temporal_layers": (1, "temporal sub-layers not implemented"),
+    "rd_penalty": (0, "--rdpenalty not implemented"),
+    "tu_intra_depth": (1, "TU quadtree depth fixed at 1"),
+    "tu_inter_depth": (1, "TU quadtree depth fixed at 1"),
+    "psy_rd": (0.0, "psycho-visual RD not implemented"),
+    "psy_rdoq": (0.0, "psycho-visual RDOQ not implemented"),
+    "limit_refs": (0, "no effect (all refs always searched)"),
+    "limit_modes": (False, "no effect (all modes always evaluated)"),
+    "early_skip": (False, "no effect (batched full evaluation)"),
+    "fast_intra": (False, "no effect (all-modes batch is free)"),
+    "b_intra": (False, "no effect"),
+    "hrd": (False, "HRD signaling not implemented"),
+    "qblur": (0.5, "2-pass qp blur not implemented"),
+    "constrained_intra": (False, "constrained intra pred not implemented"),
+}
+
+
+def unsupported_param_warnings(p: Params) -> list[str]:
+    """Warnings for options set away from the engine's effective behavior
+    (x265_log analogue of param.cpp's config validation)."""
+    out = []
+    for fname, (effective, why) in _UNSUPPORTED.items():
+        val = getattr(p, fname)
+        if val != effective:
+            out.append(f"x265_tpu [warning]: --{fname.replace('_', '-')}"
+                       f"={val!r} not honored: {why}; using {effective!r}")
+    return out
 
 
 def param_parse(p: Params, name: str, value: str | None = None) -> None:

@@ -140,8 +140,15 @@ def reconstruct_tu(plane: np.ndarray, coeff: np.ndarray,
                    geom: PictureGeometry, ps: PicSyntax, x0: int, y0: int,
                    log2_size: int, mode: int, qp: int, bit_depth: int, *,
                    is_luma: bool, chroma_shift: int = 0,
-                   strong_smoothing: bool = False) -> None:
-    """Predict + add residual for one TB, in place.  Coords in plane units."""
+                   strong_smoothing: bool = False,
+                   bypass: bool = False) -> None:
+    """Predict + add residual for one TB, in place.  Coords in plane units.
+
+    ``bypass``: cu_transquant_bypass (§8.6.6 lossless) — the coded block
+    IS the residual; dequant and the inverse transform are skipped.
+    Intra reference smoothing still applies (v1 has no bypass condition
+    in §8.4.4.2.3; the encoder mirrors it, keeping recon bit-exact).
+    """
     n = 1 << log2_size
     ref = gather_reference(plane, geom, x0, y0, n, bit_depth,
                            chroma_shift=chroma_shift)
@@ -154,30 +161,52 @@ def reconstruct_tu(plane: np.ndarray, coeff: np.ndarray,
                             bit_depth=bit_depth, already_filtered=True)
     block = coeff[y0:y0 + n, x0:x0 + n]
     if np.any(block):
-        dq = dequant_np(block, qp, bit_depth)
-        resi = inverse_transform_np(dq, bit_depth,
-                                    dst=(is_luma and n == 4))
+        if bypass:
+            resi = block
+        else:
+            dq = dequant_np(block, qp, bit_depth)
+            resi = inverse_transform_np(dq, bit_depth,
+                                        dst=(is_luma and n == 4))
         rec = np.clip(pred + resi, 0, (1 << bit_depth) - 1)
     else:
         rec = pred
     plane[y0:y0 + n, x0:x0 + n] = rec.astype(plane.dtype)
 
 
-def add_residual(plane, coeff, pred, x0, y0, n, qp, bit_depth, *, dst=False):
-    """recon = clip(pred + IT(dequant(coeff block))), written into plane."""
+def add_residual(plane, coeff, pred, x0, y0, n, qp, bit_depth, *, dst=False,
+                 bypass=False):
+    """recon = clip(pred + IT(dequant(coeff block))), written into plane.
+    With ``bypass`` the coeff block IS the residual (lossless)."""
     block = coeff[y0:y0 + n, x0:x0 + n]
     if np.any(block):
-        dq = dequant_np(block, qp, bit_depth)
-        resi = inverse_transform_np(dq, bit_depth, dst=dst)
+        if bypass:
+            resi = block
+        else:
+            dq = dequant_np(block, qp, bit_depth)
+            resi = inverse_transform_np(dq, bit_depth, dst=dst)
         rec = np.clip(pred + resi, 0, (1 << bit_depth) - 1)
     else:
         rec = pred
     plane[y0:y0 + n, x0:x0 + n] = rec.astype(plane.dtype)
 
 
-def _inter_pred(ps: PicSyntax, refs_l0, refs_l1, cx, cy, size, bit_depth):
+def _weight_uni(ps_block, w, o, denom, bit_depth):
+    """§8.5.3.3.4.2 explicit uni weighting of a 14-bit intermediate."""
+    log2wd = denom + 14 - bit_depth
+    obd = o << (bit_depth - 8)
+    maxv = (1 << bit_depth) - 1
+    v = ps_block.astype(np.int64) * w
+    if log2wd >= 1:
+        v = (v + (1 << (log2wd - 1))) >> log2wd
+    return np.clip(v + obd, 0, maxv).astype(np.int32)
+
+
+def _inter_pred(ps: PicSyntax, refs_l0, refs_l1, cx, cy, size, bit_depth,
+                weights=None):
     """Uni- or bi-directional MC prediction for a 2Nx2N PU (§8.5.3.3.3):
-    uni uses the pp path; bi combines two 14-bit intermediates."""
+    uni uses the pp path (or the explicit weighted ps path when a
+    pred_weight_table entry applies); bi combines two 14-bit
+    intermediates."""
     from ..ops.interp import (bi_avg_np, mc_chroma_np, mc_chroma_ps_np,
                               mc_luma_np, mc_luma_ps_np)
 
@@ -187,13 +216,36 @@ def _inter_pred(ps: PicSyntax, refs_l0, refs_l1, cx, cy, size, bit_depth):
     if d != 3:
         refs = refs_l0 if d == 1 else refs_l1
         mv = ps.mv0[y4, x4] if d == 1 else ps.mv1[y4, x4]
-        ref = refs[int((ps.ref_idx0 if d == 1 else ps.ref_idx1)[y4, x4])]
+        ridx = int((ps.ref_idx0 if d == 1 else ps.ref_idx1)[y4, x4])
+        ref = refs[ridx]
         mvx, mvy = int(mv[0]), int(mv[1])
-        return (mc_luma_np(ref[0], cx, cy, size, size, mvx, mvy, bit_depth),
-                mc_chroma_np(ref[1], cx >> 1, cy >> 1, csz, csz, mvx, mvy,
-                             bit_depth),
-                mc_chroma_np(ref[2], cx >> 1, cy >> 1, csz, csz, mvx, mvy,
-                             bit_depth))
+        wl = (weights.weights_l0 if d == 1 else weights.weights_l1) \
+            if weights is not None else []
+        ent = wl[ridx] if ridx < len(wl) else None
+        if ent is not None and ent[0]:        # luma weight flag
+            py = _weight_uni(
+                mc_luma_ps_np(ref[0], cx, cy, size, size, mvx, mvy,
+                              bit_depth),
+                ent[1], ent[2], weights.luma_log2_weight_denom, bit_depth)
+        else:
+            py = mc_luma_np(ref[0], cx, cy, size, size, mvx, mvy,
+                            bit_depth)
+        if ent is not None and ent[3]:        # chroma weight flag
+            dc = weights.chroma_log2_weight_denom
+            pcb = _weight_uni(
+                mc_chroma_ps_np(ref[1], cx >> 1, cy >> 1, csz, csz, mvx,
+                                mvy, bit_depth), ent[4], ent[5], dc,
+                bit_depth)
+            pcr = _weight_uni(
+                mc_chroma_ps_np(ref[2], cx >> 1, cy >> 1, csz, csz, mvx,
+                                mvy, bit_depth), ent[6], ent[7], dc,
+                bit_depth)
+        else:
+            pcb = mc_chroma_np(ref[1], cx >> 1, cy >> 1, csz, csz, mvx,
+                               mvy, bit_depth)
+            pcr = mc_chroma_np(ref[2], cx >> 1, cy >> 1, csz, csz, mvx,
+                               mvy, bit_depth)
+        return py, pcb, pcr
     r0 = refs_l0[int(ps.ref_idx0[y4, x4])]
     r1 = refs_l1[int(ps.ref_idx1[y4, x4])]
     mv0, mv1 = ps.mv0[y4, x4], ps.mv1[y4, x4]
@@ -212,7 +264,7 @@ def _inter_pred(ps: PicSyntax, refs_l0, refs_l1, cx, cy, size, bit_depth):
 
 def reconstruct_inter_cu(ps: PicSyntax, planes, ref_planes, cx: int, cy: int,
                          log2_cb: int, qps, bit_depth: int = 8,
-                         refs_l1=None) -> None:
+                         refs_l1=None, weights=None) -> None:
     """MC prediction + residual for one 2Nx2N inter CU (uni L0/L1 or bi).
     The residual is added per TU LEAF (the TU tree may split while the
     prediction covers the whole CU).
@@ -225,25 +277,30 @@ def reconstruct_inter_cu(ps: PicSyntax, planes, ref_planes, cx: int, cy: int,
     refs_l0 = (ref_planes if isinstance(ref_planes, list)
                else [ref_planes])
     pred_y, pred_cb, pred_cr = _inter_pred(
-        ps, refs_l0, refs_l1 or [], cx, cy, size, bit_depth)
+        ps, refs_l0, refs_l1 or [], cx, cy, size, bit_depth,
+        weights=weights)
+    byp = bool(ps.tq_bypass[cy >> 2, cx >> 2])
     for (tx, ty, log2_tb, _d) in tu_leaves(ps, cx, cy, log2_cb):
         n = 1 << log2_tb
         add_residual(planes[0], ps.coeff_y,
                      pred_y[ty - cy:ty - cy + n, tx - cx:tx - cx + n],
-                     tx, ty, n, qp_y, bit_depth)
+                     tx, ty, n, qp_y, bit_depth, bypass=byp)
     for (tx, ty, clog2) in chroma_tu_leaves(ps, cx, cy, log2_cb):
         n = 1 << clog2
         ox, oy = (tx - cx) >> 1, (ty - cy) >> 1
         add_residual(planes[1], ps.coeff_cb, pred_cb[oy:oy + n, ox:ox + n],
-                     (cx >> 1) + ox, (cy >> 1) + oy, n, qp_cb, bit_depth)
+                     (cx >> 1) + ox, (cy >> 1) + oy, n, qp_cb, bit_depth,
+                     bypass=byp)
         add_residual(planes[2], ps.coeff_cr, pred_cr[oy:oy + n, ox:ox + n],
-                     (cx >> 1) + ox, (cy >> 1) + oy, n, qp_cr, bit_depth)
+                     (cx >> 1) + ox, (cy >> 1) + oy, n, qp_cr, bit_depth,
+                     bypass=byp)
 
 
 def reconstruct_picture(ps: PicSyntax, planes, qp_y: int, bit_depth: int = 8,
                         cb_qp_offset: int = 0, cr_qp_offset: int = 0,
                         strong_smoothing: bool = False,
-                        ref_planes=None, refs_l1=None) -> None:
+                        ref_planes=None, refs_l1=None,
+                        weights=None) -> None:
     """Full decoder-side reconstruction of a picture, in place.
 
     ``planes`` = (Y, Cb, Cr) int16 numpy arrays at coded (padded) size;
@@ -271,18 +328,21 @@ def reconstruct_picture(ps: PicSyntax, planes, qp_y: int, bit_depth: int = 8,
             if ps.pred_mode[cy >> 2, cx >> 2] != _INTRA:
                 reconstruct_inter_cu(ps, planes, ref_planes, cx, cy,
                                      log2_cb, (qp_y, qp_cb, qp_cr),
-                                     bit_depth, refs_l1=refs_l1)
+                                     bit_depth, refs_l1=refs_l1,
+                                     weights=weights)
                 continue
+            byp = bool(ps.tq_bypass[cy >> 2, cx >> 2])
             for (tx, ty, log2_tb, _d) in tu_leaves(ps, cx, cy, log2_cb):
                 mode = int(ps.luma_mode[ty >> 2, tx >> 2])
                 reconstruct_tu(y_pl, ps.coeff_y, g, ps, tx, ty, log2_tb,
                                mode, qp_y, bit_depth, is_luma=True,
-                               strong_smoothing=strong_smoothing)
+                               strong_smoothing=strong_smoothing,
+                               bypass=byp)
             cmode = int(ps.chroma_mode[cy >> 2, cx >> 2])
             for (tx, ty, log2_cb_tb) in chroma_tu_leaves(ps, cx, cy, log2_cb):
                 reconstruct_tu(cb_pl, ps.coeff_cb, g, ps, tx >> 1, ty >> 1,
                                log2_cb_tb, cmode, qp_cb, bit_depth,
-                               is_luma=False, chroma_shift=1)
+                               is_luma=False, chroma_shift=1, bypass=byp)
                 reconstruct_tu(cr_pl, ps.coeff_cr, g, ps, tx >> 1, ty >> 1,
                                log2_cb_tb, cmode, qp_cr, bit_depth,
-                               is_luma=False, chroma_shift=1)
+                               is_luma=False, chroma_shift=1, bypass=byp)

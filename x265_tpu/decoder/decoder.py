@@ -65,6 +65,25 @@ class Decoder:
         self._num_reorder = 0   # max pics that may precede in decode order
         self._prev_poc = 0      # PicOrderCntVal of the previous picture
         self._wf_cache = {}     # wavefront decode scans per geometry
+        self.warnings: list[str] = []  # non-fatal stream issues (libde265
+        #                                error_queue analogue, decctx.h:123)
+
+    def _get_ref(self, rp: int, sps):
+        """Reference lookup with missing-picture concealment: synthesize
+        a mid-gray substitute (libde265 decctx.cc:1429
+        generate_unavailable_reference_picture) instead of failing."""
+        pic = self._dpb.get(rp)
+        if pic is not None:
+            return pic
+        self.warnings.append(f"missing reference POC {rp}: concealed")
+        mid = 1 << (sps.bit_depth_luma - 1)
+        subst = (np.full((sps.pic_height, sps.pic_width), mid, np.int16),
+                 np.full((sps.pic_height // 2, sps.pic_width // 2), mid,
+                         np.int16),
+                 np.full((sps.pic_height // 2, sps.pic_width // 2), mid,
+                         np.int16))
+        self._dpb[rp] = subst
+        return subst
 
     def push_bytes(self, data: bytes) -> None:
         for nal_type, _tid, rbsp in split_annexb(data):
@@ -147,6 +166,16 @@ class Decoder:
             self._num_reorder, sps.num_reorder_pics,
             *(v.num_reorder_pics for v in self.vps.values()))
 
+        # RPS-driven DPB marking (§8.3.2): pictures outside the current
+        # RPS become "unused for reference" and leave the DPB (replaces
+        # any bound heuristic; libde265 decctx.cc:1461 process_reference_
+        # picture_set)
+        if not is_idr and sh.rps is not None:
+            keep = {poc + d for d in sh.rps.delta_pocs_s0}
+            keep |= {poc + d for d in sh.rps.delta_pocs_s1}
+            for gone in [p for p in self._dpb if p not in keep]:
+                del self._dpb[gone]
+
         # reference lists from the slice RPS (§8.3.2-3, no modification)
         refs_l0, refs_l1 = [], []
         pocs_l0, pocs_l1 = [], []
@@ -159,13 +188,11 @@ class Decoder:
             l0 = before + after
             l1 = after + before
             for rp in l0[:sh.num_ref_idx_l0]:
-                assert rp in self._dpb, f"missing reference POC {rp}"
-                refs_l0.append(self._dpb[rp])
+                refs_l0.append(self._get_ref(rp, sps))
                 pocs_l0.append(rp)
             if sh.slice_type == SLICE_B:
                 for rp in l1[:sh.num_ref_idx_l1]:
-                    assert rp in self._dpb, f"missing reference POC {rp}"
-                    refs_l1.append(self._dpb[rp])
+                    refs_l1.append(self._get_ref(rp, sps))
                     pocs_l1.append(rp)
 
         geom = PictureGeometry(sps.pic_width, sps.pic_height,
@@ -189,7 +216,9 @@ class Decoder:
                          bit_depth=sps.bit_depth_luma,
                          num_ref_l0=max(1, len(pocs_l0)),
                          num_ref_l1=max(1, len(pocs_l1)),
-                         mvd_l1_zero=bool(sh.mvd_l1_zero))
+                         mvd_l1_zero=bool(sh.mvd_l1_zero),
+                         transquant_bypass=bool(
+                             pps.transquant_bypass_enabled))
 
         # CABAC init (§9.3.2.2, cabac_init_flag 0): I->0, P->1, B->2
         init_type = {SLICE_I: 0, SLICE_P: 1, SLICE_B: 2}[sh.slice_type]
@@ -200,9 +229,11 @@ class Decoder:
             coder.decode_ctu(dec, ctu)
             end = dec.decode_terminate()
             if ctu < geom.n_ctbs - 1:
-                assert not end, "premature end_of_slice at CTU %d" % ctu
-            else:
-                assert end, "missing end_of_slice flag"
+                if end:
+                    raise DecodeError(
+                        f"premature end_of_slice at CTU {ctu}")
+            elif not end:
+                raise DecodeError("missing end_of_slice flag")
 
         h = geom.ctbs_h << geom.log2_ctb
         w = geom.ctbs_w << geom.log2_ctb
@@ -210,15 +241,19 @@ class Decoder:
         planes = (np.zeros((h, w), np.int16),
                   np.zeros((h // 2, w // 2), np.int16),
                   np.zeros((h // 2, w // 2), np.int16))
-        if sh.slice_type != SLICE_I:
-            assert refs_l0, "inter slice without reference"
+        if sh.slice_type != SLICE_I and not refs_l0:
+            raise DecodeError("inter slice without reference")
         if not (sh.slice_type == SLICE_I
+                and not pps.transquant_bypass_enabled
                 and self._wavefront_decode(ps, planes, sh, sps, pps, geom)):
+            use_w = (pps.weighted_pred and sh.slice_type == SLICE_P) or \
+                (pps.weighted_bipred and sh.slice_type == SLICE_B)
             reconstruct_picture(
                 ps, planes, sh.slice_qp, bd,
                 pps.cb_qp_offset, pps.cr_qp_offset,
                 strong_smoothing=bool(sps.strong_intra_smoothing),
-                ref_planes=refs_l0 or None, refs_l1=refs_l1 or None)
+                ref_planes=refs_l0 or None, refs_l1=refs_l1 or None,
+                weights=sh if use_w else None)
 
         # decoded picture = coded size; output view = conformance-cropped
         cw, ch = sps.pic_width, sps.pic_height
@@ -334,10 +369,11 @@ class Decoder:
                 for p, d in zip(pic.coded_planes, digests))
         self._pending_hash = None
         if self._cur_is_ref:
-            # post-filter picture joins the DPB as a reference; bound the
-            # buffer (sps max_dec_pic_buffering analogue)
+            # post-filter picture joins the DPB as a reference; eviction
+            # is RPS-driven at the next slice header (§8.3.2), this bound
+            # is only a safety net against RPS-less malformed streams
             self._dpb[pic.poc] = pic.coded_planes
-            if len(self._dpb) > 8:
+            if len(self._dpb) > 16:
                 del self._dpb[min(self._dpb)]
         # output bumping (C.5.2.2): emit lowest-POC pictures once more
         # than num_reorder are waiting

@@ -213,11 +213,13 @@ class CtuScan:
 
     def __init__(self, geom: PictureGeometry, bit_depth: int = 8,
                  sign_hide: bool = False,
-                 strong_intra_smoothing: bool = False):
+                 strong_intra_smoothing: bool = False,
+                 rdoq: bool = False):
         self.t = build_ctu_tables(geom.width, geom.height, geom.log2_ctb)
         self.bit_depth = bit_depth
         self.sign_hide = sign_hide
         self.strong = strong_intra_smoothing
+        self.rdoq = rdoq
         self.geom = geom
 
     # -- block (de)arrangement helpers (device-side) -------------------------
@@ -257,7 +259,8 @@ class CtuScan:
         import jax.numpy as jnp
 
         from ..common.rdcost import level_bits_jnp
-        from ..ops.quantize import dequant, quant_masked, sign_hide_diag
+        from ..ops.quantize import (_rdoq_core, dequant, quant_masked,
+                                    sign_hide_diag)
         from ..ops.transforms import forward_transform, inverse_transform
 
         t = self.t
@@ -271,6 +274,7 @@ class CtuScan:
         B16, B32 = t["b16_n"], t["b32_n"]
         strong = self.strong
         sign_hide = self.sign_hide
+        use_rdoq = self.rdoq
         maxv = (1 << bd) - 1
         n_levels, lmax = t["n_levels"], t["lmax"]
         ctb = 1 << g.log2_ctb
@@ -310,7 +314,10 @@ class CtuScan:
             if levels_in is None:
                 resi = orig - pred
                 coef = forward_transform(resi, bd, dst=False)
-                levels = quant_masked(coef, qp, intra_mask, bd)
+                if use_rdoq:
+                    levels = _rdoq_core(jnp, coef, qp, bd)
+                else:
+                    levels = quant_masked(coef, qp, intra_mask, bd)
                 if sign_hide:
                     levels = sign_hide_diag(levels)
             else:

@@ -799,20 +799,44 @@ def build_p_pipeline(enc):
         return pl.reshape(gh, bn, gw, bn).transpose(
             0, 2, 1, 3).reshape(-1, bn, bn)
 
+    weightp = bool(enc.params.weightp)
+    bd = enc.bit_depth
+    maxv = (1 << bd) - 1
+
     # TWO XLA programs, chained through device-resident intermediates:
     # fusing the ME/MC producer chain into the same program as the
     # wavefront lax.scan makes XLA schedule the whole thing ~6x slower
     # (measured 1.32s vs 0.20s at 1080p) — so analysis/ME dispatch first,
     # and the scan+filters program consumes their on-device outputs.
-    def prep_raw(oy, ref_y_ext, ref_cb_ext, ref_cr_ext, qpy):
+    # wy/wo: explicit L0 luma weight (1/64 units) + offset (8-bit units);
+    # (64, 0) is bit-exact unity, so one compiled program serves both.
+    def prep_raw(oy, ref_y_ext, ref_cb_ext, ref_cr_ext, qpy, wy, wo):
         modes, icost = analyse16(oy)
         ob = to_blocks(oy.astype(jnp.int32), n)
         if decide:
             mode32, _c32 = analyse32(oy)
         else:
             mode32 = jnp.zeros((B32,), jnp.int32)
+        if weightp:
+            # ME searches the pixel-domain weighted reference (x265
+            # MotionReference::applyWeight, reference.cpp); the FINAL
+            # prediction below is the normative 14-bit-domain weighting
+            # of the unweighted reference (predict.cpp addWeightUni)
+            obd = wo * (1 << (bd - 8))
+            me_ref = jnp.clip(
+                ((ref_y_ext.astype(jnp.int32) * wy + 32) >> 6) + obd,
+                0, maxv).astype(ref_y_ext.dtype)
+        else:
+            me_ref = ref_y_ext
         mv, pcost, pred_y = tools["me"](oy.astype(jnp.int32),
-                                        ref_y_ext, ob, qpy)
+                                        me_ref, ob, qpy)
+        if weightp:
+            # §8.5.3.3.4.2 explicit uni weighting of the ps intermediate
+            ps_pred = tools["eval_mv_ps"](ref_y_ext, mv)
+            log2wd = 6 + 14 - bd
+            pred_y = jnp.clip(
+                ((ps_pred * wy + (1 << (log2wd - 1))) >> log2wd) + obd,
+                0, maxv)
         # intra blocks in P slices cost far more bits than SATD reflects
         # (mode + full coefficients); bias the decision toward inter
         inter = pcost.reshape(-1).astype(jnp.int64) <= (
@@ -847,10 +871,10 @@ def build_p_pipeline(enc):
 
     def run(oy, ocb, ocr, ref_y_ext, ref_cb_ext, ref_cr_ext,
             qpy, qpb, qpr, lam, qp_base, dqp_cb, dqp_cr, sao_lam,
-            qp_base_ctb):
+            qp_base_ctb, wy=np.int32(64), wo=np.int32(0)):
         (modes, mode32, mv, inter, pred_y, pred_cb, pred_cr,
          cost_p, cost_i) = prep(oy, ref_y_ext, ref_cb_ext, ref_cr_ext,
-                                qp_base)
+                                qp_base, wy, wo)
         small, tails, ext = main(oy, ocb, ocr, modes, mode32, mv, inter,
                                  pred_y, pred_cb, pred_cr, qpy, qpb, qpr,
                                  lam, qp_base, dqp_cb, dqp_cr, sao_lam,

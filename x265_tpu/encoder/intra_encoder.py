@@ -87,6 +87,7 @@ class _Pending:
     batch_idx: object = None    # index into a batched-B dispatch
     qp_arrays: object = None    # stashed device QP inputs (deferred B)
     filter_qps: object = None
+    wp: tuple = (64, 0, False)  # L0 luma weight (w, offset, enabled)
 
 
 class _BatchFetch:
@@ -124,6 +125,20 @@ class Encoder:
         self.params = params
         w, h = params.source_width, params.source_height
         assert w > 0 and h > 0
+        # x265_log-style startup honesty: warn for every accepted option
+        # the engine does not actually honor (params._UNSUPPORTED)
+        if params.log_level >= 1:
+            import sys
+            from ..common.params import unsupported_param_warnings
+            for msg in unsupported_param_warnings(params):
+                print(msg, file=sys.stderr)
+        if params.lossless:
+            # transquant bypass (x265 --lossless, encoder.cpp configure):
+            # lossy-only tools off; in-loop filters would break exactness
+            params.sign_hide = False
+            params.sao = False
+            params.deblock = False
+            params.aq_mode = 0
         # coded size: round up to the analysis-CU grid (16) so the whole
         # picture runs on the device wavefront (no edge-crossing CUs);
         # the overshoot is hidden by the conformance window, mirroring the
@@ -136,7 +151,17 @@ class Encoder:
         self.bit_depth = params.internal_bit_depth
 
         from ..common.headers import ProfileTierLevel
-        ptl = ProfileTierLevel(profile_idc=2 if self.bit_depth > 8 else 1)
+        from ..common.level import determine_level, enforce_level
+        level_idc, tier = determine_level(
+            cw, ch, params.fps_num, params.fps_denom,
+            bitrate_kbps=max(params.bitrate, params.vbv_max_bitrate),
+            requested_idc=params.level_idc, high_tier=params.high_tier)
+        for msg in enforce_level(params, level_idc):
+            if params.log_level >= 1:
+                import sys
+                print(msg, file=sys.stderr)
+        ptl = ProfileTierLevel(profile_idc=2 if self.bit_depth > 8 else 1,
+                               level_idc=level_idc, tier_flag=tier)
         self.sps = SPS(
             ptl=ptl,
             pic_width=cw, pic_height=ch,
@@ -166,6 +191,10 @@ class Encoder:
             self.pps = PPS(init_qp=26, sign_data_hiding=shd,
                            deblocking_filter_control_present=1,
                            deblocking_filter_disabled=1)
+        # explicit weighted prediction for P slices (x265 --weightp);
+        # Bs keep weighted_bipred=0 (weightb unsupported)
+        self.pps.weighted_pred = int(params.weightp)
+        self.pps.transquant_bypass_enabled = int(params.lossless)
         self.vps = VPS(ptl=ptl)
         # adaptive quantization (x265 aq-mode 1/2/3): per-CTB QPs signaled
         # with cu_qp_delta at QG == CTB granularity
@@ -187,7 +216,9 @@ class Encoder:
         self._b_pipeline = None         # fused B-frame device program
         self._b_batch_pipelines = {}    # F -> batched-B device program
         self.ref = None                 # (Y, Cb, Cr) coded-size ref planes
-        self.force_all_intra = False
+        # lossless v1 is all-intra (inter transquant-bypass lands with the
+        # bypass-aware P pipeline)
+        self.force_all_intra = bool(params.lossless)
         # hierarchical motion search (x265 motion.cpp:571 MVP-seeded search
         # re-cast TPU-first): a quarter-res full search seeds a per-block
         # +-me_fine full-res refine, honoring --merange up to 64.
@@ -324,6 +355,69 @@ class Encoder:
         self._mode_tables[key] = (ridx, avails)
         return ridx, avails
 
+    def _chroma_gather_tables(self, n, gh, gw, H, W):
+        """Chroma twin of _mode_gather_tables: availability evaluated in
+        LUMA coordinates (geometry z-scan is luma-domain)."""
+        key = ("c", n, gh, gw, H, W)
+        t = self._mode_tables.get(key)
+        if t is not None:
+            return t
+        from ..common.geometry import intra_neighbor_coords
+        g = self.geom
+        ridx = np.zeros((gh * gw, 4 * n + 1), np.int64)
+        avails = np.zeros((gh * gw, 4 * n + 1), bool)
+        for by in range(gh):
+            for bx in range(gw):
+                x0, y0 = bx * n, by * n
+                xs, ys = intra_neighbor_coords(x0, y0, n)
+                avails[by * gw + bx] = g.avail_rows(
+                    x0 << 1, y0 << 1, xs << 1, ys << 1)
+                ridx[by * gw + bx] = (np.clip(ys, 0, H - 1) * W
+                                      + np.clip(xs, 0, W - 1))
+        self._mode_tables[key] = (ridx, avails)
+        return ridx, avails
+
+    def _encode_lossless(self, ps, orig):
+        """All-intra transquant-bypass picture (x265 --lossless,
+        quant.cpp lossless bypass; §8.6.6).  recon == source, so intra
+        prediction reads ORIGINAL neighbors — the closed-loop wavefront
+        dependency vanishes and every block's mode decision, prediction
+        and residual runs as one batch.  Residual samples are coded
+        verbatim through residual_coding."""
+        import jax.numpy as jnp
+
+        from .wavefront import _predict_lanes, _substitute
+
+        bd = self.bit_depth
+        cu_size, modes, _c = self._decide_modes(orig)
+        s4 = cu_size // 4
+        ps.luma_mode[:] = np.kron(modes.astype(np.uint8),
+                                  np.ones((s4, s4), np.uint8))
+        ps.chroma_mode[:] = ps.luma_mode
+        ps.tq_bypass[:] = 1
+        rec = []
+        jobs = ((orig[0], cu_size, True, ps.coeff_y, False),
+                (orig[1], cu_size // 2, False, ps.coeff_cb, True),
+                (orig[2], cu_size // 2, False, ps.coeff_cr, True))
+        for pl, n, is_luma, coeff, is_chroma in jobs:
+            H, W = pl.shape
+            gh, gw = H // n, W // n
+            if is_chroma:
+                ridx, avails = self._chroma_gather_tables(n, gh, gw, H, W)
+            else:
+                ridx, avails = self._mode_gather_tables(n, gh, gw, H, W)
+            raw = jnp.asarray(pl.reshape(-1)[ridx].astype(np.int32))
+            refs = _substitute(raw, jnp.asarray(avails), bd)
+            m = jnp.asarray(modes.reshape(-1).astype(np.int32))
+            pred = _predict_lanes(refs, m, n, is_luma, bd)
+            blocks = pl.reshape(gh, n, gw, n).transpose(
+                0, 2, 1, 3).reshape(-1, n, n).astype(np.int32)
+            resi = blocks - np.asarray(pred)
+            coeff[:] = resi.reshape(gh, gw, n, n).transpose(
+                0, 2, 1, 3).reshape(H, W)
+            rec.append(pl.astype(np.int16))
+        return tuple(rec)
+
     # -- pass B: sequential reconstruction ----------------------------------
 
     def _encode_tu(self, orig_pl, rec_pl, coeff_pl, ps, x0, y0, log2_size,
@@ -441,7 +535,7 @@ class Encoder:
                        >= min_keyint)
         gop_start = ((self._display_idx - self._cvs_base) % keyint == 0
                      or self.prev_anchor_poc is None
-                     or self.force_all_intra or self.bit_depth > 8
+                     or self.force_all_intra
                      or la_scenecut)
         if self.bframes == 0:
             poc = 0 if gop_start else self._next_poc
@@ -544,9 +638,8 @@ class Encoder:
                 pad_plane(np.asarray(planes[1]), ph // 2, pw // 2),
                 pad_plane(np.asarray(planes[2]), ph // 2, pw // 2))
 
-        if kind != "I" and (self.force_all_intra or self.bit_depth > 8
-                            or l0_poc is None):
-            kind = "I"      # Main10 inter lands with >8-bit MC pipelines
+        if kind != "I" and (self.force_all_intra or l0_poc is None):
+            kind = "I"
             poc = 0
         is_p = kind == "P"
         is_b = kind == "B"
@@ -592,6 +685,15 @@ class Encoder:
         pend = _Pending(poc=poc, kind=kind, qp=self.qp, ps=ps,
                         display_idx=0, planes=planes, orig=orig,
                         l0_poc=l0_poc, l1_poc=l1_poc, cu_size=cu_size)
+        ref_orig = getattr(self.dpb.get(l0_poc), "orig", None)
+        if is_p and p.weightp and ref_orig is not None:
+            from .weights import analyse_luma_weight
+            pend.wp = analyse_luma_weight(orig[0], ref_orig[0],
+                                          self.bit_depth)
+        ps.wp_entry = pend.wp      # slice-header pred_weight_table source
+        if p.lossless:
+            pend.rec = self._encode_lossless(ps, orig)
+            return pend
         # the CTU scan handles partial CTBs natively (coded size is always
         # 16-aligned); the host fallback remains for tests/oracle runs
         use_pipeline = not self.force_host_recon
@@ -611,7 +713,8 @@ class Encoder:
                 pend.out_dev = self._dispatch_b(orig, l0_poc, l1_poc)
         elif is_p:
             assert use_pipeline, "P frames require the device pipeline"
-            pend.out_dev, pend.ext = self._dispatch_p(orig, l0_poc)
+            pend.out_dev, pend.ext = self._dispatch_p(orig, l0_poc,
+                                                      pend.wp)
             pend.allow_scenecut = bool(p.scenecut_threshold
                                        and self.bframes == 0
                                        and not self._use_lookahead)
@@ -786,7 +889,8 @@ class Encoder:
                 self.geom, bit_depth=self.bit_depth,
                 sign_hide=bool(self.pps.sign_data_hiding),
                 strong_intra_smoothing=bool(
-                    self.sps.strong_intra_smoothing))
+                    self.sps.strong_intra_smoothing),
+                rdoq=self.params.rdoq_level > 0)
         return self._ctu_scan
 
     def _fetch_outputs(self, pend):
@@ -974,7 +1078,7 @@ class Encoder:
             "host reference requested before the frame finished"
         return self._extend_ref(entry)
 
-    def _dispatch_p(self, orig, l0_poc):
+    def _dispatch_p(self, orig, l0_poc, wp=(64, 0, False)):
         from .device_pipeline import build_p_pipeline
 
         if self._p_pipeline is None:
@@ -983,7 +1087,8 @@ class Encoder:
         qpy, qpb, qpr, lam, qp_ctb = self._qp_arrays
         small, tails, ext = self._p_pipeline(
             orig[0], orig[1], orig[2], *refs,
-            qpy, qpb, qpr, lam, *self._filter_qps(), qp_ctb)
+            qpy, qpb, qpr, lam, *self._filter_qps(), qp_ctb,
+            np.int32(wp[0]), np.int32(wp[1]))
         return (small, tails), ext
 
     def _finish_p(self, pend):
@@ -1294,10 +1399,16 @@ class Encoder:
                 sao_luma=int(sao_on), sao_chroma=int(sao_on),
                 pic_order_cnt_lsb=poc % (1 << self.sps.log2_max_poc_lsb),
                 rps=rps, max_num_merge_cand=ps.max_merge_cand)
+            if self.pps.weighted_pred and slice_type == SLICE_P:
+                w, o, on = getattr(ps, "wp_entry", (64, 0, False))
+                sh.luma_log2_weight_denom = 6
+                sh.chroma_log2_weight_denom = 6
+                sh.weights_l0 = [(int(bool(on)), w, o, 0, 64, 0, 64, 0)]
         bw = write_slice_header(sh, self.sps, self.pps, nal_type)
 
         data = None
-        if not self.force_python_entropy:
+        if not self.force_python_entropy \
+                and not self.pps.transquant_bypass_enabled:
             from ..native import encode_slice_data_native
             data = encode_slice_data_native(
                 ps, self.qp, log2_min_cb=self.sps.log2_min_cb_size,
@@ -1317,7 +1428,9 @@ class Encoder:
                              self.sps.log2_min_tb_size,
                              self.sps.log2_max_tb_size,
                              slice_type=slice_type, sao_luma=sao_on,
-                             sao_chroma=sao_on, bit_depth=self.bit_depth)
+                             sao_chroma=sao_on, bit_depth=self.bit_depth,
+                             transquant_bypass=bool(
+                                 self.pps.transquant_bypass_enabled))
             for ctu in range(g.n_ctbs):
                 coder.encode_ctu(enc, ctu)
                 enc.encode_terminate(1 if ctu == g.n_ctbs - 1 else 0)

@@ -1,24 +1,27 @@
-"""Rate control: CQP / CRF / ABR with frame-level VBV.
+"""Rate control: CQP / CRF / ABR with frame-level VBV + 2-pass.
 
-Port of the 1-pass core of x265's RateControl state machine
+Port of the core of x265's RateControl state machine
 (x265_1.9/source/encoder/ratecontrol.cpp): rateEstimateQscale (:1463),
 getQScale's qComp complexity curve (:2243), tuneAbrQScaleFromFeedback
 (:1436), frame-level clipQscale VBV (:1870) with x264-style frame-size
-predictors, and the rateControlEnd accumulators (cplxrSum /
-wantedBitsWindow / accumPQp).  Runs as host scalar state between device
-frame steps (SURVEY.md §7 design stance).
+predictors, the rateControlEnd accumulators (cplxrSum /
+wantedBitsWindow / accumPQp), and 2-pass: pass 1 writes per-frame stat
+lines (writeRateControlFrameStats :2474), pass 2 re-plans every frame's
+qscale from the recorded complexities (initPass2 :824: blurred
+complexity^ (1-qcomp) scaled so the predicted total hits the target).
+Runs as host scalar state between device frame steps (SURVEY.md §7
+design stance).
 
 The per-frame complexity input (x265's lowres lookahead SATD,
-m_currentSatd) is supplied by the encoder's half-res host estimate until
-the device lookahead lands; the qComp power curve only needs relative
-complexity, so the estimate's scale is absorbed by BASE_CPLX.
-
-cu-tree offsets and 2-pass arrive with the lookahead subsystem.
+m_currentSatd) is supplied by the lookahead / half-res host estimate;
+the qComp power curve only needs relative complexity, so the estimate's
+scale is absorbed by BASE_CPLX.
 """
 
 from __future__ import annotations
 
 import math
+import os
 
 
 def qp_to_qscale(qp: float) -> float:
@@ -115,6 +118,73 @@ class RateControl:
                      "B": Predictor(0.8)}
         self._last = None           # (type, qscale, satd) of current frame
 
+        # 2-pass (ratecontrol.cpp:824 initPass2 / :2474 frame stats)
+        self.stats_pass = getattr(params, "stats_pass", 0)
+        self.stats_file = getattr(params, "stats_file", "x265_2pass.log")
+        self._stats_fh = None
+        self.pass2_qp: list[int] = []
+        if self.stats_pass == 1:
+            self._stats_fh = open(self.stats_file, "w", buffering=1)
+        elif self.stats_pass >= 2:
+            self._init_pass2()
+            self.mode = "2pass"
+
+    # -- 2-pass ---------------------------------------------------------------
+
+    def _init_pass2(self) -> None:
+        """Plan per-frame QPs from the pass-1 stats (initPass2:824).
+
+        Complexity of frame k = bits1_k * qscale1_k (the bits the frame
+        would cost at qscale 1), blurred over +-cplxblur neighbors; the
+        target curve is qscale_k = f * blurcplx_k^(1-qcomp) with type
+        offsets, and f solves sum(complexity_k / qscale_k) == target.
+        """
+        if not os.path.exists(self.stats_file):
+            raise ValueError(
+                f"--pass 2 requires stats file {self.stats_file!r}")
+        entries = []          # (type, bits, qscale)
+        with open(self.stats_file) as fh:
+            for line in fh:
+                kv = dict(tok.split(":", 1) for tok in line.split()
+                          if ":" in tok)
+                if "type" not in kv:
+                    continue
+                entries.append((kv["type"],
+                                float(kv.get("bits", 0)),
+                                qp_to_qscale(float(kv.get("q", 26)))))
+        if not entries:
+            raise ValueError(f"empty stats file {self.stats_file!r}")
+        cplx = [b * q for (_t, b, q) in entries]
+        # cplxblur gaussian-ish blur (getDiffLimitedQScale's blur role)
+        blur = max(0.1, getattr(self.p, "cplxblur", 20.0))
+        n = len(cplx)
+        blurred = []
+        for k in range(n):
+            num = den = 0.0
+            for j in range(max(0, k - 10), min(n, k + 11)):
+                wgt = math.exp(-((j - k) ** 2) / (2.0 * (blur / 4.0) ** 2))
+                num += cplx[j] * wgt
+                den += wgt
+            blurred.append(num / max(den, 1e-9))
+        u = []
+        for (t, _b, _q), c in zip(entries, blurred):
+            base = max(c, 1.0) ** (1.0 - self.qcomp)
+            if t == "I":
+                base /= self.ip_factor
+            elif t == "B":
+                base *= self.pb_factor
+            u.append(base)
+        target_total = self.bitrate / self.fps * n
+        if target_total <= 0:
+            raise ValueError("--pass 2 requires --bitrate")
+        # bits_k(f) = cplx_k / (f * u_k); solve for f
+        inv = sum(c / uk for c, uk in zip(cplx, u))
+        f = inv / target_total
+        self.pass2_qp = [
+            int(min(51, max(0, round(qscale_to_qp(
+                min(MAX_QPSCALE, max(MIN_QPSCALE, f * uk)))))))
+            for uk in u]
+
     # -- per-frame decision --------------------------------------------------
 
     def _rceq(self) -> float:
@@ -130,6 +200,13 @@ class RateControl:
         Non-referenced B frames ride pbFactor above their anchors
         (ratecontrol.cpp:1540 B-frame qscale interpolation, flat case)."""
         ftype = "B" if is_b else "I" if is_intra else "P"
+        if self.mode == "2pass":
+            idx = min(self.frames_done, len(self.pass2_qp) - 1)
+            qs = qp_to_qscale(self.pass2_qp[idx])
+            if self.vbv and satd > 0:
+                qs = self._clip_qscale_vbv(qs, satd, ftype)
+            self._last = (ftype, qs, satd)
+            return int(min(51, max(0, round(qscale_to_qp(qs)))))
         if self.mode == "cqp":
             q = self.p.qp + (round(self.pb_offset) if is_b
                              else -round(self.ip_offset) if is_intra else 0)
@@ -218,6 +295,12 @@ class RateControl:
     def update(self, bits: int, qp_used: int, is_intra: bool) -> None:
         """rateControlEnd: accumulate bits / complexity ratios / VBV."""
         ftype, qs, satd = self._last or ("I", qp_to_qscale(qp_used), 0.0)
+        if self._stats_fh is not None:
+            # writeRateControlFrameStats (:2474), reduced field set
+            self._stats_fh.write(
+                f"in:{self.frames_done} out:{self.frames_done} "
+                f"type:{ftype} q:{qp_used:.2f} bits:{bits} "
+                f"satd:{satd:.0f}\n")
         self.total_bits += bits
         self.frames_done += 1
         if self.mode != "cqp":

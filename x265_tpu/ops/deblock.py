@@ -10,8 +10,9 @@ So the whole filter is two fully-vectorized passes over [n_edges, ...]
 segment tensors; this numpy implementation is the spec oracle, the jnp
 version (same math) is the device path.
 
-Intra-only for now: every TU/PU edge has boundary strength 2.  BS derivation
-for inter (MV/ref comparisons) lands with the inter path.
+Covers intra (BS 2 on TU/PU edges) and inter boundary-strength derivation
+(MV-difference / reference-mismatch rules incl. the two-list B case,
+x265_1.9/source/common/deblock.cpp:193 getBoundaryStrength).
 """
 
 from __future__ import annotations

@@ -200,9 +200,13 @@ def mc_luma_batch(windows: jax.Array, frac_x: jax.Array, frac_y: jax.Array,
     corresponds to integer position (ix-3, iy-3).  frac_x/y: [B] in 0..3.
     Computes all 4x4 phase combinations' filters via per-lane filter select.
     """
-    # the uniform two-stage pipeline below is bit-exact with the spec's
-    # three cases only when shift1 == 0; >8-bit needs per-phase pipelines
-    assert bit_depth == 8, "batched MC is 8-bit for now (oracle covers 10)"
+    # the fused pp pipeline below is bit-exact with the spec's three cases
+    # only when shift1 == 0; >8-bit goes through the ps (14-bit) pipeline
+    # + the normative uni round (§8.5.3.3.3.1), exact at any depth
+    if bit_depth != 8:
+        return uni_round(
+            mc_luma_batch_ps(windows, frac_x, frac_y, w, h, bit_depth),
+            bit_depth)
     fx = jnp.asarray(LUMA_FILTERS)[frac_x]          # [B, 8]
     fy = jnp.asarray(LUMA_FILTERS)[frac_y]          # [B, 8]
     shift1 = bit_depth - 8
@@ -277,7 +281,10 @@ def mc_chroma_batch(windows: jax.Array, frac_x: jax.Array, frac_y: jax.Array,
                     w: int, h: int, bit_depth: int = 8) -> jax.Array:
     """Batched chroma MC from [B, h+3, w+3] windows (top-left = (ix-1,iy-1)).
     frac in 0..7."""
-    assert bit_depth == 8, "batched MC is 8-bit for now (oracle covers 10)"
+    if bit_depth != 8:
+        return uni_round(
+            mc_chroma_batch_ps(windows, frac_x, frac_y, w, h, bit_depth),
+            bit_depth)
     fx = jnp.asarray(CHROMA_FILTERS)[frac_x]
     fy = jnp.asarray(CHROMA_FILTERS)[frac_y]
     shift1 = bit_depth - 8

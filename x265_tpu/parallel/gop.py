@@ -150,7 +150,10 @@ class GopParallelEncoder:
                     oy, ocb, ocr, qs[0], qs[1], qs[2], qs[3],
                     fq[0], fq[1], fq[2], fq[3], qs[4])
             else:
-                prep_out = self._p_prep_sharded(oy, *ext_prev, fq[0])
+                wys = np.array([p.wp[0] for p in pends], np.int32)
+                wos = np.array([p.wp[1] for p in pends], np.int32)
+                prep_out = self._p_prep_sharded(oy, *ext_prev, fq[0],
+                                                wys, wos)
                 (modes, mode32, mv, inter, pred_y, pred_cb, pred_cr,
                  cost_p, cost_i) = prep_out
                 small, tails, ext = self._p_main_sharded(
