@@ -81,14 +81,23 @@ def determine_level(width: int, height: int, fps_num: int, fps_denom: int,
         f"at {bitrate_kbps} kbps")
 
 
-def enforce_level(params, level_idc: int) -> list[str]:
+def enforce_level(params, level_idc: int,
+                  tier: int | None = None) -> list[str]:
     """Clamp rate-control parameters to the level's ceiling and return
-    warnings (level.cpp:279 enforceLevel, reduced to the honored knobs)."""
+    warnings (level.cpp:279 enforceLevel, reduced to the honored knobs).
+
+    ``tier`` is the RESOLVED tier flag from determine_level — which may
+    have auto-promoted the stream to high tier beyond params.high_tier;
+    the cap must come from the tier the PTL actually signals, not from
+    the user request, or an auto-promoted stream gets its rate-control
+    target silently clamped to the main-tier cap."""
     spec = next((lv for lv in LEVELS if lv.level_idc == level_idc), None)
     out = []
     if spec is None:
         return out
-    cap = spec.max_bitrate_high if params.high_tier and \
+    if tier is None:
+        tier = 1 if (params.high_tier and spec.max_bitrate_high) else 0
+    cap = spec.max_bitrate_high if tier and \
         spec.max_bitrate_high else spec.max_bitrate_main
     if params.bitrate and params.bitrate > cap:
         out.append(f"x265_tpu [warning]: bitrate {params.bitrate} kbps "

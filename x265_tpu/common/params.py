@@ -406,16 +406,26 @@ _UNSUPPORTED: dict[str, tuple[object, str]] = {
     "hrd": (False, "HRD signaling not implemented"),
     "qblur": (0.5, "2-pass qp blur not implemented"),
     "constrained_intra": (False, "constrained intra pred not implemented"),
+    "rd_level": (3, "no effect (single fixed analysis path)"),
+    "me": (ME_HEX, "search method fixed (hierarchical coarse + full "
+           "local search)"),
+    "subme": (2, "no effect (always half+quarter-pel refine)"),
 }
 
 
 def unsupported_param_warnings(p: Params) -> list[str]:
     """Warnings for options set away from the engine's effective behavior
-    (x265_log analogue of param.cpp's config validation)."""
+    (x265_log analogue of param.cpp's config validation).
+
+    Only USER deviations warn: a field still at its library default is
+    silently coerced to the effective value (matching the reference's
+    param.cpp behavior) — otherwise every default-config Encoder()
+    would print warnings for unimplemented default-on features."""
+    defaults = {f.name: f.default for f in dataclasses.fields(Params)}
     out = []
     for fname, (effective, why) in _UNSUPPORTED.items():
         val = getattr(p, fname)
-        if val != effective:
+        if val != effective and val != defaults.get(fname):
             out.append(f"x265_tpu [warning]: --{fname.replace('_', '-')}"
                        f"={val!r} not honored: {why}; using {effective!r}")
     return out

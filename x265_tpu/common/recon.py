@@ -246,11 +246,18 @@ def _inter_pred(ps: PicSyntax, refs_l0, refs_l1, cx, cy, size, bit_depth,
             pcr = mc_chroma_np(ref[2], cx >> 1, cy >> 1, csz, csz, mvx,
                                mvy, bit_depth)
         return py, pcb, pcr
-    r0 = refs_l0[int(ps.ref_idx0[y4, x4])]
-    r1 = refs_l1[int(ps.ref_idx1[y4, x4])]
+    ri0 = int(ps.ref_idx0[y4, x4])
+    ri1 = int(ps.ref_idx1[y4, x4])
+    r0 = refs_l0[ri0]
+    r1 = refs_l1[ri1]
     mv0, mv1 = ps.mv0[y4, x4], ps.mv1[y4, x4]
     x0i, y0i = int(mv0[0]), int(mv0[1])
     x1i, y1i = int(mv1[0]), int(mv1[1])
+    e0 = e1 = None
+    if weights is not None:
+        wl0, wl1 = weights.weights_l0, weights.weights_l1
+        e0 = wl0[ri0] if ri0 < len(wl0) else None
+        e1 = wl1[ri1] if ri1 < len(wl1) else None
     out = []
     for pl, fn, (px, py, n) in (
             (0, mc_luma_ps_np, (cx, cy, size)),
@@ -258,7 +265,32 @@ def _inter_pred(ps: PicSyntax, refs_l0, refs_l1, cx, cy, size, bit_depth,
             (2, mc_chroma_ps_np, (cx >> 1, cy >> 1, csz))):
         p0 = fn(r0[pl], px, py, n, n, x0i, y0i, bit_depth)
         p1 = fn(r1[pl], px, py, n, n, x1i, y1i, bit_depth)
-        out.append(bi_avg_np(p0, p1, bit_depth))
+        # explicit weighted bi-prediction (§8.5.3.3.4.3): applies when
+        # either list's weight flag is set for this plane; unflagged
+        # lists use the unity weight at the table's denom
+        fi = 0 if pl == 0 else 3          # luma vs chroma flag index
+        f0 = bool(e0 and e0[fi])
+        f1 = bool(e1 and e1[fi])
+        if f0 or f1:
+            denom = (weights.luma_log2_weight_denom if pl == 0
+                     else weights.chroma_log2_weight_denom)
+            unity = 1 << denom
+            if pl == 0:
+                w0, o0 = (e0[1], e0[2]) if f0 else (unity, 0)
+                w1, o1 = (e1[1], e1[2]) if f1 else (unity, 0)
+            else:
+                k = 4 if pl == 1 else 6
+                w0, o0 = (e0[k], e0[k + 1]) if f0 else (unity, 0)
+                w1, o1 = (e1[k], e1[k + 1]) if f1 else (unity, 0)
+            log2wd = denom + 14 - bit_depth
+            ob0 = o0 << (bit_depth - 8)
+            ob1 = o1 << (bit_depth - 8)
+            v = (p0.astype(np.int64) * w0 + p1.astype(np.int64) * w1
+                 + ((ob0 + ob1 + 1) << log2wd)) >> (log2wd + 1)
+            out.append(np.clip(v, 0,
+                               (1 << bit_depth) - 1).astype(np.int32))
+        else:
+            out.append(bi_avg_np(p0, p1, bit_depth))
     return tuple(out)
 
 

@@ -512,10 +512,15 @@ def _inter_tools_builder(enc):
 
     g = enc.geom
     n = 16
-    R = enc.me_range                      # TOTAL full-pel reach
+    R = enc.me_range                      # TOTAL full-pel reach (padding)
     RF = enc.me_fine                      # fine full-search radius
     RC = enc.me_coarse                    # quarter-res search radius
     RS = 4 * RC                           # max seed magnitude (full-pel)
+    # the user-requested --merange is a MAXIMUM (x265 motion.cpp:571
+    # mvmin/mvmax clamp); R only rounds it up for internal padding.
+    # Seeds are clamped so seed+fine reach <= MRQ, and subpel/adoption
+    # candidates beyond 4*MRQ qpel are masked out.
+    MRQ = max(1, min(64, enc.params.me_range))
     M = R + 8
     CM = R // 2 + 4
     ph = g.ctbs_h << g.log2_ctb
@@ -619,6 +624,7 @@ def _inter_tools_builder(enc):
         P = build_patches(ref_ext)
         if RC:
             seed = coarse_seeds(orig, ref_ext)
+            seed = jnp.clip(seed, -(MRQ - RF), MRQ - RF)
             # per-block fine search region [B, PSF, PSF] at the seed
             # (top-left = seed - RF - 4), masked-select from the big patch
             S = select_window(P, seed[:, 0] + RS, seed[:, 1] + RS, PSF,
@@ -626,6 +632,38 @@ def _inter_tools_builder(enc):
         else:
             seed = jnp.zeros((nb, 2), jnp.int32)
             S = P
+
+        # ---- lambda * mv-bits cost (x265 motion.cpp:571 mvcost via
+        # bitcost.h:45 lambda*bits LUT).  The cost anchor is a
+        # neighbor-median of the coarse seed field — available BEFORE
+        # the fine search, so the whole frame stays one batched program
+        # (the real AMVP anchor is sequential in z-order; the seed
+        # median is its parallel estimate).  Bits model: EG1-style
+        # 2*log2(|d|+1)+1.718 per component (bitcost.cpp:33 s_bitsizes).
+        lam = 2.0 ** ((jnp.float32(qp) - 12.0) / 6.0)
+        sg = seed.reshape(gh, gw, 2)
+        sw_ = jnp.roll(sg, 1, axis=1)
+        sn_ = jnp.roll(sg, 1, axis=0)
+        col0 = (jnp.arange(gw) == 0)[None, :, None]
+        row0 = (jnp.arange(gh) == 0)[:, None, None]
+        sw_ = jnp.where(col0, sg, sw_)
+        sn_ = jnp.where(row0, sg, sn_)
+        pmv = 4 * (sg + sw_ + sn_
+                   - jnp.maximum(jnp.maximum(sg, sw_), sn_)
+                   - jnp.minimum(jnp.minimum(sg, sw_), sn_)
+                   ).reshape(nb, 2)                  # qpel (y, x) median
+
+        def mv_bits(dq):
+            """EG1-ish fractional bits of one qpel mvd component."""
+            a = jnp.abs(dq).astype(jnp.float32)
+            return jnp.where(a == 0, 0.718,
+                             2.0 * jnp.log2(a + 1.0) + 1.718)
+
+        def mv_cost(mv_q, pmv_b):
+            """lambda * bits(mv - pmv) for [..., 2] qpel MVs (pmv_b
+            pre-broadcast to mv_q's layout, same component order)."""
+            d = mv_q - pmv_b
+            return lam * (mv_bits(d[..., 0]) + mv_bits(d[..., 1]))
 
         # Stage 2: full-search SAD over the (2RF+1)^2 local grid.  One
         # scan step per ROW offset; the 2RF+1 column offsets inside a
@@ -641,6 +679,8 @@ def _inter_tools_builder(enc):
         _, cs = jax.lax.scan(row_body, 0,
                              jnp.arange(4, 4 + 2 * RF + 1, dtype=jnp.int32))
         costs = cs.transpose(2, 0, 1).reshape(nb, -1)       # [B, (2RF+1)^2]
+        cand_q = 4 * (seed[:, None, :] + jnp.asarray(offs_f)[None])
+        costs = costs.astype(jnp.float32) + mv_cost(cand_q, pmv[:, None])
         idx = jnp.argmin(costs, axis=1)
         mvi = seed + jnp.asarray(offs_f)[idx]               # [B] (dy, dx)
         dl = jnp.asarray(offs_f)[idx]                       # local delta
@@ -656,9 +696,13 @@ def _inter_tools_builder(enc):
             candidates stay within qpel offset [-3, 3], so the integer
             part relative to W is -1 or 0: two static row/col slices of
             W selected per block by jnp.where)."""
-            qs, wins = [], []
+            qs, wins, oobs = [], [], []
             for (dy, dx) in deltas9:
                 q = center + jnp.asarray((dy * step, dx * step))  # (y, x)
+                # candidates past the requested merange are masked, not
+                # clamped (clamping would desync mv and prediction)
+                oobs.append(jnp.any(jnp.abs(mvi * 4 + q) > 4 * MRQ,
+                                    axis=1))
                 iy1 = ((q[:, 0] >> 2) + 1)      # 0 or 1: W row offset
                 ix1 = ((q[:, 1] >> 2) + 1)
                 wr = jnp.where(iy1[:, None, None] == 0,
@@ -673,7 +717,11 @@ def _inter_tools_builder(enc):
             pred9 = mc_luma_batch(win9, fx9, fy9, n, n, enc.bit_depth)
             cost9 = satd_fn(jnp.tile(ob, (9, 1, 1)), pred9)
             pred9 = pred9.reshape(9, -1, n, n)
-            cost9 = cost9.reshape(9, -1)
+            cost9 = cost9.reshape(9, -1).astype(jnp.float32)
+            cost9 = cost9 + mv_cost(mvi[None] * 4 + jnp.stack(qs),
+                                    pmv[None])
+            big = jnp.float32(1 << 30)
+            cost9 = jnp.where(jnp.stack(oobs), big, cost9)
             best_c = cost9[0]
             best_q = qs[0]
             best_pred = pred9[0]
@@ -690,12 +738,13 @@ def _inter_tools_builder(enc):
         q0, pred, cost = refine_round(q0, 1)     # quarter-pel
         mvq = mvi * 4 + q0                                # [B, 2] (y, x) qpel
 
-        # ---- MV coherence passes (x265's lambda*mvd-cost analogue) ----
-        # adopt the west/north neighbor's MV when its SATD is within a
-        # lambda bias — uniform-MV runs enable 32/64 CU merges and cheap
-        # merge/skip syntax.  Evaluated batched via full-window gathers.
-        # ~ lambda * typical mvd bits (SATD-domain lambda = 2^((qp-12)/6))
-        lam_bias = 12.0 * 2.0 ** ((qp.astype(jnp.float32) - 12.0) / 6.0)
+        # ---- MV coherence passes ----
+        # adopt the west/north neighbor's MV when its TOTAL cost
+        # (SATD + lambda*mv-bits) wins within a small coherence bonus —
+        # uniform-MV runs additionally enable 32/64 CU merges and cheap
+        # merge/skip syntax, which the bits model alone does not see.
+        merge_bonus = 4.0 * lam
+        pmv_xy = pmv[:, ::-1]
 
         P2 = jnp.tile(P, (2, 1, 1))
 
@@ -717,13 +766,13 @@ def _inter_tools_builder(enc):
             cw_ = jnp.roll(g2, 1, axis=1).reshape(-1, 2)
             cn_ = jnp.roll(g2, 1, axis=0).reshape(-1, 2)
             cand2 = jnp.clip(jnp.concatenate([cw_, cn_], axis=0),
-                             -4 * R, 4 * R)
+                             -4 * MRQ, 4 * MRQ)
             p2, c2 = eval_mv2(cand2[:, ::-1])    # eval takes (y, x)
+            mvc2 = mv_cost(cand2.reshape(2, nb, 2), pmv_xy[None])
             for k, valid in ((0, jnp.arange(nb) % gw > 0),
                              (1, jnp.arange(nb) // gw > 0)):
-                c = c2[k * nb:(k + 1) * nb]
-                better = (c.astype(jnp.float32)
-                          < cost.astype(jnp.float32) + lam_bias) & valid
+                c = c2[k * nb:(k + 1) * nb].astype(jnp.float32) + mvc2[k]
+                better = (c < cost + merge_bonus) & valid
                 mvq = jnp.where(better[:, None],
                                 cand2[k * nb:(k + 1) * nb], mvq)
                 pred = jnp.where(better[:, None, None],
@@ -767,13 +816,32 @@ def _inter_tools_builder(enc):
                 bi_avg=lambda a, b: bi_avg(a, b, bd), R=R, M=M, CM=CM)
 
 
-def build_p_pipeline(enc):
-    """P-frame device program: intra analysis + full+subpel ME + chroma MC
-    + inter/intra decision + CTU-wavefront recon (one lax.scan).
+def ref_idx_bits(nr: int, n_act: int) -> np.ndarray:
+    """Per-slot ref_idx bit cost [nr]: TR binarization (Table 9-37,
+    cMax = n_act-1) for real slots, +inf for padding slots."""
+    out = np.full((nr,), 1e9, np.float32)
+    for r in range(min(nr, n_act)):
+        out[r] = 0.0 if n_act == 1 else float(
+            r + 1 if r < n_act - 1 else n_act - 1)
+    return out
 
-    fn(orig x3, ref_ext x3, qps, lam, qp_base, dqp_cb, dqp_cr, sao_lam) ->
-       (modes, mode32, use32, mv_qpel [B, 2] (x, y), inter_mask [B],
-        final planes x3, coeff planes x3, sao params x4, cost_p, cost_i).
+
+def build_p_pipeline(enc, nr: int = 1):
+    """P-frame device program: intra analysis + per-reference full+subpel
+    ME + ref_idx selection + chroma MC + inter/intra decision +
+    CTU-wavefront recon (one lax.scan).
+
+    ``nr``: number of active L0 references.  The per-ref searches are the
+    TPU-first shape of x265's per-(list,ref) ME loop
+    (search.cpp:2050 predInterSearch; SURVEY §2.6 P4 pme): instead of
+    distributing refs across worker threads, every ref's whole-frame ME
+    is one more unrolled batched search, and ref_idx falls out of an
+    argmin over (cost + lambda*ref_bits).
+
+    fn(orig x3, refs_y tuple[nr], refs_cb, refs_cr, qps, lam, qp_base,
+       dqp_cb, dqp_cr, sao_lam, qp_base_ctb, ref_pocs, wy, wo) ->
+       (small dict incl. mv [B, 2] (x, y) qpel, ref_idx [B], inter [B],
+        cost_p, cost_i; device tails).
     """
     import jax
     import jax.numpy as jnp
@@ -808,59 +876,106 @@ def build_p_pipeline(enc):
     # wavefront lax.scan makes XLA schedule the whole thing ~6x slower
     # (measured 1.32s vs 0.20s at 1080p) — so analysis/ME dispatch first,
     # and the scan+filters program consumes their on-device outputs.
-    # wy/wo: explicit L0 luma weight (1/64 units) + offset (8-bit units);
-    # (64, 0) is bit-exact unity, so one compiled program serves both.
-    def prep_raw(oy, ref_y_ext, ref_cb_ext, ref_cr_ext, qpy, wy, wo):
+    # wy/wo: explicit L0 ref0 luma weight (1/64 units) + offset (8-bit
+    # units); (64, 0) is bit-exact unity, so one compiled program serves
+    # both.
+    def prep_raw(oy, refs_y, refs_cb, refs_cr, qpy, rbits, wy, wo):
+        """``rbits`` [nr] float32: lambda-weighted ref_idx bit cost per
+        slot; padding slots (duplicated refs beyond the actual active
+        count) carry +inf so they can never win the argmin — one
+        compiled program serves every active-ref count bit-exactly."""
         modes, icost = analyse16(oy)
         ob = to_blocks(oy.astype(jnp.int32), n)
         if decide:
             mode32, _c32 = analyse32(oy)
         else:
             mode32 = jnp.zeros((B32,), jnp.int32)
-        if weightp:
-            # ME searches the pixel-domain weighted reference (x265
-            # MotionReference::applyWeight, reference.cpp); the FINAL
-            # prediction below is the normative 14-bit-domain weighting
-            # of the unweighted reference (predict.cpp addWeightUni)
-            obd = wo * (1 << (bd - 8))
-            me_ref = jnp.clip(
-                ((ref_y_ext.astype(jnp.int32) * wy + 32) >> 6) + obd,
-                0, maxv).astype(ref_y_ext.dtype)
+        lam = 2.0 ** ((jnp.float32(qpy) - 12.0) / 6.0)
+        oy32 = oy.astype(jnp.int32)
+        obd = wo * (1 << (bd - 8))
+        mvs, preds, totals = [], [], []
+        for r in range(nr):
+            ry = refs_y[r]
+            if weightp and r == 0:
+                # ME searches the pixel-domain weighted reference (x265
+                # MotionReference::applyWeight, reference.cpp); the FINAL
+                # prediction below is the normative 14-bit-domain
+                # weighting of the unweighted ref (predict.cpp
+                # addWeightUni)
+                me_ref = jnp.clip(
+                    ((ry.astype(jnp.int32) * wy + 32) >> 6) + obd,
+                    0, maxv).astype(ry.dtype)
+            else:
+                me_ref = ry
+            mv_r, pcost_r, pred_r = tools["me"](oy32, me_ref, ob, qpy)
+            if weightp and r == 0:
+                # §8.5.3.3.4.2 explicit uni weighting of the ps
+                # intermediate
+                ps_pred = tools["eval_mv_ps"](ry, mv_r)
+                log2wd = 6 + 14 - bd
+                pred_r = jnp.clip(
+                    ((ps_pred * wy + (1 << (log2wd - 1))) >> log2wd)
+                    + obd, 0, maxv)
+            totals.append(pcost_r.reshape(-1).astype(jnp.float32)
+                          + lam * rbits[r])
+            mvs.append(mv_r)
+            preds.append(pred_r)
+        if nr == 1:
+            rsel = jnp.zeros((mvs[0].shape[0],), jnp.int32)
+            pcost, mv, pred_y = totals[0], mvs[0], preds[0]
         else:
-            me_ref = ref_y_ext
-        mv, pcost, pred_y = tools["me"](oy.astype(jnp.int32),
-                                        me_ref, ob, qpy)
-        if weightp:
-            # §8.5.3.3.4.2 explicit uni weighting of the ps intermediate
-            ps_pred = tools["eval_mv_ps"](ref_y_ext, mv)
-            log2wd = 6 + 14 - bd
-            pred_y = jnp.clip(
-                ((ps_pred * wy + (1 << (log2wd - 1))) >> log2wd) + obd,
-                0, maxv)
+            tc = jnp.stack(totals)                   # [NR, B]
+            rsel = jnp.argmin(tc, axis=0).astype(jnp.int32)
+            pcost = jnp.min(tc, axis=0)
+            mv = jnp.take_along_axis(jnp.stack(mvs),
+                                     rsel[None, :, None], axis=0)[0]
+            pred_y = jnp.take_along_axis(
+                jnp.stack(preds), rsel[None, :, None, None], axis=0)[0]
         # intra blocks in P slices cost far more bits than SATD reflects
         # (mode + full coefficients); bias the decision toward inter
-        inter = pcost.reshape(-1).astype(jnp.int64) <= (
+        inter = pcost.astype(jnp.int64) <= (
             icost.astype(jnp.int64) * 9) // 8
-        pred_cb = tools["chroma_pred"](ref_cb_ext, mv)
-        pred_cr = tools["chroma_pred"](ref_cr_ext, mv)
+
+        def sel_chroma(refs_c):
+            pc = [tools["chroma_pred"](refs_c[r], mvs[r])
+                  for r in range(nr)]
+            if nr == 1:
+                return pc[0]
+            return jnp.take_along_axis(
+                jnp.stack(pc), rsel[None, :, None, None], axis=0)[0]
+
+        pred_cb = sel_chroma(refs_cb)
+        pred_cr = sel_chroma(refs_cr)
         # frame-level costs for the scenecut decision (x265 slicetype
         # analysis analogue): P cost = per-block best of inter/intra
-        cost_p = jnp.sum(jnp.minimum(pcost.reshape(-1), icost))
+        cost_p = jnp.sum(jnp.minimum(pcost, icost))
         cost_i = jnp.sum(icost)
-        return (modes, mode32, mv, inter, pred_y, pred_cb, pred_cr,
+        return (modes, mode32, mv, rsel, inter, pred_y, pred_cb, pred_cr,
                 cost_p, cost_i)
 
-    def main_raw(oy, ocb, ocr, modes, mode32, mv, inter, pred_y, pred_cb,
-                 pred_cr, qpy, qpb, qpr, lam, qp_base, dqp_cb, dqp_cr,
-                 sao_lam, qp_base_ctb):
+    def main_raw(oy, ocb, ocr, modes, mode32, mv, rsel, inter, pred_y,
+                 pred_cb, pred_cr, qpy, qpb, qpr, lam, qp_base, dqp_cb,
+                 dqp_cr, sao_lam, qp_base_ctb, ref_pocs):
         out = run_scan(oy, ocb, ocr, modes, mode32,
                        jnp.zeros((B32,), bool), qpy, qpb, qpr, lam=lam,
                        is_inter=inter, ipred_y=pred_y,
                        ipred_cb=pred_cb, ipred_cr=pred_cr)
-        merged = finish.merged_masks(inter, (mv,))
+        merged = finish.merged_masks(inter, (mv, rsel))
+
+        # deblock BS needs per-4x4 reference POCs once refs can differ
+        # per block (deblock.cpp:193 boundary-strength rules)
+        def rep4(a):
+            return jnp.repeat(jnp.repeat(a.reshape(gh, gw, -1), 4, 0),
+                              4, 1)
+
+        poc4 = rep4(ref_pocs[rsel][:, None])[:, :, 0]
+        mv4 = rep4(mv).astype(jnp.int32)
+        motion_b = (jnp.ones((gh * 4, gw * 4), jnp.int32), mv4, mv4,
+                    poc4, poc4)
         small, tails, fplanes = finish((oy, ocb, ocr), out, qp_base,
                                        dqp_cb, dqp_cr, sao_lam,
                                        inter=inter, mv=mv,
+                                       motion_b=motion_b,
                                        qp_base_ctb=qp_base_ctb,
                                        merged=merged)
         small = dict(small, use32=out[9])
@@ -869,19 +984,25 @@ def build_p_pipeline(enc):
     prep = jax.jit(prep_raw)
     main = jax.jit(main_raw)
 
-    def run(oy, ocb, ocr, ref_y_ext, ref_cb_ext, ref_cr_ext,
+    def run(oy, ocb, ocr, refs_y, refs_cb, refs_cr,
             qpy, qpb, qpr, lam, qp_base, dqp_cb, dqp_cr, sao_lam,
-            qp_base_ctb, wy=np.int32(64), wo=np.int32(0)):
-        (modes, mode32, mv, inter, pred_y, pred_cb, pred_cr,
-         cost_p, cost_i) = prep(oy, ref_y_ext, ref_cb_ext, ref_cr_ext,
-                                qp_base, wy, wo)
-        small, tails, ext = main(oy, ocb, ocr, modes, mode32, mv, inter,
-                                 pred_y, pred_cb, pred_cr, qpy, qpb, qpr,
-                                 lam, qp_base, dqp_cb, dqp_cr, sao_lam,
-                                 qp_base_ctb)
-        import jax.numpy as _jnp
+            qp_base_ctb, ref_pocs, wy=np.int32(64), wo=np.int32(0),
+            n_act=None):
+        if not isinstance(refs_y, (tuple, list)):
+            refs_y, refs_cb, refs_cr = (refs_y,), (refs_cb,), (refs_cr,)
+        if n_act is None:
+            n_act = len(refs_y)
+        rbits = ref_idx_bits(nr, n_act)
+        (modes, mode32, mv, rsel, inter, pred_y, pred_cb, pred_cr,
+         cost_p, cost_i) = prep(oy, tuple(refs_y), tuple(refs_cb),
+                                tuple(refs_cr), qp_base, rbits, wy, wo)
+        small, tails, ext = main(oy, ocb, ocr, modes, mode32, mv, rsel,
+                                 inter, pred_y, pred_cb, pred_cr,
+                                 qpy, qpb, qpr, lam, qp_base, dqp_cb,
+                                 dqp_cr, sao_lam, qp_base_ctb,
+                                 jnp.asarray(ref_pocs, jnp.int32))
         small = dict(small, modes=modes, mode32=mode32,
-                     mv=mv.astype(_jnp.int16), inter=inter,
+                     mv=mv.astype(jnp.int16), ref_idx=rsel, inter=inter,
                      cost_p=cost_p, cost_i=cost_i)
         return small, tails, ext
 
@@ -889,6 +1010,7 @@ def build_p_pipeline(enc):
     run.main = main
     run.prep_raw = prep_raw
     run.main_raw = main_raw
+    run.nr = nr
     return run
 
 

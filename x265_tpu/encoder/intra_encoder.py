@@ -156,7 +156,7 @@ class Encoder:
             cw, ch, params.fps_num, params.fps_denom,
             bitrate_kbps=max(params.bitrate, params.vbv_max_bitrate),
             requested_idc=params.level_idc, high_tier=params.high_tier)
-        for msg in enforce_level(params, level_idc):
+        for msg in enforce_level(params, level_idc, tier):
             if params.log_level >= 1:
                 import sys
                 print(msg, file=sys.stderr)
@@ -177,7 +177,11 @@ class Encoder:
             strong_intra_smoothing=int(params.strong_intra_smoothing),
             vui_timing_present=1, vui_present=1,
             fps_num=params.fps_num, fps_denom=params.fps_denom,
-            max_dec_pic_buffering=2, num_reorder_pics=0,
+            # DPB capacity covers the retained reference anchors + the
+            # current picture (A.4.1 / dec265 rejects RPSs larger than
+            # sps_max_dec_pic_buffering)
+            max_dec_pic_buffering=max(1, min(4, params.ref)) + 1,
+            num_reorder_pics=0,
             sao_enabled=int(params.sao))
         shd = int(params.sign_hide)
         if params.deblock:
@@ -239,6 +243,16 @@ class Encoder:
         self._cvs_base = 0              # global index of the current IDR
         self.dpb = {}                   # poc -> coded-size recon planes
         self.dpb_dev = {}               # poc -> device-resident ext planes
+        # multi-reference prediction (x265 --ref; search.cpp:2050
+        # per-ref ME loop): up to 4 retained anchors form the L0 list
+        self.num_ref = max(1, min(4, params.ref))
+        self._ref_pocs: list[int] = []  # retained anchors, nearest first
+        # weight-analysis source mirror: poc -> UNPADDED source luma of
+        # every potential L0 reference (anchors).  Dedicated map (not the
+        # DPB) so weightp is independent of pipeline timing and identical
+        # between the sequential and GOP-parallel paths (round-3 bug:
+        # gop.py never populated the DPB mirror, silently diverging).
+        self._wp_src = {}
         self.prev_anchor_poc = None
         # lookahead (x265 slicetype.cpp role): cuTree propagation over a
         # rc_lookahead-deep window; adds output delay exactly like the
@@ -256,10 +270,11 @@ class Encoder:
         if self.bframes:
             # one anchor precedes its Bs in decode order but follows in
             # output order; libde265 bumps off the VPS value (decctx.cc:1959)
+            cap = max(4, self.num_ref + 2)
             self.sps.num_reorder_pics = 1
-            self.sps.max_dec_pic_buffering = 4
+            self.sps.max_dec_pic_buffering = cap
             self.vps.num_reorder_pics = 1
-            self.vps.max_dec_pic_buffering = 4
+            self.vps.max_dec_pic_buffering = cap
 
     # -- stream headers ------------------------------------------------------
 
@@ -567,18 +582,31 @@ class Encoder:
     def _after_anchor(self, pf: _Pending, idr: bool = False) -> None:
         """DPB management after an anchor (I/P) DISPATCH: anchors are the
         only reference pictures (Bs are non-referenced, TRAIL_N).  The
-        device-resident extended recon (pf.ext) is already queued, so
-        dependent frames can dispatch immediately; the host recon lands
-        in self.dpb when the frame finishes."""
+        last ``num_ref`` anchors are retained as the L0 reference list
+        (x265 dpb.cpp:261 applyReferencePictureSet / --ref), nearest
+        first.  The device-resident extended recon (pf.ext) is already
+        queued, so dependent frames can dispatch immediately; the host
+        recon lands in self.dpb when the frame finishes."""
         if idr:
             self.dpb.clear()
             self.dpb_dev.clear()
+            self._ref_pocs = []
             self._next_poc = 1
         else:
             self._next_poc = pf.poc + 1
-        # keep only the new anchor (single active reference per list)
-        self.dpb = {pf.poc: pf}
-        self.dpb_dev = ({pf.poc: pf.ext} if pf.ext is not None else {})
+        # retained references: the new anchor + the previous num_ref-1
+        # (Bs additionally need the previous anchor even at --ref 1)
+        keep = max(self.num_ref, 2 if self.bframes else 1)
+        self._ref_pocs = [pf.poc] + [p for p in self._ref_pocs
+                                     if p != pf.poc][:keep - 1]
+        dpb = {pf.poc: pf}
+        dpb_dev = {pf.poc: pf.ext} if pf.ext is not None else {}
+        for p in self._ref_pocs[1:]:
+            if p in self.dpb:
+                dpb[p] = self.dpb[p]
+            if p in self.dpb_dev:
+                dpb_dev[p] = self.dpb_dev[p]
+        self.dpb, self.dpb_dev = dpb, dpb_dev
         self.prev_anchor_poc = pf.poc
 
     def _emit_minigop(self) -> None:
@@ -595,11 +623,7 @@ class Encoder:
                                   la=anchor_la)
         pend.display_idx = base + anchor_poc
         self._inflight.append(pend)
-        prev_dpb = dict(self.dpb)
-        prev_dpb_dev = dict(self.dpb_dev)
-        self._after_anchor(pend)
-        self.dpb.update(prev_dpb)       # Bs still need the previous anchor
-        self.dpb_dev.update(prev_dpb_dev)
+        self._after_anchor(pend)        # retains prev anchor for the Bs
         bs = frames[:-1]
         if len(bs) >= 2 and not self.force_host_recon:
             # all Bs of the mini-GOP are independent (non-referenced):
@@ -619,9 +643,6 @@ class Encoder:
                                         l1_poc=anchor_poc, la=la)
                 bp.display_idx = base + poc
                 self._inflight.append(bp)
-        self.dpb = {anchor_poc: pend}
-        self.dpb_dev = ({anchor_poc: pend.ext}
-                        if pend.ext is not None else {})
 
     def _dispatch_one(self, planes, poc: int, kind: str,
                       l0_poc=None, l1_poc=None, la=None, cplx=None,
@@ -677,18 +698,39 @@ class Encoder:
         qp_cr = chroma_qp(self.qp, self.pps.cr_qp_offset) + bd_off
         self._qp_plan(orig)
 
-        # slice-level reference info for the NORMATIVE MV derivations
+        # slice-level reference info for the NORMATIVE MV derivations.
+        # P slices use the full retained-anchor list (--ref); B slices
+        # stay at one ref per list (prev anchor / next anchor).
         ps.cur_poc = poc
-        ps.ref_pocs_l0 = (l0_poc,) if l0_poc is not None else ()
+        if is_p and l0_poc is not None:
+            active = [q for q in self._ref_pocs if q < poc]
+            if l0_poc not in active:
+                active = [l0_poc] + active
+            ps.ref_pocs_l0 = tuple(active[:self.num_ref])
+        else:
+            ps.ref_pocs_l0 = (l0_poc,) if l0_poc is not None else ()
         ps.ref_pocs_l1 = (l1_poc,) if l1_poc is not None else ()
+        # RPS retention snapshot: every picture the DPB must keep past
+        # this frame (future frames' references — §8.3.2; x265
+        # dpb.cpp:186 computeRPS).  For Bs this includes the already-
+        # dispatched next anchor (s1) and older anchors future Ps use.
+        ps.rps_keep = tuple(self._ref_pocs)
 
         pend = _Pending(poc=poc, kind=kind, qp=self.qp, ps=ps,
                         display_idx=0, planes=planes, orig=orig,
                         l0_poc=l0_poc, l1_poc=l1_poc, cu_size=cu_size)
-        ref_orig = getattr(self.dpb.get(l0_poc), "orig", None)
-        if is_p and p.weightp and ref_orig is not None:
+        if p.weightp and kind != "B":
+            # anchors may serve as the next P's L0 reference; record the
+            # UNPADDED source luma (padding columns distort the moments
+            # and the least-squares fit — the round-3 misfire trigger)
+            self._wp_src[poc] = np.asarray(planes[0])
+            while len(self._wp_src) > 4:
+                self._wp_src.pop(next(iter(self._wp_src)))
+        ref_src = self._wp_src.get(l0_poc) if is_p and p.weightp else None
+        if ref_src is not None and ref_src.shape == np.asarray(
+                planes[0]).shape:
             from .weights import analyse_luma_weight
-            pend.wp = analyse_luma_weight(orig[0], ref_orig[0],
+            pend.wp = analyse_luma_weight(np.asarray(planes[0]), ref_src,
                                           self.bit_depth)
         ps.wp_entry = pend.wp      # slice-header pred_weight_table source
         if p.lossless:
@@ -713,8 +755,8 @@ class Encoder:
                 pend.out_dev = self._dispatch_b(orig, l0_poc, l1_poc)
         elif is_p:
             assert use_pipeline, "P frames require the device pipeline"
-            pend.out_dev, pend.ext = self._dispatch_p(orig, l0_poc,
-                                                      pend.wp)
+            pend.out_dev, pend.ext = self._dispatch_p(
+                orig, ps.ref_pocs_l0, pend.wp)
             pend.allow_scenecut = bool(p.scenecut_threshold
                                        and self.bframes == 0
                                        and not self._use_lookahead)
@@ -1078,17 +1120,27 @@ class Encoder:
             "host reference requested before the frame finished"
         return self._extend_ref(entry)
 
-    def _dispatch_p(self, orig, l0_poc, wp=(64, 0, False)):
+    def _dispatch_p(self, orig, ref_pocs, wp=(64, 0, False)):
+        """``ref_pocs``: active L0 list, nearest first.  The pipeline is
+        compiled for a FIXED self.num_ref reference slots; a shorter
+        list is padded by repeating its farthest entry (duplicates can
+        never win the ref_idx argmin — same cost, more ref bits — so
+        the padded program is bit-exact with a shorter one)."""
         from .device_pipeline import build_p_pipeline
 
         if self._p_pipeline is None:
-            self._p_pipeline = build_p_pipeline(self)
-        refs = self._get_ref_ext(l0_poc)
+            self._p_pipeline = build_p_pipeline(self, nr=self.num_ref)
+        pocs = list(ref_pocs)
+        pocs = pocs + [pocs[-1]] * (self.num_ref - len(pocs))
+        refs = [self._get_ref_ext(q) for q in pocs]
         qpy, qpb, qpr, lam, qp_ctb = self._qp_arrays
         small, tails, ext = self._p_pipeline(
-            orig[0], orig[1], orig[2], *refs,
+            orig[0], orig[1], orig[2],
+            tuple(r[0] for r in refs), tuple(r[1] for r in refs),
+            tuple(r[2] for r in refs),
             qpy, qpb, qpr, lam, *self._filter_qps(), qp_ctb,
-            np.int32(wp[0]), np.int32(wp[1]))
+            np.asarray(pocs, np.int32),
+            np.int32(wp[0]), np.int32(wp[1]), n_act=len(ref_pocs))
         return (small, tails), ext
 
     def _finish_p(self, pend):
@@ -1112,6 +1164,10 @@ class Encoder:
         ps.mv0[:] = np.kron(
             mv.astype(np.int16).transpose(2, 0, 1),
             np.ones((1, s4, s4), np.int16)).transpose(1, 2, 0)
+        rsel = np.asarray(o["ref_idx"]).reshape(gh, gw)
+        ps.ref_idx0[:] = np.kron(rsel.astype(ps.ref_idx0.dtype),
+                                 np.ones((s4, s4), ps.ref_idx0.dtype))
+        ps.ref_idx0[ps.pred_mode == MODE_INTRA] = 0
         if self._get_ctu_scan().t["has32"]:
             use32 = o["use32"].reshape(ph // 32, pw // 32)
             mode32 = o["mode32"].reshape(ph // 32, pw // 32)
@@ -1382,13 +1438,24 @@ class Encoder:
             nal_type = NAL_IDR_W_RADL
             init_type = 0
         else:
-            # explicit RPS naming the active references by delta POC
-            # (§7.4.8; x265 codeShortTermRefPicSet entropy.cpp:523)
-            s0 = [l0_poc - poc] if l0_poc is not None else [-1]
-            rps = ShortTermRPS(delta_pocs_s0=s0, used_s0=[1] * len(s0))
+            # explicit RPS: active references (used_by_curr = 1) plus
+            # retained-only pictures future frames need (used = 0)
+            # (§7.4.8; x265 codeShortTermRefPicSet entropy.cpp:523,
+            # dpb.cpp:186 computeRPS)
+            keep = set(getattr(ps, "rps_keep", ()))
+            act0 = [q for q in ps.ref_pocs_l0 if q is not None]
+            act1 = [q for q in ps.ref_pocs_l1 if q is not None]
+            s0_pocs = sorted({q for q in keep if q < poc} | set(act0),
+                             reverse=True)
+            s1_pocs = sorted({q for q in keep if q > poc} | set(act1))
+            if not s0_pocs:
+                s0_pocs = [poc - 1]
+            rps = ShortTermRPS(
+                delta_pocs_s0=[q - poc for q in s0_pocs],
+                used_s0=[1 if q in act0 else 0 for q in s0_pocs],
+                delta_pocs_s1=[q - poc for q in s1_pocs],
+                used_s1=[1 if q in act1 else 0 for q in s1_pocs])
             if slice_type == SLICE_B:
-                rps.delta_pocs_s1 = [l1_poc - poc]
-                rps.used_s1 = [1]
                 nal_type = NAL_TRAIL_N    # our Bs are never referenced
                 init_type = 2
             else:
@@ -1399,11 +1466,18 @@ class Encoder:
                 sao_luma=int(sao_on), sao_chroma=int(sao_on),
                 pic_order_cnt_lsb=poc % (1 << self.sps.log2_max_poc_lsb),
                 rps=rps, max_num_merge_cand=ps.max_merge_cand)
+            n0 = max(1, len(act0))
+            sh.num_ref_idx_l0 = n0
+            if n0 != self.pps.num_ref_idx_l0_default:
+                sh.num_ref_idx_active_override = 1
             if self.pps.weighted_pred and slice_type == SLICE_P:
                 w, o, on = getattr(ps, "wp_entry", (64, 0, False))
                 sh.luma_log2_weight_denom = 6
                 sh.chroma_log2_weight_denom = 6
-                sh.weights_l0 = [(int(bool(on)), w, o, 0, 64, 0, 64, 0)]
+                # weight entry per active L0 ref; only ref0 is analysed
+                sh.weights_l0 = ([(int(bool(on)), w, o, 0, 64, 0, 64, 0)]
+                                 + [(0, 64, 0, 0, 64, 0, 64, 0)]
+                                 * (n0 - 1))
         bw = write_slice_header(sh, self.sps, self.pps, nal_type)
 
         data = None
@@ -1429,6 +1503,8 @@ class Encoder:
                              self.sps.log2_max_tb_size,
                              slice_type=slice_type, sao_luma=sao_on,
                              sao_chroma=sao_on, bit_depth=self.bit_depth,
+                             num_ref_l0=max(1, len(ps.ref_pocs_l0)),
+                             num_ref_l1=max(1, len(ps.ref_pocs_l1)),
                              transquant_bypass=bool(
                                  self.pps.transquant_bypass_enabled))
             for ctu in range(g.n_ctbs):

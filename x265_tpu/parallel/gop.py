@@ -74,7 +74,7 @@ class GopParallelEncoder:
 
         e0 = self.encoders[0]
         i_raw = build_i_pipeline(e0).raw
-        p_pipe = build_p_pipeline(e0)
+        p_pipe = build_p_pipeline(e0, nr=e0.num_ref)
         p_prep_raw, p_main_raw = p_pipe.prep_raw, p_pipe.main_raw
         mesh, axis = self.mesh, self.axis
 
@@ -127,8 +127,8 @@ class GopParallelEncoder:
 
         encs = self.encoders
         outs = [[] for _ in range(self.G)]
-        ext_prev = None
-        pend_prev = None
+        num_ref = encs[0].num_ref
+        ext_hist: list = []             # nearest-first device ref history
         for r in range(n):
             kind = "I" if r == 0 else "P"
             pends = []
@@ -152,19 +152,38 @@ class GopParallelEncoder:
             else:
                 wys = np.array([p.wp[0] for p in pends], np.int32)
                 wos = np.array([p.wp[1] for p in pends], np.int32)
-                prep_out = self._p_prep_sharded(oy, *ext_prev, fq[0],
+                # same padded-slot reference feed as the sequential
+                # _dispatch_p (dup of the farthest ref can never win
+                # the ref_idx argmin) — keeps bit-exactness
+                hist = ext_hist + [ext_hist[-1]] * (num_ref
+                                                    - len(ext_hist))
+                pocs = [r - 1 - i for i in range(len(ext_hist))]
+                pocs = pocs + [pocs[-1]] * (num_ref - len(pocs))
+                ref_pocs = np.tile(np.asarray(pocs, np.int32),
+                                   (self.G, 1))
+                refs_y = tuple(h[0] for h in hist)
+                refs_cb = tuple(h[1] for h in hist)
+                refs_cr = tuple(h[2] for h in hist)
+                from ..encoder.device_pipeline import ref_idx_bits
+                rbits = np.tile(ref_idx_bits(num_ref, len(ext_hist)),
+                                (self.G, 1))
+                prep_out = self._p_prep_sharded(oy, refs_y, refs_cb,
+                                                refs_cr, fq[0], rbits,
                                                 wys, wos)
-                (modes, mode32, mv, inter, pred_y, pred_cb, pred_cr,
-                 cost_p, cost_i) = prep_out
+                (modes, mode32, mv, rsel, inter, pred_y, pred_cb,
+                 pred_cr, cost_p, cost_i) = prep_out
                 small, tails, ext = self._p_main_sharded(
-                    oy, ocb, ocr, modes, mode32, mv, inter,
+                    oy, ocb, ocr, modes, mode32, mv, rsel, inter,
                     pred_y, pred_cb, pred_cr,
                     qs[0], qs[1], qs[2], qs[3],
-                    fq[0], fq[1], fq[2], fq[3], qs[4])
+                    fq[0], fq[1], fq[2], fq[3], qs[4], ref_pocs)
                 small = dict(small, modes=modes, mode32=mode32,
                              mv=np.asarray(mv).astype(np.int16),
+                             ref_idx=rsel,
                              inter=inter, cost_p=cost_p, cost_i=cost_i)
-            ext_prev = ext
+            ext_hist = [ext] + ext_hist[:num_ref - 1]
+            for e, pend in zip(encs, pends):
+                e._after_anchor(pend, idr=(r == 0))
             handle = _BatchFetch(small)
             # host finish per GOP (entropy order within a GOP is strict;
             # across GOPs it is embarrassingly parallel)
