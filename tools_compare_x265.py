@@ -57,7 +57,8 @@ def run_ours(frames, w, h, qp, fps=25, mode="matched"):
                    log_level=0)
     else:
         p = Params(source_width=w, source_height=h, qp=qp, fps_num=fps,
-                   bframes=0, aq_mode=0, weightp=False, log_level=0)
+                   bframes=0, aq_mode=0, weightp=False, ref=1,
+                   log_level=0)
     enc = Encoder(p)
     bits = 0
     ps = []

@@ -232,12 +232,24 @@ class CtuScan:
 
     # -- the scan ------------------------------------------------------------
 
-    def scan_fn(self, inter: bool, decide32: bool = False):
+    def scan_fn(self, inter: bool, decide32: bool = False,
+                rqt: bool = False):
         """Returns run(...) -> (rec_y, rec_cb, rec_cr, lv16_y, lv8_cb,
-        lv8_cr, lv32_y, lv16_cb, lv16_cr, use32).
+        lv8_cr, lv32_y, lv16_cb, lv16_cr, use32, tu8).
 
         run(oy, ocb, ocr, mode16, mode32, use32, qp_y, qp_cb, qp_cr
-            [, lam, is_inter, ipred_y, ipred_cb, ipred_cr])
+            [, lam, is_inter, ipred_y, ipred_cb, ipred_cr, rqt_ok])
+
+        With ``rqt`` (inter slices), every inter 16x16 slot additionally
+        evaluates the DEPTH-1 residual quadtree candidate — four 8x8
+        luma TUs + four 4x4 chroma TUs — and RD-selects TU16 vs TU8
+        jointly over all three planes (x265 search.cpp:2838
+        estimateResidualQT re-cast as one batched in-scan compare).
+        ``rqt_ok`` [B16] masks blocks whose containing CU cannot take
+        another TU split level (merged 64x64 CUs at
+        max_transform_hierarchy_depth_inter == 2).  The returned ``tu8``
+        [B16] marks blocks coded with the split tree; their lv16/lv8
+        outputs hold the four sub-TU levels in place.
 
         * oy/ocb/ocr: padded original planes.
         * mode16 [B16] int32; mode32 [B32] int32, use32 [B32] bool (the
@@ -360,11 +372,24 @@ class CtuScan:
                 qp_y = d["qp_y"][xs["ctu"]]      # [L] per-lane
                 qp_c2 = jnp.concatenate([d["qp_cb"][xs["ctu"]],
                                          d["qp_cr"][xs["ctu"]]])
-                if decide32:
+                if decide32 or rqt:
                     lam = d["lam"][xs["ctu"]]    # [L] SSD-domain lambda
                 ones_l = jnp.ones((L,), bool)
                 ones_2l = jnp.ones((2 * L,), bool)
                 lv16_o, lv8_o, lv32_o, lvc16_o, u32_o = [], [], [], [], []
+                tu8_o = []
+
+                def split4(x, m):
+                    """[K, 2m, 2m] -> [4K, m, m] (z-order quadrants)."""
+                    K = x.shape[0]
+                    return x.reshape(K, 2, m, 2, m).transpose(
+                        1, 3, 0, 2, 4).reshape(4 * K, m, m)
+
+                def join4(x, m):
+                    """Inverse of split4."""
+                    K = x.shape[0] // 4
+                    return x.reshape(2, 2, K, m, m).transpose(
+                        2, 0, 3, 1, 4).reshape(K, 2 * m, 2 * m)
 
                 # lane-local CTU buffers seeded from the frontier state
                 cx1 = jnp.minimum(cx + 1, cw)
@@ -385,6 +410,7 @@ class CtuScan:
 
                 for q in range(n_quads):
                     qx, qy = quad_orig[q]
+                    slot_preds, slot_predcs = [], []
                     if has32:
                         bq = xs["b32"][:, q]
                         m32 = d["mode32"][bq]
@@ -393,19 +419,17 @@ class CtuScan:
                                            xs["l32_av"][:, q], m32)
                         lv32, rec32 = tq(pred32, d["orig32_y"][bq], qp_y,
                                          ones_l, 32)
-                        lv32_o.append(lv32)
                         # 16x16 chroma TU candidate (cb+cr paired lanes)
                         raw2 = refs_from(Cc, qx // 2, qy // 2, 16)
                         av2 = jnp.concatenate([xs["c16_av"][:, q]] * 2)
                         refc = _substitute(raw2, av2, bd)
                         m32_2 = jnp.concatenate([m32, m32])
                         predc = _predict_lanes(refc, m32_2, 16, False, bd)
-                        oc = jnp.concatenate([d["orig16_cb"][bq],
-                                              d["orig16_cr"][bq]])
-                        lvc32, recc32 = tq(predc, oc, qp_c2, ones_2l, 16)
-                        lvc16_o.append(lvc32)
+                        oc32 = jnp.concatenate([d["orig16_cb"][bq],
+                                                d["orig16_cr"][bq]])
+                        lvc32, recc32 = tq(predc, oc32, qp_c2, ones_2l, 16)
                         if decide32:
-                            sc = ssd(recc32, oc)
+                            sc = ssd(recc32, oc32)
                             bc = level_bits_jnp(lvc32)
                             cost32 = (ssd(rec32, d["orig32_y"][bq])
                                       + sc[:L] + sc[L:]
@@ -429,11 +453,9 @@ class CtuScan:
                             imask = ~iv
                         else:
                             imask = ones_l
-                        lv, rec = tq(pred, d["orig16_y"][b], qp_y, imask,
-                                     16)
-                        lv16_o.append(lv)
-                        C = C.at[:, 1 + sy:1 + sy + 16,
-                                 1 + sx:1 + sx + 16].set(rec)
+                        o16 = d["orig16_y"][b]
+                        slot_preds.append(pred)
+                        lv, rec = tq(pred, o16, qp_y, imask, 16)
                         # 8x8 chroma slot (cb + cr paired lanes)
                         raw2 = refs_from(Cc, sx // 2, sy // 2, 8)
                         av2 = jnp.concatenate([xs["c8_av"][:, i]] * 2)
@@ -450,8 +472,49 @@ class CtuScan:
                             imask2 = ones_2l
                         oc = jnp.concatenate([d["orig8_cb"][b],
                                               d["orig8_cr"][b]])
+                        slot_predcs.append(predc)
                         lvc, recc = tq(predc, oc, qp_c2, imask2, 8)
+                        if inter and rqt:
+                            # depth-1 RQT candidate: 4x 8x8 luma TUs +
+                            # 4x 4x4 chroma TUs, joint RD vs the TU16
+                            # config (search.cpp:2838)
+                            lv8s, rec8s = tq(split4(pred, 8),
+                                             split4(o16, 8),
+                                             jnp.tile(qp_y, 4),
+                                             jnp.tile(imask, 4), 8)
+                            lv4s, rec4s = tq(split4(predc, 4),
+                                             split4(oc, 4),
+                                             jnp.tile(qp_c2, 4),
+                                             jnp.tile(imask2, 4), 4)
+                            rec8 = join4(rec8s, 8)
+                            lv8 = join4(lv8s, 8)
+                            rec4 = join4(rec4s, 4)
+                            lv4 = join4(lv4s, 4)
+                            sc16 = ssd(recc, oc)
+                            bc16 = level_bits_jnp(lvc)
+                            c16 = (ssd(rec, o16) + sc16[:L] + sc16[L:]
+                                   + lam * (level_bits_jnp(lv)
+                                            + bc16[:L] + bc16[L:]))
+                            sc4 = ssd(rec4, oc)
+                            b8 = level_bits_jnp(lv8s).reshape(4, L).sum(0)
+                            bc4 = level_bits_jnp(lv4s).reshape(
+                                4, 2 * L).sum(0)
+                            # split flag + extra cbf signaling overhead
+                            c8 = (ssd(rec8, o16) + sc4[:L] + sc4[L:]
+                                  + lam * (b8 + bc4[:L] + bc4[L:] + 9.0))
+                            tu8 = iv & d["rqt_ok"][b] & (c8 < c16)
+                            t3 = tu8[:, None, None]
+                            t3c = jnp.concatenate([tu8, tu8])[:, None,
+                                                              None]
+                            rec = jnp.where(t3, rec8, rec)
+                            lv = jnp.where(t3, lv8, lv)
+                            recc = jnp.where(t3c, rec4, recc)
+                            lvc = jnp.where(t3c, lv4, lvc)
+                            tu8_o.append(tu8)
+                        lv16_o.append(lv)
                         lv8_o.append(lvc)
+                        C = C.at[:, 1 + sy:1 + sy + 16,
+                                 1 + sx:1 + sx + 16].set(rec)
                         Cc = Cc.at[:, 1 + sy // 2:1 + sy // 2 + 8,
                                    1 + sx // 2:1 + sx // 2 + 8].set(recc)
                         if has32 and decide32:
@@ -470,18 +533,56 @@ class CtuScan:
                                 u32 = u32 & ~any_inter
                         else:
                             u32 = d["use32"][bq]
-                        u32_o.append(u32)
+                        sel32, rec32f, lv32f = u32, rec32, lv32
+                        recc32f, lvc32f = recc32, lvc32
+                        if inter and decide32:
+                            # inter TU32 trial for uniform-motion quads
+                            # (x265 medium codes TU == CU for inter;
+                            # merged 32/64 CUs otherwise pay 4x TU16
+                            # cbf/structure syntax).  The quad's inter
+                            # prediction is the four slot preds
+                            # reassembled (same MV everywhere, so MC is
+                            # position-independent and seam-free).
+                            ip32 = join4(jnp.concatenate(slot_preds), 16)
+                            ipc16 = join4(jnp.concatenate(slot_predcs), 8)
+                            zl = jnp.zeros((L,), bool)
+                            lv32i, rec32i = tq(ip32, d["orig32_y"][bq],
+                                               qp_y, zl, 32)
+                            lvc16i, recc16i = tq(ipc16, oc32, qp_c2,
+                                                 jnp.zeros((2 * L,), bool),
+                                                 16)
+                            sci = ssd(recc16i, oc32)
+                            bci = level_bits_jnp(lvc16i)
+                            c32i = (ssd(rec32i, d["orig32_y"][bq])
+                                    + sci[:L] + sci[L:]
+                                    + lam * (level_bits_jnp(lv32i)
+                                             + bci[:L] + bci[L:] + OVH32))
+                            tu32 = d["m32_in"][bq] & (c32i < cost16)
+                            t1 = tu32[:, None, None]
+                            t2 = jnp.concatenate([tu32, tu32]
+                                                 )[:, None, None]
+                            sel32 = u32 | tu32
+                            rec32f = jnp.where(t1, rec32i, rec32)
+                            lv32f = jnp.where(t1, lv32i, lv32)
+                            recc32f = jnp.where(t2, recc16i, recc32)
+                            lvc32f = jnp.where(t2, lvc16i, lvc32)
+                        # sel32 = intra-32 CUs | inter TU32 quads; the
+                        # host separates them via the merge masks
+                        # (tu32 quads are exactly sel32 & m32_in)
+                        u32_o.append(sel32)
+                        lv32_o.append(lv32f)
+                        lvc16_o.append(lvc32f)
                         # masked overwrite of the quadrant with the 32 recon
                         C = C.at[:, 1 + qy:1 + qy + 32,
                                  1 + qx:1 + qx + 32].set(
-                            jnp.where(u32[:, None, None], rec32,
+                            jnp.where(sel32[:, None, None], rec32f,
                                       C[:, 1 + qy:1 + qy + 32,
                                         1 + qx:1 + qx + 32]))
-                        u2 = jnp.concatenate([u32, u32])[:, None, None]
+                        u2 = jnp.concatenate([sel32, sel32])[:, None, None]
                         qcx, qcy = qx // 2, qy // 2
                         Cc = Cc.at[:, 1 + qcy:1 + qcy + 16,
                                    1 + qcx:1 + qcx + 16].set(
-                            jnp.where(u2, recc32,
+                            jnp.where(u2, recc32f,
                                       Cc[:, 1 + qcy:1 + qcy + 16,
                                          1 + qcx:1 + qcx + 16]))
 
@@ -503,6 +604,7 @@ class CtuScan:
                 ys = tuple(jnp.stack(v).astype(jnp.int16) if v else None
                            for v in (lv16_o, lv8_o, lv32_o, lvc16_o))
                 ys = ys + (jnp.stack(u32_o) if u32_o else None,
+                           jnp.stack(tu8_o) if tu8_o else None,
                            C[:, 1:1 + ctb, 1:1 + ctb].astype(jnp.int16),
                            Cc[:, 1:1 + ctbc, 1:1 + ctbc].astype(jnp.int16))
                 return (rowf, colf, cornf, rowfb, colfb, cornfb,
@@ -511,7 +613,7 @@ class CtuScan:
 
         def run(oy, ocb, ocr, mode16, mode32, use32, qp_y, qp_cb, qp_cr,
                 lam=None, is_inter=None, ipred_y=None, ipred_cb=None,
-                ipred_cr=None):
+                ipred_cr=None, m32_in=None, rqt_ok=None):
             out_dtype = jnp.uint8 if bd == 8 else jnp.uint16
             pad16 = jnp.zeros((1, 16, 16), jnp.int32)
             pad8 = jnp.zeros((1, 8, 8), jnp.int32)
@@ -538,13 +640,13 @@ class CtuScan:
                     [self._to_blocks(ocr.astype(jnp.int32), 16), pad16])
                 d["mode32"] = jnp.concatenate(
                     [mode32.astype(jnp.int32), zpad])
-                if decide32:
-                    d["lam"] = jnp.concatenate(
-                        [jnp.asarray(lam, jnp.float32),
-                         jnp.zeros((1,), jnp.float32)])
-                else:
+                if not decide32:
                     d["use32"] = jnp.concatenate(
                         [jnp.asarray(use32, bool), jnp.zeros((1,), bool)])
+            if decide32 or rqt:
+                d["lam"] = jnp.concatenate(
+                    [jnp.asarray(lam, jnp.float32),
+                     jnp.zeros((1,), jnp.float32)])
             if inter:
                 d["is_inter"] = jnp.concatenate(
                     [jnp.asarray(is_inter, bool), jnp.zeros((1,), bool)])
@@ -554,6 +656,16 @@ class CtuScan:
                     [ipred_cb.astype(jnp.int32), pad8])
                 d["ipred_cr"] = jnp.concatenate(
                     [ipred_cr.astype(jnp.int32), pad8])
+                zb1 = jnp.zeros((1,), bool)
+                if inter and decide32:
+                    m32b = (jnp.zeros((t["b32_n"],), bool)
+                            if m32_in is None else jnp.asarray(m32_in,
+                                                               bool))
+                    d["m32_in"] = jnp.concatenate([m32b.reshape(-1), zb1])
+                if rqt:
+                    rq = (jnp.ones((t["b16_n"],), bool)
+                          if rqt_ok is None else jnp.asarray(rqt_ok, bool))
+                    d["rqt_ok"] = jnp.concatenate([rq.reshape(-1), zb1])
 
             carry0 = (
                 jnp.zeros((cw + 1, ctb), jnp.int32),       # rowf
@@ -567,7 +679,7 @@ class CtuScan:
                 jnp.zeros((cw + 2, 2), jnp.int32),         # cornf cr
             )
             _, ys = jax.lax.scan(make_step(d), carry0, xs_all)
-            (lv16_s, lv8_s, lv32_s, lvc16_s, u32_s,
+            (lv16_s, lv8_s, lv32_s, lvc16_s, u32_s, tu8_s,
              int_y, int_c) = ys
 
             # assemble planes from the per-level CTU interiors
@@ -612,7 +724,13 @@ class CtuScan:
             else:
                 lv32_y = lv16_cb = lv16_cr = None
                 use32_out = jnp.zeros((B32,), bool)
+            if tu8_s is not None:
+                t_ = jnp.swapaxes(xs_all["b16"], 1, 2).reshape(-1)
+                tu8_out = jnp.zeros((B16 + 1,), bool).at[t_].set(
+                    tu8_s.reshape(-1), mode="drop")[:-1]
+            else:
+                tu8_out = jnp.zeros((B16,), bool)
             return (rec_y, rec_cb, rec_cr, lv16_y, lv8_cb, lv8_cr,
-                    lv32_y, lv16_cb, lv16_cr, use32_out)
+                    lv32_y, lv16_cb, lv16_cr, use32_out, tu8_out)
 
         return run

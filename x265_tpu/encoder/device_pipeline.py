@@ -190,7 +190,7 @@ def _filter_stage_builder(enc):
                inter=None, mv=None, motion_b=None, qp_base_ctb=None,
                merged=None):
         (rec_y, rec_cb, rec_cr, lv16_y, lv8_cb, lv8_cr,
-         lv32_y, lv16_cb, lv16_cr, use32) = scan_out
+         lv32_y, lv16_cb, lv16_cr, use32, _tu8) = scan_out
         # ---- coefficient planes (merged by the CU decision) ----
         cy = to_plane(lv16_y, gh, gw, 16)
         ccb = to_plane(lv8_cb, gh, gw, 8)
@@ -794,6 +794,14 @@ def _inter_tools_builder(enc):
         win = select_window(P, iy + R + 1, ix + R + 1, n + 7, 2 * R + 2)
         return mc_luma_batch_ps(win, mv[:, 0] & 3, mv[:, 1] & 3, n, n, bd)
 
+    def eval_mv(ref_ext, mv):
+        """Pixel-domain luma prediction at per-block (x, y) qpel MVs."""
+        P = build_patches(ref_ext)
+        iy = mv[:, 1] >> 2
+        ix = mv[:, 0] >> 2
+        win = select_window(P, iy + R + 1, ix + R + 1, n + 7, 2 * R + 2)
+        return mc_luma_batch(win, mv[:, 0] & 3, mv[:, 1] & 3, n, n, bd)
+
     def _chroma_windows(ref_ext, mv):
         PC = build_patches_c(ref_ext)
         icx = mv[:, 0] >> 3
@@ -811,7 +819,8 @@ def _inter_tools_builder(enc):
         return mc_chroma_batch_ps(wins, mv[:, 0] & 7, mv[:, 1] & 7, cn, cn,
                                   bd)
 
-    return dict(me=me, eval_mv_ps=eval_mv_ps, chroma_pred=chroma_pred,
+    return dict(me=me, eval_mv_ps=eval_mv_ps, eval_mv=eval_mv,
+                chroma_pred=chroma_pred,
                 chroma_pred_ps=chroma_pred_ps, satd=satd_fn,
                 bi_avg=lambda a, b: bi_avg(a, b, bd), R=R, M=M, CM=CM)
 
@@ -936,9 +945,79 @@ def build_p_pipeline(enc, nr: int = 1):
         inter = pcost.astype(jnp.int64) <= (
             icost.astype(jnp.int64) * 9) // 8
 
+        # ---- CU-merge uniformization trial (x265 checkMerge2Nx2N /
+        # early-skip at depths 0-1, TPU-first): large-CU skip syntax is
+        # the dominant bit saving at low rates — per 32-quad and 64-CTB,
+        # try the top-left block's (mv, ref) for the WHOLE region; if
+        # summed SATD + merged-CU bits beats the per-block total, adopt
+        # it, collapsing the quad into one merged (often skip) CU
+        # downstream (analysis.cpp:1652 merge trial + :2286 depth
+        # heuristics, re-cast as one batched decision).
+        def eval_sel(mv_c, rsel_c):
+            """Pixel-domain pred at (mv, ref_idx) per block, with the
+            slot-0 explicit weight applied when weightp."""
+            out = None
+            for r in range(nr):
+                if weightp and r == 0:
+                    ps_p = tools["eval_mv_ps"](refs_y[0], mv_c)
+                    log2wd = 6 + 14 - bd
+                    p_r = jnp.clip(
+                        ((ps_p * wy + (1 << (log2wd - 1))) >> log2wd)
+                        + obd, 0, maxv)
+                else:
+                    p_r = tools["eval_mv"](refs_y[r], mv_c)
+                out = p_r if out is None else jnp.where(
+                    (rsel_c == r)[:, None, None], p_r, out)
+            return out
+
+        def uniform_pass(mv, rsel, pred_y, pcost, inter, bs, inb):
+            gq = mv.reshape(gh, gw, 2)
+            tl_mv = jnp.repeat(jnp.repeat(gq[::bs, ::bs], bs, 0), bs, 1
+                               ).reshape(-1, 2)
+            gr = rsel.reshape(gh, gw)
+            tl_r = jnp.repeat(jnp.repeat(gr[::bs, ::bs], bs, 0), bs, 1
+                              ).reshape(-1)
+            cand_pred = eval_sel(tl_mv, tl_r)
+            cand_cost = tools["satd"](ob, cand_pred).astype(jnp.float32)
+
+            def qsum(a):
+                return jnp.repeat(jnp.repeat(
+                    a.reshape(gh // bs, bs, gw // bs, bs)
+                    .sum(axis=(1, 3)), bs, 0), bs, 1).reshape(-1)
+
+            all_inter = jnp.repeat(jnp.repeat(jnp.all(
+                inter.reshape(gh // bs, bs, gw // bs, bs), axis=(1, 3)),
+                bs, 0), bs, 1).reshape(-1)
+            nb2 = float(bs * bs)
+            # merged CU: ~4 bits of split/skip/merge syntax total;
+            # per-block path: ~6 bits each of flags beyond the mv bits
+            # already inside pcost
+            accept = (cand_cost_q := qsum(cand_cost)) + lam * 4.0 < \
+                qsum(pcost) + lam * 6.0 * nb2
+            accept = accept & all_inter & jnp.asarray(inb).reshape(-1)
+            mv = jnp.where(accept[:, None], tl_mv, mv)
+            rsel = jnp.where(accept, tl_r, rsel)
+            pred_y = jnp.where(accept[:, None, None], cand_pred, pred_y)
+            pcost = jnp.where(accept, cand_cost_q / nb2, pcost)
+            return mv, rsel, pred_y, pcost
+
+        def quad_inbounds(bs):
+            by = (np.arange(gh) // bs) * bs * 16
+            bx = (np.arange(gw) // bs) * bs * 16
+            return ((by[:, None] + bs * 16 <= enc.geom.height)
+                    & (bx[None, :] + bs * 16 <= enc.geom.width))
+
+        if gh % 2 == 0 and gw % 2 == 0 and enc.geom.log2_ctb >= 5:
+            mv, rsel, pred_y, pcost = uniform_pass(
+                mv, rsel, pred_y, pcost, inter, 2, quad_inbounds(2))
+            if gh % 4 == 0 and gw % 4 == 0 and enc.geom.log2_ctb == 6:
+                mv, rsel, pred_y, pcost = uniform_pass(
+                    mv, rsel, pred_y, pcost, inter, 4, quad_inbounds(4))
+
         def sel_chroma(refs_c):
-            pc = [tools["chroma_pred"](refs_c[r], mvs[r])
-                  for r in range(nr)]
+            # evaluated at the FINAL mv field (post-uniformization), so
+            # every ref's chroma MC uses the same per-block MVs
+            pc = [tools["chroma_pred"](refs_c[r], mv) for r in range(nr)]
             if nr == 1:
                 return pc[0]
             return jnp.take_along_axis(
@@ -956,11 +1035,17 @@ def build_p_pipeline(enc, nr: int = 1):
     def main_raw(oy, ocb, ocr, modes, mode32, mv, rsel, inter, pred_y,
                  pred_cb, pred_cr, qpy, qpb, qpr, lam, qp_base, dqp_cb,
                  dqp_cr, sao_lam, qp_base_ctb, ref_pocs):
+        merged = finish.merged_masks(inter, (mv, rsel))
+        m32_in = None
+        if merged is not None:
+            m32q, m64q = merged
+            f = m32q.shape[0] // m64q.shape[0]
+            m32_in = m32q | jnp.repeat(jnp.repeat(m64q, f, 0), f, 1)
         out = run_scan(oy, ocb, ocr, modes, mode32,
                        jnp.zeros((B32,), bool), qpy, qpb, qpr, lam=lam,
                        is_inter=inter, ipred_y=pred_y,
-                       ipred_cb=pred_cb, ipred_cr=pred_cr)
-        merged = finish.merged_masks(inter, (mv, rsel))
+                       ipred_cb=pred_cb, ipred_cr=pred_cr,
+                       m32_in=m32_in)
 
         # deblock BS needs per-4x4 reference POCs once refs can differ
         # per block (deblock.cpp:193 boundary-strength rules)
@@ -1110,10 +1195,17 @@ def build_b_pipeline(enc, batch: int | None = None):
              pred_y, pred_cb, pred_cr, qpy, qpb, qpr, lam,
              qp_base, dqp_cb, dqp_cr, sao_lam, poc_l0, poc_l1,
              qp_base_ctb):
+        merged_pre = finish.merged_masks(inter, (mv0, mv1, d))
+        m32_in = None
+        if merged_pre is not None:
+            m32q, m64q = merged_pre
+            f = m32q.shape[0] // m64q.shape[0]
+            m32_in = m32q | jnp.repeat(jnp.repeat(m64q, f, 0), f, 1)
         out = run_scan(oy, ocb, ocr, modes, mode32,
                        jnp.zeros((B32,), bool), qpy, qpb, qpr, lam=lam,
                        is_inter=inter, ipred_y=pred_y,
-                       ipred_cb=pred_cb, ipred_cr=pred_cr)
+                       ipred_cb=pred_cb, ipred_cr=pred_cr,
+                       m32_in=m32_in)
         # normalized per-4x4 motion state for the in-pipeline deblock
         def rep4(a):
             return jnp.repeat(jnp.repeat(a.reshape(gh, gw, -1), 4, 0),
@@ -1127,11 +1219,11 @@ def build_b_pipeline(enc, batch: int | None = None):
         pocb = jnp.where(dir_eff == 3, poc_l1, poca)
         motion_b = (rep4(nmv)[:, :, 0], rep4(mva), rep4(mvb),
                     rep4(poca)[:, :, 0], rep4(pocb)[:, :, 0])
-        merged = finish.merged_masks(inter, (mv0, mv1, d))
         small, tails, _fp = finish((oy, ocb, ocr), out, qp_base, dqp_cb,
                                    dqp_cr, sao_lam, inter=inter, mv=mv0,
                                    motion_b=motion_b,
-                                   qp_base_ctb=qp_base_ctb, merged=merged)
+                                   qp_base_ctb=qp_base_ctb,
+                                   merged=merged_pre)
         return dict(small, use32=out[9]), tails
 
     if batch is None:

@@ -985,11 +985,20 @@ class Encoder:
     def _apply_inter_merge(self, ps, o):
         """Apply the device-computed inter CU merge masks (the twin of
         the former host loop): aligned quads of inter blocks with
-        identical motion become one 32/64 CU whose TU tree keeps the
-        16x16 transforms — identical recon, cheaper syntax."""
+        identical motion become one 32/64 CU.  Quads whose in-scan RD
+        chose the TU32 configuration (o["use32"] & merge mask) code
+        TU == CU (x265 inter TU behavior); the rest keep 16x16 TUs."""
         g = self.geom
-        m32 = o.get("m32")
-        m64 = o.get("m64")
+        m32 = np.asarray(o["m32"]) if o.get("m32") is not None else None
+        m64 = np.asarray(o["m64"]) if o.get("m64") is not None else None
+        tu32 = None
+        if m32 is not None and o.get("use32") is not None:
+            u = np.asarray(o["use32"]).reshape(m32.shape)
+            m64r = (np.repeat(np.repeat(
+                m64, m32.shape[0] // m64.shape[0], 0),
+                m32.shape[1] // m64.shape[1], 1)
+                if m64 is not None else np.zeros(m32.shape, bool))
+            tu32 = u & (m32 | m64r)
         if m32 is not None and m32.any():
             u8 = np.kron(m32, np.ones((8, 8), bool))
             ps.depth[u8] = g.log2_ctb - 5
@@ -998,6 +1007,9 @@ class Encoder:
             u16 = np.kron(m64, np.ones((16, 16), bool))
             ps.depth[u16] = g.log2_ctb - 6
             ps.tu_depth[u16] = 2
+        if tu32 is not None and tu32.any():
+            t8 = np.kron(tu32, np.ones((8, 8), bool))
+            ps.tu_depth[t8] -= 1
 
     def _apply_cu32(self, ps, use32, mode32):
         """Set the PicSyntax CU structure for chosen 32x32 intra CUs.
@@ -1169,13 +1181,29 @@ class Encoder:
                                  np.ones((s4, s4), ps.ref_idx0.dtype))
         ps.ref_idx0[ps.pred_mode == MODE_INTRA] = 0
         if self._get_ctu_scan().t["has32"]:
-            use32 = o["use32"].reshape(ph // 32, pw // 32)
+            use32 = self._intra32_mask(o).reshape(ph // 32, pw // 32)
             mode32 = o["mode32"].reshape(ph // 32, pw // 32)
             self._apply_cu32(ps, use32, mode32)
         self._apply_inter_merge(ps, o)
         self._scatter_syntax(ps, o, coeffs)
         self._derive_inter_all(ps)
         return o
+
+    @staticmethod
+    def _intra32_mask(o):
+        """sel32 minus the inter-TU32 quads (those belong to merged
+        inter CUs and must not get intra modes applied)."""
+        u = np.asarray(o["use32"])
+        m32 = o.get("m32")
+        if m32 is None:
+            return u
+        m32 = np.asarray(m32)
+        m64 = o.get("m64")
+        m64r = (np.repeat(np.repeat(np.asarray(m64),
+                                    m32.shape[0] // np.asarray(m64).shape[0], 0),
+                          m32.shape[1] // np.asarray(m64).shape[1], 1)
+                if m64 is not None else np.zeros(m32.shape, bool))
+        return u.reshape(m32.shape) & ~(m32 | m64r)
 
     def _dispatch_b(self, orig, l0_poc, l1_poc):
         """B-frame device program dispatch: both list searches + bi trial
@@ -1256,7 +1284,7 @@ class Encoder:
         ps.mv0[ps.inter_dir == 2] = 0
         ps.mv1[ps.inter_dir == 1] = 0
         if self._get_ctu_scan().t["has32"]:
-            use32 = o["use32"].reshape(ph // 32, pw // 32)
+            use32 = self._intra32_mask(o).reshape(ph // 32, pw // 32)
             mode32 = o["mode32"].reshape(ph // 32, pw // 32)
             self._apply_cu32(ps, use32, mode32)
         self._apply_inter_merge(ps, o)
