@@ -292,40 +292,53 @@ def _filter_stage_builder(enc):
             sao_offs = jnp.zeros((nctb, 3, 4), jnp.int32)
 
         # ---- transfer-diet output packing ----
-        # The device link runs ~30 MB/s down, so per-frame output is
-        # tiered: a small always-fetched dict (syntax, chroma int8
-        # planes, nonzero-compacted luma coefficients, plane checksums)
-        # plus device-resident tails (full int8/int16 planes, recon)
-        # fetched only on overflow / when the host really needs pixels.
+        # The device link costs ~50 ms latency per fetch and ~10-20 MB/s
+        # down, so per-frame output is tiered: a small always-fetched
+        # dict (fetched as ONE packed buffer — see fetch_packed) with
+        # nonzero-compacted luma AND chroma coefficients + slim-dtype
+        # syntax, plus device-resident tails (full int8/int16 planes,
+        # recon) fetched only on overflow / when the host needs pixels.
         ovf = ((jnp.abs(cy) > 127).sum() + (jnp.abs(ccb) > 127).sum()
                + (jnp.abs(ccr) > 127).sum()).astype(jnp.int32)
 
-        # luma coefficients: compact the nonzero 8x8 subblocks (typical
-        # occupancy at medium QP is 3-15%; low-QP I frames overflow to
-        # the full-plane tiers)
-        cap = max(1, (B16 * 4) * 3 // 16)
+        def compact8(plane_blocks, cap):
+            nz = jnp.any(plane_blocks != 0, axis=(1, 2))
+            pos = jnp.where(nz, jnp.cumsum(nz) - 1, cap)
+            buf = jnp.zeros((cap + 1, 8, 8), jnp.int8).at[pos].set(
+                jnp.clip(plane_blocks, -128, 127).astype(jnp.int8),
+                mode="drop")[:cap]
+            return nz, buf, nz.sum().astype(jnp.int32)
+
+        # luma: nonzero 8x8 subblocks (typical P occupancy at medium QP
+        # is 3-12%; dense low-QP/I frames overflow to the plane tiers)
+        cap = max(1, (B16 * 4) // 8)
         yb = cy.reshape(ph // 8, 8, pw // 8, 8).transpose(
             0, 2, 1, 3).reshape(-1, 8, 8)
-        nz = jnp.any(yb != 0, axis=(1, 2))
-        pos = jnp.where(nz, jnp.cumsum(nz) - 1, cap)
-        buf = jnp.zeros((cap + 1, 8, 8), jnp.int8).at[pos].set(
-            jnp.clip(yb, -128, 127).astype(jnp.int8), mode="drop")[:cap]
-        count_y = nz.sum().astype(jnp.int32)
+        nz, buf, count_y = compact8(yb, cap)
+        # chroma: both planes through one compacted buffer
+        cap_c = max(1, (B16 * 2) // 8)
+        cbb = jnp.concatenate([
+            p.reshape(ph // 16, 8, pw // 16, 8).transpose(
+                0, 2, 1, 3).reshape(-1, 8, 8) for p in (ccb, ccr)])
+        c_nz, c_buf, count_c = compact8(cbb, cap_c)
 
         small = dict(
-            ccb8=jnp.clip(ccb, -128, 127).astype(jnp.int8),
-            ccr8=jnp.clip(ccr, -128, 127).astype(jnp.int8),
+            c_nzmask=c_nz, c_buf=c_buf, c_count=count_c,
             y_nzmask=nz, y_buf=buf, y_count=count_y,
-            ovf=ovf, qp_actual=qp_actual,
+            ovf=ovf, qp_actual=qp_actual.astype(jnp.uint8),
             checksums=_plane_checksums(planes, bd, g),
-            sao_type=sao_type, sao_class=sao_class,
-            sao_bpos=sao_bpos, sao_offs=sao_offs)
+            sao_type=sao_type.astype(jnp.uint8),
+            sao_class=sao_class.astype(jnp.uint8),
+            sao_bpos=sao_bpos.astype(jnp.uint8),
+            sao_offs=sao_offs.astype(jnp.int8))
         if merged is not None:
             small["m32"], small["m64"] = merged
         tails = dict(
             cy16=cy.astype(jnp.int16), ccb16=ccb.astype(jnp.int16),
             ccr16=ccr.astype(jnp.int16),
             cy8=jnp.clip(cy, -128, 127).astype(jnp.int8),
+            ccb8=jnp.clip(ccb, -128, 127).astype(jnp.int8),
+            ccr8=jnp.clip(ccr, -128, 127).astype(jnp.int8),
             rec_coded=tuple(pl.astype(out_dtype)[:dim[0], :dim[1]]
                             for pl, dim in zip(
                                 planes, ((g.height, g.width),
@@ -458,7 +471,8 @@ def build_i_pipeline(enc):
         small, tails, fplanes = finish((oy, ocb, ocr), out, qp_base,
                                        dqp_cb, dqp_cr, sao_lam,
                                        qp_base_ctb=qp_base_ctb)
-        small = dict(small, modes=modes, mode32=mode32, use32=out[9])
+        small = dict(small, modes=modes.astype(jnp.uint8),
+                     mode32=mode32.astype(jnp.uint8), use32=out[9])
         # device-resident DPB entry: the ME/MC-extended reference planes
         # stay on device for the next frame's prep (no host roundtrip)
         return small, tails, extend(fplanes)
@@ -570,17 +584,30 @@ def _inter_tools_builder(enc):
         return cs.reshape(nb, CPS, CPS)
 
     def select_window(P, sy, sx, size, nopt):
-        """W[b] = P[b, sy[b]:sy[b]+size, sx[b]:sx[b]+size] via masked
-        selects over static slices (sy/sx in 0..nopt-1)."""
+        """W[b] = P[b, sy[b]:sy[b]+size, sx[b]:sx[b]+size] (sy/sx in
+        0..nopt-1) by BINARY offset decomposition: O(log nopt) masked
+        shifts instead of a linear O(nopt) masked-select chain — the
+        select chains over 2R+1 options dominated ME memory traffic at
+        merange 57 (HBM-bound; ~17x less traffic this way)."""
         ps = P.shape[1]
-        Wr = P[:, 0:size, :]
-        for k in range(1, min(nopt, ps - size + 1)):
-            Wr = jnp.where((sy == k)[:, None, None], P[:, k:k + size, :],
-                           Wr)
-        W = Wr[:, :, 0:size]
-        for k in range(1, min(nopt, ps - size + 1)):
-            W = jnp.where((sx == k)[:, None, None], Wr[:, :, k:k + size],
-                          W)
+        maxoff = min(nopt, ps - size + 1) - 1
+        if maxoff <= 0:
+            return P[:, :size, :size]
+        nbits = maxoff.bit_length()
+        need = size + (1 << nbits) - 1
+        if ps < need:
+            P = jnp.pad(P, ((0, 0), (0, need - ps), (0, need - ps)))
+        W = P[:, :need, :need]
+        for k in reversed(range(nbits)):
+            step = 1 << k
+            ext = size + step - 1
+            W = jnp.where((sy & step != 0)[:, None, None],
+                          W[:, step:step + ext, :], W[:, :ext, :])
+        for k in reversed(range(nbits)):
+            step = 1 << k
+            ext = size + step - 1
+            W = jnp.where((sx & step != 0)[:, None, None],
+                          W[:, :, step:step + ext], W[:, :, :ext])
         return W
 
     def coarse_seeds(orig, ref_ext):
@@ -593,26 +620,28 @@ def _inter_tools_builder(enc):
             return (p.astype(jnp.int32).reshape(h // 4, 4, w // 4, 4)
                     .sum(axis=(1, 3)) + 8) >> 4
 
-        oq = box4(orig)                                     # [ph/4, pw/4]
+        oq = box4(orig).astype(jnp.int16)                   # [ph/4, pw/4]
         rq = box4(jax.lax.dynamic_slice(
             ref_ext, (M - RS, M - RS),
-            (ph + 2 * RS, pw + 2 * RS)).astype(jnp.int32))
+            (ph + 2 * RS, pw + 2 * RS)).astype(jnp.int32)).astype(jnp.int16)
         qh, qw = ph // 4, pw // 4
 
-        def row_body(_, dy):
-            rows = jax.lax.dynamic_slice(rq, (dy, 0), (qh, qw + 2 * RC))
-            cand = jnp.stack([rows[:, dx:dx + qw]
-                              for dx in range(2 * RC + 1)])
-            d = jnp.abs(oq[None] - cand)
-            c = d.reshape(2 * RC + 1, gh, 4, gw, 4).sum(axis=(2, 4))
-            return 0, c
-
-        _, cs = jax.lax.scan(row_body, 0,
-                             jnp.arange(2 * RC + 1, dtype=jnp.int32))
+        # all (2RC+1)^2 shifted abs-diff block sums in ONE fused pass —
+        # a lax.scan over row offsets serializes ~27 launch-bound steps
+        # (profiled 18 ms/ref; unrolled+int16 this streams at HBM rate).
+        # int16 is safe: per-16px-block SADs of quarter-res pels <= 16*
+        # 1023 < 2^15.
+        rows = jnp.stack([rq[dy:dy + qh, :]
+                          for dy in range(2 * RC + 1)])
+        cand = jnp.stack([rows[:, :, dx:dx + qw]
+                          for dx in range(2 * RC + 1)], axis=1)
+        d = jnp.abs(oq[None, None] - cand)          # [27, 27, qh, qw] i16
+        cs = d.reshape(2 * RC + 1, 2 * RC + 1, gh, 4, gw, 4
+                       ).sum(axis=(3, 5), dtype=jnp.int16)
         # small zero-motion bias keeps seed fields coherent on flat areas
         dists = (np.abs(np.arange(-RC, RC + 1))[:, None]
                  + np.abs(np.arange(-RC, RC + 1))[None, :])
-        cs = cs + 2 * jnp.asarray(dists, jnp.int32)[:, :, None, None]
+        cs = cs + 2 * jnp.asarray(dists, jnp.int16)[:, :, None, None]
         costs = cs.transpose(2, 3, 0, 1).reshape(nb, -1)
         idx = jnp.argmin(costs, axis=1)
         offs_c = np.array([(dy, dx) for dy in range(-RC, RC + 1)
@@ -746,38 +775,35 @@ def _inter_tools_builder(enc):
         merge_bonus = 4.0 * lam
         pmv_xy = pmv[:, ::-1]
 
-        P2 = jnp.tile(P, (2, 1, 1))
-
-        def eval_mv2(mvq_c2):
-            """Batched SATD eval of TWO candidate MV fields at once
-            ([2B, 2] (y, x)): one masked window select instead of two."""
-            iy = (mvq_c2[:, 0] >> 2)
-            ix = (mvq_c2[:, 1] >> 2)
-            win = select_window(P2, iy + R + 1, ix + R + 1, n + 7,
+        def eval_mv1(mvq_c):
+            """SATD eval of one candidate MV field ([B, 2] (y, x)) —
+            windows selected straight from P (tiling P to evaluate two
+            fields at once materialized a 2x patch copy; profiled
+            slower than two selects)."""
+            iy = (mvq_c[:, 0] >> 2)
+            ix = (mvq_c[:, 1] >> 2)
+            win = select_window(P, iy + R + 1, ix + R + 1, n + 7,
                                 2 * R + 2)
-            p = mc_luma_batch(win, mvq_c2[:, 1] & 3, mvq_c2[:, 0] & 3,
+            p = mc_luma_batch(win, mvq_c[:, 1] & 3, mvq_c[:, 0] & 3,
                               n, n, enc.bit_depth)
-            return p, satd_fn(jnp.tile(ob, (2, 1, 1)), p)
+            return p, satd_fn(ob, p)
 
         def adopt2(mvq, pred, cost):
-            """One coherence pass: west and north neighbor candidates
-            evaluated in one batched gather+MC, adopted in that order."""
+            """One coherence pass: west then north neighbor candidates."""
             g2 = mvq.reshape(gh, gw, 2)
-            cw_ = jnp.roll(g2, 1, axis=1).reshape(-1, 2)
-            cn_ = jnp.roll(g2, 1, axis=0).reshape(-1, 2)
-            cand2 = jnp.clip(jnp.concatenate([cw_, cn_], axis=0),
-                             -4 * MRQ, 4 * MRQ)
-            p2, c2 = eval_mv2(cand2[:, ::-1])    # eval takes (y, x)
-            mvc2 = mv_cost(cand2.reshape(2, nb, 2), pmv_xy[None])
-            for k, valid in ((0, jnp.arange(nb) % gw > 0),
-                             (1, jnp.arange(nb) // gw > 0)):
-                c = c2[k * nb:(k + 1) * nb].astype(jnp.float32) + mvc2[k]
+            for cand, valid in (
+                    (jnp.roll(g2, 1, axis=1).reshape(-1, 2),
+                     jnp.arange(nb) % gw > 0),
+                    (jnp.roll(g2, 1, axis=0).reshape(-1, 2),
+                     jnp.arange(nb) // gw > 0)):
+                cand = jnp.clip(cand, -4 * MRQ, 4 * MRQ)
+                p1, c1 = eval_mv1(cand[:, ::-1])    # eval takes (y, x)
+                c = c1.astype(jnp.float32) + mv_cost(cand, pmv_xy)
                 better = (c < cost + merge_bonus) & valid
-                mvq = jnp.where(better[:, None],
-                                cand2[k * nb:(k + 1) * nb], mvq)
-                pred = jnp.where(better[:, None, None],
-                                 p2[k * nb:(k + 1) * nb], pred)
+                mvq = jnp.where(better[:, None], cand, mvq)
+                pred = jnp.where(better[:, None, None], p1, pred)
                 cost = jnp.where(better, c, cost)
+                g2 = mvq.reshape(gh, gw, 2)
             return mvq, pred, cost
 
         mvxy = mvq[:, ::-1]                      # (x, y)
@@ -896,7 +922,10 @@ def build_p_pipeline(enc, nr: int = 1):
         modes, icost = analyse16(oy)
         ob = to_blocks(oy.astype(jnp.int32), n)
         if decide:
-            mode32, _c32 = analyse32(oy)
+            # intra-32 CUs are rare in P slices (the in-scan RD gate
+            # requires an all-intra quad); the top-left 16-block's mode
+            # stands in for a second full 35-mode 32x32 analysis
+            mode32 = modes.reshape(gh, gw)[0::2, 0::2].reshape(-1)
         else:
             mode32 = jnp.zeros((B32,), jnp.int32)
         lam = 2.0 ** ((jnp.float32(qpy) - 12.0) / 6.0)
@@ -1086,8 +1115,10 @@ def build_p_pipeline(enc, nr: int = 1):
                                  qpy, qpb, qpr, lam, qp_base, dqp_cb,
                                  dqp_cr, sao_lam, qp_base_ctb,
                                  jnp.asarray(ref_pocs, jnp.int32))
-        small = dict(small, modes=modes, mode32=mode32,
-                     mv=mv.astype(jnp.int16), ref_idx=rsel, inter=inter,
+        small = dict(small, modes=modes.astype(jnp.uint8),
+                     mode32=mode32.astype(jnp.uint8),
+                     mv=mv.astype(jnp.int16),
+                     ref_idx=rsel.astype(jnp.uint8), inter=inter,
                      cost_p=cost_p, cost_i=cost_i)
         return small, tails, ext
 
@@ -1148,7 +1179,9 @@ def build_b_pipeline(enc, batch: int | None = None):
         modes, icost = analyse16(oy)
         ob = to_blocks(oy.astype(jnp.int32), n)
         if decide:
-            mode32, _c32 = analyse32(oy)
+            # see build_p_pipeline: top-left 16-mode stands in for the
+            # full 32x32 analysis in inter slices
+            mode32 = modes.reshape(gh, gw)[0::2, 0::2].reshape(-1)
         else:
             mode32 = jnp.zeros((B32,), jnp.int32)
         oy32 = oy.astype(jnp.int32)
@@ -1162,8 +1195,8 @@ def build_b_pipeline(enc, batch: int | None = None):
         pbi = tools["bi_avg"](ps0, ps1)
         cbi = tools["satd"](ob, pbi).astype(jnp.int32)
         # direction decision with a bits bias: bi codes two mvd/mvp sets
-        bi_bias = (8.0 * 2.0 ** ((qpy.astype(jnp.float32) - 12.0) / 6.0)
-                   ).astype(jnp.int32)
+        lam = 2.0 ** ((jnp.float32(qpy) - 12.0) / 6.0)
+        bi_bias = jnp.int32(8.0 * lam)
         cbi_b = cbi + bi_bias
         d = jnp.where(cbi_b <= jnp.minimum(c0, c1), 3,
                       jnp.where(c0 <= c1, 1, 2)).astype(jnp.int32)
@@ -1173,7 +1206,64 @@ def build_b_pipeline(enc, batch: int | None = None):
         d3 = (d == 3)[:, None, None]
         pred_y = jnp.where(d3, pbi,
                            jnp.where((d == 1)[:, None, None], p0, p1))
-        # chroma per direction
+
+        # ---- CU-merge uniformization trial (the P-pipeline pass over
+        # the full two-list motion state): adopt the top-left block's
+        # (mv0, mv1, dir) for 32-quads / 64-CTBs when summed SATD +
+        # merged-CU bits win, enabling large merged (skip) CUs + TU32
+        def eval_b(mv0_c, mv1_c, d_c):
+            e0 = tools["eval_mv"](r0y, mv0_c)
+            e1 = tools["eval_mv"](r1y, mv1_c)
+            eb = tools["bi_avg"](tools["eval_mv_ps"](r0y, mv0_c),
+                                 tools["eval_mv_ps"](r1y, mv1_c))
+            return jnp.where((d_c == 3)[:, None, None], eb,
+                             jnp.where((d_c == 1)[:, None, None], e0, e1))
+
+        def uniform_pass_b(mv0, mv1, d, pred_y, cost, inter, bs, inb):
+            def tl(a):
+                gq = a.reshape((gh, gw) + a.shape[1:])
+                return jnp.repeat(jnp.repeat(gq[::bs, ::bs], bs, 0),
+                                  bs, 1).reshape(a.shape)
+
+            tl0, tl1, tld = tl(mv0), tl(mv1), tl(d)
+            cand_pred = eval_b(tl0, tl1, tld)
+            cand_cost = tools["satd"](ob, cand_pred).astype(jnp.float32)
+
+            def qsum(a):
+                return jnp.repeat(jnp.repeat(
+                    a.reshape(gh // bs, bs, gw // bs, bs)
+                    .sum(axis=(1, 3)), bs, 0), bs, 1).reshape(-1)
+
+            all_inter = jnp.repeat(jnp.repeat(jnp.all(
+                inter.reshape(gh // bs, bs, gw // bs, bs), axis=(1, 3)),
+                bs, 0), bs, 1).reshape(-1)
+            nb2 = float(bs * bs)
+            cq = qsum(cand_cost)
+            accept = cq + lam * 4.0 < \
+                qsum(cost.astype(jnp.float32)) + lam * 6.0 * nb2
+            accept = accept & all_inter & jnp.asarray(inb).reshape(-1)
+            mv0 = jnp.where(accept[:, None], tl0, mv0)
+            mv1 = jnp.where(accept[:, None], tl1, mv1)
+            d = jnp.where(accept, tld, d)
+            pred_y = jnp.where(accept[:, None, None], cand_pred, pred_y)
+            cost = jnp.where(accept, (cq / nb2).astype(cost.dtype), cost)
+            return mv0, mv1, d, pred_y, cost
+
+        def quad_inbounds(bs):
+            by = (np.arange(gh) // bs) * bs * 16
+            bx = (np.arange(gw) // bs) * bs * 16
+            return ((by[:, None] + bs * 16 <= enc.geom.height)
+                    & (bx[None, :] + bs * 16 <= enc.geom.width))
+
+        if gh % 2 == 0 and gw % 2 == 0 and enc.geom.log2_ctb >= 5:
+            mv0, mv1, d, pred_y, best = uniform_pass_b(
+                mv0, mv1, d, pred_y, best, inter, 2, quad_inbounds(2))
+            if gh % 4 == 0 and gw % 4 == 0 and enc.geom.log2_ctb == 6:
+                mv0, mv1, d, pred_y, best = uniform_pass_b(
+                    mv0, mv1, d, pred_y, best, inter, 4, quad_inbounds(4))
+        d3 = (d == 3)[:, None, None]
+
+        # chroma per direction (final mv/dir fields)
         pc0 = tools["chroma_pred"](r0cb, mv0)
         pc1 = tools["chroma_pred"](r1cb, mv1)
         pcbi = tools["bi_avg"](
@@ -1246,9 +1336,10 @@ def build_b_pipeline(enc, batch: int | None = None):
                               inter, pred_y, pred_cb, pred_cr, qpy, qpb,
                               qpr, lam, qp_base, dqp_cb, dqp_cr, sao_lam,
                               poc_l0, poc_l1, qp_base_ctb)
-        small = dict(small, modes=modes, mode32=mode32,
+        small = dict(small, modes=modes.astype(jnp.uint8),
+                     mode32=mode32.astype(jnp.uint8),
                      mv0=mv0.astype(jnp.int16), mv1=mv1.astype(jnp.int16),
-                     dirs=d, inter=inter)
+                     dirs=d.astype(jnp.uint8), inter=inter)
         # Bs are never referenced (TRAIL_N) — no DPB extension needed
         return small, tails, None
 

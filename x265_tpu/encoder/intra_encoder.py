@@ -90,18 +90,84 @@ class _Pending:
     wp: tuple = (64, 0, False)  # L0 luma weight (w, offset, enabled)
 
 
+_PACK_CACHE: dict = {}
+
+
+def fetch_packed(small: dict) -> dict:
+    """Fetch a dict of device arrays as ONE transfer: a tiny jitted
+    program bitcasts every leaf to uint8 and concatenates them into a
+    single buffer, so the device->host link pays ONE round trip instead
+    of one per leaf (the axon tunnel costs ~50 ms latency per fetch —
+    per-leaf fetching of the ~20-leaf small dict dominated the frame
+    budget)."""
+    import jax
+    import jax.numpy as jnp
+
+    names = sorted(small)
+    leaves = [small[n] for n in names]
+    key = tuple((n, str(v.dtype), tuple(v.shape))
+                for n, v in zip(names, leaves))
+    ent = _PACK_CACHE.get(key)
+    if ent is None:
+        metas = []
+        off = 0
+        for n, v in zip(names, leaves):
+            host_dt = np.dtype(str(v.dtype)) if v.dtype != jnp.bool_ \
+                else np.dtype(bool)
+            store_dt = np.uint8 if host_dt == bool else host_dt
+            nb = int(np.prod(v.shape, dtype=np.int64)) * \
+                np.dtype(store_dt).itemsize
+            metas.append((n, host_dt, tuple(v.shape), off, nb))
+            off += nb
+
+        def pack(*ls):
+            bs = []
+            for x in ls:
+                if x.dtype == jnp.bool_:
+                    x = x.astype(jnp.uint8)
+                if x.dtype != jnp.uint8:
+                    x = jax.lax.bitcast_convert_type(x, jnp.uint8)
+                bs.append(x.reshape(-1))
+            return jnp.concatenate(bs)
+
+        ent = _PACK_CACHE[key] = (jax.jit(pack), metas, off)
+    pack_fn, metas, total = ent
+    buf = np.asarray(pack_fn(*leaves))
+    out = {}
+    for n, host_dt, shape, off, nb in metas:
+        store_dt = np.uint8 if host_dt == bool else host_dt
+        a = np.frombuffer(buf[off:off + nb].tobytes(),
+                          dtype=store_dt).reshape(shape)
+        out[n] = a.astype(bool) if host_dt == bool else a
+    return out
+
+
 class _BatchFetch:
-    """Shared fetch cache for one batched-B dispatch: the first finished
-    frame fetches the whole mini-GOP's small outputs in ONE transfer."""
+    """Fetch handle for a frame's (or batched mini-GOP's) small outputs:
+    ONE packed transfer, optionally prefetched on a background thread so
+    the device->host link overlaps the previous frame's host entropy
+    pass (x265's frame-thread overlap, re-cast for the transfer link)."""
 
     def __init__(self, small):
         self.small = small
         self._np = None
+        self._t = None
+
+    def _run(self):
+        self._np = fetch_packed(self.small)
+
+    def start(self):
+        if self._t is None and self._np is None:
+            import threading
+            self._t = threading.Thread(target=self._run, daemon=True)
+            self._t.start()
 
     def fetch(self):
+        if self._t is not None:
+            self._t.join()
+            self._t = None
         if self._np is None:
-            import jax
-            self._np = jax.device_get(self.small)
+            self._np = fetch_packed(self.small)
         return self._np
 
 
@@ -944,9 +1010,10 @@ class Encoder:
         small, tails = pend.out_dev
         k = pend.batch_idx
         if isinstance(small, _BatchFetch):
-            o = {key: v[k] for key, v in small.fetch().items()}
+            f = small.fetch()
+            o = f if k is None else {key: v[k] for key, v in f.items()}
         else:
-            o = jax.device_get(small)
+            o = fetch_packed(small)
         g = self.geom
         ph = g.ctbs_h << g.log2_ctb
         pw = g.ctbs_w << g.log2_ctb
@@ -956,7 +1023,6 @@ class Encoder:
                 t16 = tuple(a[k] for a in t16)
             cy, ccb, ccr = (np.asarray(a) for a in jax.device_get(t16))
         else:
-            ccb, ccr = o["ccb8"], o["ccr8"]
             count = int(o["y_count"])
             if count <= o["y_buf"].shape[0]:
                 blocks = np.zeros((ph // 8, pw // 8, 8, 8), np.int8)
@@ -966,6 +1032,24 @@ class Encoder:
             else:
                 t8 = tails["cy8"] if k is None else tails["cy8"][k]
                 cy = np.asarray(jax.device_get(t8))
+            c_count = int(o["c_count"])
+            if c_count <= o["c_buf"].shape[0]:
+                cph, cpw = ph // 2, pw // 2
+                nbc = (cph // 8) * (cpw // 8)
+                blocks2 = np.zeros((2 * nbc, 8, 8), np.int8)
+                blocks2[o["c_nzmask"]] = o["c_buf"][:c_count]
+
+                def to_plane_c(bl):
+                    return bl.reshape(cph // 8, cpw // 8, 8, 8).transpose(
+                        0, 2, 1, 3).reshape(cph, cpw)
+
+                ccb = to_plane_c(blocks2[:nbc])
+                ccr = to_plane_c(blocks2[nbc:])
+            else:
+                tc = (tails["ccb8"], tails["ccr8"])
+                if k is not None:
+                    tc = tuple(a[k] for a in tc)
+                ccb, ccr = (np.asarray(a) for a in jax.device_get(tc))
         return o, (cy, ccb, ccr)
 
     def _scatter_syntax(self, ps, o, coeffs):
@@ -1079,7 +1163,9 @@ class Encoder:
         small, tails, ext = self._i_pipeline(
             orig[0], orig[1], orig[2], qpy, qpb, qpr, lam,
             *self._filter_qps(), qp_ctb)
-        return (small, tails), ext
+        h = _BatchFetch(small)
+        h.start()
+        return (h, tails), ext
 
     def _finish_i(self, pend):
         ps = pend.ps
@@ -1153,7 +1239,9 @@ class Encoder:
             qpy, qpb, qpr, lam, *self._filter_qps(), qp_ctb,
             np.asarray(pocs, np.int32),
             np.int32(wp[0]), np.int32(wp[1]), n_act=len(ref_pocs))
-        return (small, tails), ext
+        h = _BatchFetch(small)
+        h.start()              # overlap the link with later host work
+        return (h, tails), ext
 
     def _finish_p(self, pend):
         ps = pend.ps
@@ -1221,7 +1309,9 @@ class Encoder:
             qpy, qpb, qpr, lam,
             *self._filter_qps(), np.int32(l0_poc), np.int32(l1_poc),
             qp_ctb)
-        return (small, tails)
+        h = _BatchFetch(small)
+        h.start()
+        return (h, tails)
 
     def _dispatch_b_batch(self, pends, l0_poc, l1_poc):
         """One batched device dispatch for all Bs of a mini-GOP (they are
@@ -1246,6 +1336,7 @@ class Encoder:
             qs[0], qs[1], qs[2], qs[3], fq[0], fq[1], fq[2], fq[3],
             np.int32(l0_poc), np.int32(l1_poc), qs[4])
         handle = _BatchFetch(small)
+        handle.start()
         for k, p in enumerate(pends):
             p.out_dev = (handle, tails)
             p.batch_idx = k

@@ -37,33 +37,48 @@ def sse(a: jax.Array, b: jax.Array) -> jax.Array:
     return jnp.sum(d * d, axis=(-2, -1))
 
 
+_KRON16 = np.kron(H4, H4).astype(np.float32)          # [16, 16] +-1
+_KRON64 = np.kron(_hadamard(8), _hadamard(8)).astype(np.float32)
+
+
 @functools.partial(jax.jit, static_argnames=())
 def satd(a: jax.Array, b: jax.Array) -> jax.Array:
     """Sum of 4x4 Hadamard-transformed absolute differences.
 
     a, b: [..., H, W] with H, W multiples of 4.  Matches the x265 satd
     convention: per 4x4 block (sum |H d H^T| + 1) >> 1.
+
+    Both Hadamard stages collapse into ONE [16, 16] Kronecker matmul
+    over vectorized 4x4 blocks, in float32 on the MXU (exact: +-1
+    weights, 16 terms, |d| <= 1023 -> partial sums < 2^24).
     """
-    d = a.astype(jnp.int32) - b.astype(jnp.int32)
+    d = (a.astype(jnp.int32) - b.astype(jnp.int32)).astype(jnp.float32)
     *lead, h, w = d.shape
     d = d.reshape(*lead, h // 4, 4, w // 4, 4)
     d = jnp.moveaxis(d, -3, -2)                       # [..., h/4, w/4, 4, 4]
-    t = jnp.asarray(H4)
-    had = jnp.einsum("ij,...jk,lk->...il", t, d, t)
-    per_blk = (jnp.sum(jnp.abs(had), axis=(-2, -1)) + 1) >> 1
+    v = d.reshape(*d.shape[:-2], 16)
+    had = jnp.einsum("ij,...j->...i", jnp.asarray(_KRON16), v,
+                     precision=jax.lax.Precision.HIGHEST,
+                     preferred_element_type=jnp.float32)
+    per_blk = (jnp.sum(jnp.abs(had), axis=-1).astype(jnp.int32) + 1) >> 1
     return jnp.sum(per_blk, axis=(-2, -1))
 
 
 @functools.partial(jax.jit, static_argnames=())
 def sa8d(a: jax.Array, b: jax.Array) -> jax.Array:
-    """Sum of 8x8 Hadamard absolute differences ((sum + 2) >> 2 per block)."""
-    d = a.astype(jnp.int32) - b.astype(jnp.int32)
+    """Sum of 8x8 Hadamard absolute differences ((sum + 2) >> 2 per block).
+
+    One [64, 64] Kronecker matmul in float32 (exact: 64 terms * |d| <=
+    1023 < 2^24)."""
+    d = (a.astype(jnp.int32) - b.astype(jnp.int32)).astype(jnp.float32)
     *lead, h, w = d.shape
     d = d.reshape(*lead, h // 8, 8, w // 8, 8)
     d = jnp.moveaxis(d, -3, -2)
-    t = jnp.asarray(_hadamard(8))
-    had = jnp.einsum("ij,...jk,lk->...il", t, d, t)
-    per_blk = (jnp.sum(jnp.abs(had), axis=(-2, -1)) + 2) >> 2
+    v = d.reshape(*d.shape[:-2], 64)
+    had = jnp.einsum("ij,...j->...i", jnp.asarray(_KRON64), v,
+                     precision=jax.lax.Precision.HIGHEST,
+                     preferred_element_type=jnp.float32)
+    per_blk = (jnp.sum(jnp.abs(had), axis=-1).astype(jnp.int32) + 2) >> 2
     return jnp.sum(per_blk, axis=(-2, -1))
 
 

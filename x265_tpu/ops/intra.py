@@ -268,13 +268,20 @@ def predict_all_modes(refs: jax.Array, n: int, is_luma: bool = True,
         (refs[:, :-2] + 2 * refs[:, 1:-1] + refs[:, 2:] + 2) >> 2)
     use_filt = filt if is_luma else np.zeros(35, dtype=bool)
 
-    # two exact int32 contractions (weights <= 32, samples <= 1023,
-    # <= 4N+1 terms -> far below 2^31).  Integer einsum keeps the
-    # normative math exact on every backend; float matmuls are NOT safe
-    # here (XLA may evaluate them in reduced precision when fused).
-    Wi = jnp.asarray(W, jnp.int32)            # [35, N*N, R]
-    acc_u = jnp.einsum("mpr,br->bmp", Wi, refs)
-    acc_f = jnp.einsum("mpr,br->bmp", Wi, filtered)
+    # two exact f32 contractions ON THE MXU (weights <= 32 = one bf16
+    # term, samples <= 1023 = two terms, accumulator < 2^23 < 2^24):
+    # Precision.HIGHEST makes the TPU's multi-pass bf16 f32-matmul
+    # error-free for these integer ranges — int32 einsums would run
+    # ~10x slower on the vector unit (profiled round 4).
+    Wf = jnp.asarray(W, jnp.float32)          # [35, N*N, R]
+    acc_u = jnp.einsum("mpr,br->bmp", Wf, refs.astype(jnp.float32),
+                       precision=jax.lax.Precision.HIGHEST,
+                       preferred_element_type=jnp.float32
+                       ).astype(jnp.int32)
+    acc_f = jnp.einsum("mpr,br->bmp", Wf, filtered.astype(jnp.float32),
+                       precision=jax.lax.Precision.HIGHEST,
+                       preferred_element_type=jnp.float32
+                       ).astype(jnp.int32)
     sel = jnp.asarray(use_filt)[None, :, None]
     acc = jnp.where(sel, acc_f, acc_u)
     pred = (acc + jnp.asarray(add)[None, :, None]) >> jnp.asarray(shift)[None, :, None]

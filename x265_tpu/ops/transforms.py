@@ -82,6 +82,36 @@ def _rshift_round(x, shift: int):
     return (x + (1 << (shift - 1))) >> shift
 
 
+# MXU-exact integer matmul: int32 einsums run on the TPU's vector unit;
+# the same contraction in float32 rides the MXU.  A float32 dot of
+# integer operands is EXACT while every partial sum stays below 2^24,
+# so stages whose accumulator bound exceeds that split the data operand
+# into hi/lo halves (two exact f32 matmuls recombined in int32) —
+# bit-exactness is asserted by tests/test_ops.py against the numpy
+# spec oracles.
+
+def _mm_f32(spec: str, t: jax.Array, x: jax.Array, n: int,
+            xmax: int) -> jax.Array:
+    """einsum(spec, t, x) exactly, via f32 on the MXU.  ``xmax``: bound
+    on |x| (the transform matrix entries are < 2^7, so the accumulator
+    bound is n * 2^7 * xmax)."""
+    tf = t.astype(jnp.float32)
+    if n * 128 * xmax < (1 << 24):
+        return jnp.einsum(spec, tf, x.astype(jnp.float32),
+                          precision=jax.lax.Precision.HIGHEST,
+                          preferred_element_type=jnp.float32
+                          ).astype(jnp.int32)
+    hi = (x >> 8).astype(jnp.float32)
+    lo = (x & 255).astype(jnp.float32)
+    h = jnp.einsum(spec, tf, hi,
+                   precision=jax.lax.Precision.HIGHEST,
+                   preferred_element_type=jnp.float32).astype(jnp.int32)
+    l = jnp.einsum(spec, tf, lo,
+                   precision=jax.lax.Precision.HIGHEST,
+                   preferred_element_type=jnp.float32).astype(jnp.int32)
+    return (h << 8) + l
+
+
 @functools.partial(jax.jit, static_argnames=("bit_depth", "dst"))
 def forward_transform(resi: jax.Array, bit_depth: int = 8,
                       dst: bool = False) -> jax.Array:
@@ -91,10 +121,11 @@ def forward_transform(resi: jax.Array, bit_depth: int = 8,
     t = jnp.asarray(_matrix(n, dst), dtype=jnp.int32)
     shift1 = log2n + bit_depth - 9
     shift2 = log2n + 6
-    # C = T @ R @ T^T, rounding after each stage (int32 is sufficient:
-    # |stage1 products| < 2^21, |stage2 products| < 2^29)
-    tmp = _rshift_round(jnp.einsum("ki,bji->bkj", t, resi), shift1)
-    out = _rshift_round(jnp.einsum("ki,bji->bkj", t, tmp), shift2)
+    # C = T @ R @ T^T, rounding after each stage
+    tmp = _rshift_round(
+        _mm_f32("ki,bji->bkj", t, resi, n, 1 << (bit_depth + 1)), shift1)
+    out = _rshift_round(_mm_f32("ki,bji->bkj", t, tmp, n, 1 << 16),
+                        shift2)
     return out
 
 
@@ -104,7 +135,8 @@ def inverse_transform(coef: jax.Array, bit_depth: int = 8,
     """Batched normative inverse transform: [B, N, N] int32 -> [B, N, N]."""
     n = coef.shape[-1]
     t = jnp.asarray(_matrix(n, dst), dtype=jnp.int32)
-    tmp = _rshift_round(jnp.einsum("ki,bkj->bij", t, coef), 7)
+    tmp = _rshift_round(_mm_f32("ki,bkj->bij", t, coef, n, 1 << 15), 7)
     tmp = jnp.clip(tmp, -32768, 32767)
-    out = _rshift_round(jnp.einsum("lj,bil->bij", t, tmp), 20 - bit_depth)
+    out = _rshift_round(_mm_f32("lj,bil->bij", t, tmp, n, 1 << 15),
+                        20 - bit_depth)
     return jnp.clip(out, -32768, 32767)

@@ -185,6 +185,7 @@ class GopParallelEncoder:
             for e, pend in zip(encs, pends):
                 e._after_anchor(pend, idr=(r == 0))
             handle = _BatchFetch(small)
+            handle.start()
             # host finish per GOP (entropy order within a GOP is strict;
             # across GOPs it is embarrassingly parallel)
             for k, (e, pend) in enumerate(zip(encs, pends)):
