@@ -41,8 +41,14 @@ def block_energy(planes, bit_depth: int = 8) -> np.ndarray:
 
 
 def aq_offsets(planes, aq_mode: int, strength: float,
-               bit_depth: int = 8) -> np.ndarray:
-    """Per-16x16-block QP offsets [gh, gw] float (qpAqOffset analogue)."""
+               bit_depth: int = 8, normalize: bool = False) -> np.ndarray:
+    """Per-16x16-block QP offsets [gh, gw] float (qpAqOffset analogue).
+
+    ``normalize`` recenters the offsets to zero mean — for CQP, where
+    no rate control absorbs a global QP shift (the x265 formulas'
+    constants leave a content-dependent mean offset, measured ~-1 QP
+    on typical clips: pure bit spending rather than redistribution).
+    CRF/ABR keep the raw offsets; their feedback loops compensate."""
     energy = block_energy(planes, bit_depth)
     if aq_mode >= 2:
         bdc = 1.0 / (1 << (2 * (bit_depth - 8)))
@@ -54,11 +60,14 @@ def aq_offsets(planes, aq_mode: int, strength: float,
         off = s * (raw - avg_b)
         if aq_mode == 3:
             off = off + strength * (1.0 - 11.0 / (raw * raw))
-        return off
-    # mode 1: variance AQ
-    s = strength * 1.0397
-    return s * (np.log2(np.maximum(energy, 1.0))
-                - (14.427 + 2 * (bit_depth - 8)))
+    else:
+        # mode 1: variance AQ
+        s = strength * 1.0397
+        off = s * (np.log2(np.maximum(energy, 1.0))
+                   - (14.427 + 2 * (bit_depth - 8)))
+    if normalize:
+        off = off - off.mean()
+    return off
 
 
 def per_ctb_qp(offsets16: np.ndarray, base_qp: int, geom) -> np.ndarray:

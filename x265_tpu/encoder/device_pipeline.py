@@ -853,11 +853,19 @@ def _inter_tools_builder(enc):
 
 def ref_idx_bits(nr: int, n_act: int) -> np.ndarray:
     """Per-slot ref_idx bit cost [nr]: TR binarization (Table 9-37,
-    cMax = n_act-1) for real slots, +inf for padding slots."""
+    cMax = n_act-1) for real slots, +inf for padding slots.
+
+    Non-zero refs additionally carry a merge-risk bias: a block whose
+    ref_idx differs from its neighbors' loses merge/skip candidacy and
+    fragments the uniformization field, which costs far more than the
+    TR bits alone (x265 reaches the same equilibrium through its
+    merge-first analysis order; measured here: without the bias a
+    noisy pan clip spent +25% bits for +0.05 dB at --ref 3)."""
     out = np.full((nr,), 1e9, np.float32)
     for r in range(min(nr, n_act)):
-        out[r] = 0.0 if n_act == 1 else float(
+        tr = 0.0 if n_act == 1 else float(
             r + 1 if r < n_act - 1 else n_act - 1)
+        out[r] = tr + (6.0 if r > 0 else 0.0)
     return out
 
 
@@ -1218,6 +1226,36 @@ def build_b_pipeline(enc, batch: int | None = None):
                                  tools["eval_mv_ps"](r1y, mv1_c))
             return jnp.where((d_c == 3)[:, None, None], eb,
                              jnp.where((d_c == 1)[:, None, None], e0, e1))
+
+        def adopt_b(mv0, mv1, d, pred_y, cost, inter):
+            """Per-block full-motion coherence (the B-slice analogue of
+            the P adopt passes, over the COMBINED (dir, mv0, mv1)
+            state): a neighbor's full motion within a merge-bonus makes
+            the block mergeable — without it the direction field alone
+            fragments merges, and B frames code two mvd/ref/mvp sets
+            per block (measured: merge on only 29/238 blocks)."""
+            nb2_ = gh * gw
+            for axis, valid in ((1, jnp.arange(nb2_) % gw > 0),
+                                (0, jnp.arange(nb2_) // gw > 0)):
+                def rl(a):
+                    return jnp.roll(a.reshape((gh, gw) + a.shape[1:]),
+                                    1, axis).reshape(a.shape)
+
+                c0, c1, cd = rl(mv0), rl(mv1), rl(d)
+                cp = eval_b(c0, c1, cd)
+                cc = tools["satd"](ob, cp).astype(jnp.int32)
+                # merge syntax ~3 bits vs two mvd/ref/mvp sets ~20 bits
+                better = (cc < cost + jnp.int32(16.0 * lam)) & valid \
+                    & rl(inter.reshape(-1)).reshape(-1)
+                mv0 = jnp.where(better[:, None], c0, mv0)
+                mv1 = jnp.where(better[:, None], c1, mv1)
+                d = jnp.where(better, cd, d)
+                pred_y = jnp.where(better[:, None, None], cp, pred_y)
+                cost = jnp.where(better, cc, cost)
+            return mv0, mv1, d, pred_y, cost
+
+        mv0, mv1, d, pred_y, best = adopt_b(mv0, mv1, d, pred_y, best,
+                                            inter)
 
         def uniform_pass_b(mv0, mv1, d, pred_y, cost, inter, bs, inb):
             def tl(a):

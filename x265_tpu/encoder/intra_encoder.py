@@ -573,7 +573,8 @@ class Encoder:
             y = np.asarray(planes[0])
             coded = (y, np.asarray(planes[1]), np.asarray(planes[2]))
             off = aq_offsets(coded, self.params.aq_mode,
-                             self.params.aq_strength, self.bit_depth)
+                             self.params.aq_strength, self.bit_depth,
+                             normalize=self.params.rc_mode == 0)
             for la_out in self.lookahead.push(planes, off):
                 self._la_frame = la_out[1:]
                 self._gop_input(la_out[0])
@@ -1139,7 +1140,8 @@ class Encoder:
                 coded = (orig[0][:ch, :cw], orig[1][:ch // 2, :cw // 2],
                          orig[2][:ch // 2, :cw // 2])
                 off16 = aq_offsets(coded, p.aq_mode, p.aq_strength,
-                                   self.bit_depth)
+                                   self.bit_depth,
+                                   normalize=p.rc_mode == 0)
             qp_ctb = per_ctb_qp(np.asarray(off16), self.qp, g)
         else:
             qp_ctb = np.full((g.n_ctbs,), self.qp, np.int32)
