@@ -35,22 +35,23 @@ def main():
     from x265_tpu.encoder import Encoder
 
     w, h = 1920, 1080
-    n_frames = int(os.environ.get("BENCH_FRAMES", "8"))
+    n_frames = int(os.environ.get("BENCH_FRAMES", "10"))
     base = synthetic_frame(w, h, 0)
-    # panning content: a realistic IPPP workload (I + P frames)
+    # panning content: a realistic medium-quality workload
     frames = [(np.roll(base[0], 3 * t, axis=1), base[1], base[2])
               for t in range(n_frames)]
 
-    # streaming (pipelined) encode: dispatch of frame N+1 overlaps the
-    # host entropy pass of frame N; decoded-picture-hash SEI is the
-    # D.3.19 checksum computed on device (verified by dec265 -c / the
-    # in-repo decoder exactly like MD5)
-    p = Params(bframes=0, source_width=w, source_height=h, qp=32,
-               decoded_picture_hash=3, aq_mode=0, cu_tree=False)
+    # MEDIUM-EQUIVALENT config (the BASELINE.json north-star shape, not
+    # CQP-flat): AQ + cuTree + B frames with b-pyramid + weightp +
+    # multi-ref, streaming/pipelined encode; decoded-picture-hash SEI is
+    # the D.3.19 checksum computed on device (verified by dec265 -c /
+    # the in-repo decoder exactly like MD5)
+    p = Params(source_width=w, source_height=h, qp=32,
+               decoded_picture_hash=3)
     enc = Encoder(p)
-    # warmup: compile the I and P device pipelines
+    # warmup: compile every device pipeline the GOP pattern uses
     enc.headers()
-    for fr in frames[:2]:
+    for fr in frames[:min(7, n_frames)]:
         enc.push_frame(fr)
     enc.flush()
 
@@ -65,7 +66,7 @@ def main():
     fps = n_frames / dt
 
     print(json.dumps({
-        "metric": "1080p_encode_fps",
+        "metric": "1080p_medium_encode_fps",
         "value": round(fps, 4),
         "unit": "fps",
         "vs_baseline": round(fps / 30.0, 4),

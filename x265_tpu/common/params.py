@@ -385,7 +385,7 @@ _UNSUPPORTED: dict[str, tuple[object, str]] = {
     "cu_lossless": (False, "per-CU lossless trial not implemented"),
     # --lossless itself IS honored (all-intra transquant bypass)
     "b_adapt": (0, "adaptive B placement not implemented (fixed pattern)"),
-    "b_pyramid": (False, "B frames are never referenced yet"),
+    # --b-pyramid IS honored (middle B of each mini-GOP referenced)
     "noise_reduction_intra": (0, "DCT-domain denoise not implemented"),
     "noise_reduction_inter": (0, "DCT-domain denoise not implemented"),
     "temporal_mvp": (False, "TMVP candidate not implemented"),

@@ -1138,7 +1138,8 @@ def build_p_pipeline(enc, nr: int = 1):
     return run
 
 
-def build_b_pipeline(enc, batch: int | None = None):
+def build_b_pipeline(enc, batch: int | None = None,
+                     make_ext: bool = False):
     """B-frame device program: intra analysis + per-list ME + bi-prediction
     trial + direction decision + CTU-wavefront recon + in-loop filters.
 
@@ -1347,12 +1348,18 @@ def build_b_pipeline(enc, batch: int | None = None):
         pocb = jnp.where(dir_eff == 3, poc_l1, poca)
         motion_b = (rep4(nmv)[:, :, 0], rep4(mva), rep4(mvb),
                     rep4(poca)[:, :, 0], rep4(pocb)[:, :, 0])
-        small, tails, _fp = finish((oy, ocb, ocr), out, qp_base, dqp_cb,
-                                   dqp_cr, sao_lam, inter=inter, mv=mv0,
-                                   motion_b=motion_b,
-                                   qp_base_ctb=qp_base_ctb,
-                                   merged=merged_pre)
-        return dict(small, use32=out[9]), tails
+        small, tails, fplanes = finish((oy, ocb, ocr), out, qp_base,
+                                       dqp_cb, dqp_cr, sao_lam,
+                                       inter=inter, mv=mv0,
+                                       motion_b=motion_b,
+                                       qp_base_ctb=qp_base_ctb,
+                                       merged=merged_pre)
+        if make_ext:
+            # b-pyramid reference B: extended recon joins the device DPB
+            ext = _extend_builder(enc)(fplanes)
+        else:
+            ext = None
+        return dict(small, use32=out[9]), tails, ext
 
     if batch is None:
         prep_c = jax.jit(prep)
@@ -1370,16 +1377,16 @@ def build_b_pipeline(enc, batch: int | None = None):
             poc_l0, poc_l1, qp_base_ctb):
         (modes, mode32, mv0, mv1, d, inter, pred_y, pred_cb,
          pred_cr) = prep_c(oy, r0y, r0cb, r0cr, r1y, r1cb, r1cr, qp_base)
-        small, tails = main_c(oy, ocb, ocr, modes, mode32, mv0, mv1, d,
-                              inter, pred_y, pred_cb, pred_cr, qpy, qpb,
-                              qpr, lam, qp_base, dqp_cb, dqp_cr, sao_lam,
-                              poc_l0, poc_l1, qp_base_ctb)
+        small, tails, ext = main_c(oy, ocb, ocr, modes, mode32, mv0, mv1,
+                                   d, inter, pred_y, pred_cb, pred_cr,
+                                   qpy, qpb, qpr, lam, qp_base, dqp_cb,
+                                   dqp_cr, sao_lam, poc_l0, poc_l1,
+                                   qp_base_ctb)
         small = dict(small, modes=modes.astype(jnp.uint8),
                      mode32=mode32.astype(jnp.uint8),
                      mv0=mv0.astype(jnp.int16), mv1=mv1.astype(jnp.int16),
                      dirs=d.astype(jnp.uint8), inter=inter)
-        # Bs are never referenced (TRAIL_N) — no DPB extension needed
-        return small, tails, None
+        return small, tails, ext
 
     run.prep = prep_c
     run.main = main_c

@@ -86,6 +86,7 @@ class _Pending:
     la: object = None
     batch_idx: object = None    # index into a batched-B dispatch
     qp_arrays: object = None    # stashed device QP inputs (deferred B)
+    is_ref_b: bool = False      # b-pyramid reference B (TRAIL_R)
     filter_qps: object = None
     wp: tuple = (64, 0, False)  # L0 luma weight (w, offset, enabled)
 
@@ -333,13 +334,19 @@ class Encoder:
         # overlaps the host entropy pass of frame N)
         self._inflight: list[_Pending] = []
         self.pipeline_depth = max(1, params.frame_parallelism)
+        # b-pyramid: the middle B of each mini-GOP becomes a reference
+        # (x265 slicetype.cpp B-pyramid; --b-pyramid default on)
+        self.b_pyramid = bool(params.b_pyramid and self.bframes >= 2)
         if self.bframes:
-            # one anchor precedes its Bs in decode order but follows in
-            # output order; libde265 bumps off the VPS value (decctx.cc:1959)
-            cap = max(4, self.num_ref + 2)
-            self.sps.num_reorder_pics = 1
+            # anchors precede their Bs in decode order but follow in
+            # output order; libde265 bumps off the VPS value
+            # (decctx.cc:1959).  The pyramid adds one reorder level and
+            # one DPB slot for the reference B.
+            reorder = 2 if self.b_pyramid else 1
+            cap = max(4, self.num_ref + 2) + (1 if self.b_pyramid else 0)
+            self.sps.num_reorder_pics = reorder
             self.sps.max_dec_pic_buffering = cap
-            self.vps.num_reorder_pics = 1
+            self.vps.num_reorder_pics = reorder
             self.vps.max_dec_pic_buffering = cap
 
     # -- stream headers ------------------------------------------------------
@@ -678,7 +685,13 @@ class Encoder:
 
     def _emit_minigop(self) -> None:
         """Dispatch the queued mini-GOP: last frame as the P anchor first,
-        then the Bs (display order) against (prev anchor, new anchor)."""
+        then the Bs against their reference pair.
+
+        With --b-pyramid (default, >= 2 Bs) the middle B is coded first
+        against (prev anchor, new anchor) and becomes a REFERENCE
+        (TRAIL_R; x265 slicetype.cpp B-pyramid ref selection); the outer
+        Bs predict from the half-distance pairs (prev, mid) / (mid,
+        anchor).  Without it all Bs are TRAIL_N against the anchors."""
         if not self._queue:
             return
         frames, self._queue = self._queue, []
@@ -692,28 +705,56 @@ class Encoder:
         self._inflight.append(pend)
         self._after_anchor(pend)        # retains prev anchor for the Bs
         bs = frames[:-1]
+        pyramid = (self.b_pyramid and len(bs) >= 2
+                   and not self.force_host_recon)
+        if pyramid:
+            mid_i = len(bs) // 2
+            mpoc, mplanes, mla = bs[mid_i]
+            mp = self._dispatch_one(mplanes, mpoc, "B", l0_poc=l0,
+                                    l1_poc=anchor_poc, la=mla,
+                                    ref_b=True)
+            mp.display_idx = base + mpoc
+            self._inflight.append(mp)
+            self.dpb[mpoc] = mp
+            if mp.ext is not None:
+                self.dpb_dev[mpoc] = mp.ext
+            for group, g_l0, g_l1 in (
+                    (bs[:mid_i], l0, mpoc),
+                    (bs[mid_i + 1:], mpoc, anchor_poc)):
+                self._dispatch_b_group(group, g_l0, g_l1, base,
+                                       keep_extra=(mpoc,))
+            return
+        self._dispatch_b_group(bs, l0, anchor_poc, base)
+
+    def _dispatch_b_group(self, bs, l0, l1, base, keep_extra=()):
+        """Dispatch a set of mutually independent TRAIL_N Bs sharing one
+        (l0, l1) reference pair — batched when >= 2."""
+        if not bs:
+            return
         if len(bs) >= 2 and not self.force_host_recon:
-            # all Bs of the mini-GOP are independent (non-referenced):
-            # ONE batched device dispatch for the whole set
             pends = []
             for poc, planes, la in bs:
                 bp = self._dispatch_one(planes, poc, "B", l0_poc=l0,
-                                        l1_poc=anchor_poc, la=la,
-                                        defer_b=True)
+                                        l1_poc=l1, la=la, defer_b=True)
                 bp.display_idx = base + poc
+                bp.ps.rps_keep = tuple(set(bp.ps.rps_keep)
+                                       | set(keep_extra))
                 pends.append(bp)
-            self._dispatch_b_batch(pends, l0, anchor_poc)
+            self._dispatch_b_batch(pends, l0, l1)
             self._inflight.extend(pends)
         else:
             for poc, planes, la in bs:
                 bp = self._dispatch_one(planes, poc, "B", l0_poc=l0,
-                                        l1_poc=anchor_poc, la=la)
+                                        l1_poc=l1, la=la)
                 bp.display_idx = base + poc
+                bp.ps.rps_keep = tuple(set(bp.ps.rps_keep)
+                                       | set(keep_extra))
                 self._inflight.append(bp)
 
     def _dispatch_one(self, planes, poc: int, kind: str,
                       l0_poc=None, l1_poc=None, la=None, cplx=None,
-                      defer_b: bool = False, defer_all: bool = False):
+                      defer_b: bool = False, defer_all: bool = False,
+                      ref_b: bool = False):
         """Dispatch one picture's device work (async) and return the
         _Pending handle.  Does NOT advance GOP state (push_frame owns the
         ordering); the host finish (fetch + entropy) runs later in
@@ -741,7 +782,7 @@ class Encoder:
                 cplx = self._complexity_estimate(orig, kind != "I")
         self._la_off16 = la[0] if la is not None else None
         self.qp = self.rc.frame_qp(is_intra=kind == "I", satd=cplx,
-                                   is_b=is_b)
+                                   is_b=is_b, is_ref_b=ref_b)
 
         cu_size = min(16, 1 << g.log2_ctb)
         cu_log2 = cu_size.bit_length() - 1
@@ -813,11 +854,16 @@ class Encoder:
             pend.filter_qps = self._filter_qps()
         elif is_b:
             assert use_pipeline, "B frames require the device pipeline"
+            pend.is_ref_b = ref_b
+            ps.b_is_ref = ref_b
             if defer_b:
                 # batched mini-GOP dispatch: stash the per-frame device
                 # inputs; _dispatch_b_batch stacks them
                 pend.qp_arrays = self._qp_arrays
                 pend.filter_qps = self._filter_qps()
+            elif ref_b:
+                pend.out_dev, pend.ext = self._dispatch_b_ref(
+                    orig, l0_poc, l1_poc)
             else:
                 pend.out_dev = self._dispatch_b(orig, l0_poc, l1_poc)
         elif is_p:
@@ -1315,6 +1361,24 @@ class Encoder:
         h.start()
         return (h, tails)
 
+    def _dispatch_b_ref(self, orig, l0_poc, l1_poc):
+        """b-pyramid reference B: same program + the DPB extension."""
+        from .device_pipeline import build_b_pipeline
+
+        if getattr(self, "_b_ref_pipeline", None) is None:
+            self._b_ref_pipeline = build_b_pipeline(self, make_ext=True)
+        refs0 = self._get_ref_ext(l0_poc)
+        refs1 = self._get_ref_ext(l1_poc)
+        qpy, qpb, qpr, lam, qp_ctb = self._qp_arrays
+        small, tails, ext = self._b_ref_pipeline(
+            orig[0], orig[1], orig[2], *refs0, *refs1,
+            qpy, qpb, qpr, lam,
+            *self._filter_qps(), np.int32(l0_poc), np.int32(l1_poc),
+            qp_ctb)
+        h = _BatchFetch(small)
+        h.start()
+        return (h, tails), ext
+
     def _dispatch_b_batch(self, pends, l0_poc, l1_poc):
         """One batched device dispatch for all Bs of a mini-GOP (they are
         mutually independent TRAIL_N pictures; x265 encodes them on
@@ -1577,7 +1641,9 @@ class Encoder:
                 delta_pocs_s1=[q - poc for q in s1_pocs],
                 used_s1=[1 if q in act1 else 0 for q in s1_pocs])
             if slice_type == SLICE_B:
-                nal_type = NAL_TRAIL_N    # our Bs are never referenced
+                # b-pyramid reference Bs are TRAIL_R; outer Bs TRAIL_N
+                nal_type = (NAL_TRAIL_R if getattr(ps, "b_is_ref", False)
+                            else NAL_TRAIL_N)
                 init_type = 2
             else:
                 nal_type = NAL_TRAIL_R

@@ -194,11 +194,13 @@ class RateControl:
         return max(blurred, 1.0) ** (1.0 - self.qcomp)
 
     def frame_qp(self, is_intra: bool, satd: float = 0.0,
-                 is_b: bool = False) -> int:
+                 is_b: bool = False, is_ref_b: bool = False) -> int:
         """QP for the next frame.  ``satd`` is the frame complexity
         estimate (lookahead cost analogue); 0 keeps the previous blur.
         Non-referenced B frames ride pbFactor above their anchors
-        (ratecontrol.cpp:1540 B-frame qscale interpolation, flat case)."""
+        (ratecontrol.cpp:1540 B-frame qscale interpolation, flat case);
+        a b-pyramid reference B sits halfway (x265 rateEstimateQscale
+        halves the pbFactor offset for referenced Bs)."""
         ftype = "B" if is_b else "I" if is_intra else "P"
         if self.mode == "2pass":
             idx = min(self.frames_done, len(self.pass2_qp) - 1)
@@ -208,13 +210,16 @@ class RateControl:
             self._last = (ftype, qs, satd)
             return int(min(51, max(0, round(qscale_to_qp(qs)))))
         if self.mode == "cqp":
-            q = self.p.qp + (round(self.pb_offset) if is_b
+            boff = round(self.pb_offset / 2 if is_ref_b
+                         else self.pb_offset)
+            q = self.p.qp + (boff if is_b
                              else -round(self.ip_offset) if is_intra else 0)
             self._last = (ftype, qp_to_qscale(q), satd)
             return int(min(51, max(0, q)))
         if is_b:
             # B QP from the surrounding anchor qscale * pbFactor
-            qs = self.last_qscale_for["P"] * self.pb_factor
+            pbf = (self.pb_factor ** 0.5 if is_ref_b else self.pb_factor)
+            qs = self.last_qscale_for["P"] * pbf
             qs = min(MAX_QPSCALE, max(MIN_QPSCALE, qs))
             self._last = (ftype, qs, satd)
             return int(min(51, max(0, round(qscale_to_qp(qs)))))
