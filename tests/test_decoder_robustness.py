@@ -55,8 +55,19 @@ def test_missing_reference_concealed(ippp_stream):
 def test_dpb_rps_marking(ippp_stream):
     d = Decoder()
     d.push_bytes(ippp_stream)
-    # IPPP with 1 active ref: the DPB should hold only the last anchor,
-    # not grow per decoded frame
+    # IPPP with --ref 3 (the default): the RPS retains up to 3 anchors;
+    # the DPB must not grow past retained refs + current
+    assert len(d._dpb) <= 4
+    assert all(p.hash_ok for p in d.pictures)
+
+
+def test_dpb_rps_marking_single_ref():
+    p = Params(source_width=64, source_height=48, qp=34, bframes=0,
+               decoded_picture_hash=1, log_level=0, me_range=8, ref=1)
+    stream, _ = encode_sequence(_frames(4), p)
+    d = Decoder()
+    d.push_bytes(stream)
+    # 1 active ref: only the last anchor stays in the DPB
     assert len(d._dpb) <= 2
     assert all(p.hash_ok for p in d.pictures)
 

@@ -50,14 +50,14 @@ def test_ssim_identical_and_noisy():
 
 
 def test_unsupported_param_warnings():
+    # library defaults are silently coerced (param.cpp behavior): a
+    # default-config encoder prints NO warnings
     p = Params(source_width=64, source_height=64)
-    msgs = unsupported_param_warnings(p)
-    # medium defaults include several declared-unsupported tools
-    assert any("b-adapt" in m for m in msgs)
+    assert unsupported_param_warnings(p) == []
+    # explicit USER overrides of unimplemented tools warn
+    q = Params(source_width=64, source_height=64, psy_rd=2.0,
+               rect=True, tskip=True)
+    msgs = unsupported_param_warnings(q)
     assert any("psy-rd" in m for m in msgs)
-    # all-effective config is warning-free
-    q = Params(source_width=64, source_height=64, b_adapt=0,
-               b_pyramid=False, psy_rd=0.0, psy_rdoq=0.0,
-               tu_intra_depth=1, tu_inter_depth=1, limit_refs=0,
-               temporal_mvp=False, max_merge=2)
-    assert unsupported_param_warnings(q) == []
+    assert any("rect" in m for m in msgs)
+    assert any("tskip" in m for m in msgs)

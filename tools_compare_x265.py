@@ -128,8 +128,15 @@ def main():
     from x265_tpu.tools.bdrate import bd_psnr, bd_rate
     anchor = ("x265 medium" if args.mode == "medium"
               else "x265 medium/no-B/1-ref")
-    print(f"BD-rate (ours vs {anchor}): "
-          f"{bd_rate(ref, ours):+.2f}%  BD-PSNR: {bd_psnr(ref, ours):+.3f} dB")
+    try:
+        bdr = f"{bd_rate(ref, ours):+.2f}%"
+    except ValueError:
+        bdr = "n/a (no PSNR overlap)"
+    try:
+        bdp = f"{bd_psnr(ref, ours):+.3f} dB"
+    except ValueError:
+        bdp = "n/a (no rate overlap)"
+    print(f"BD-rate (ours vs {anchor}): {bdr}  BD-PSNR: {bdp}")
     os.unlink(y4m.name)
 
 

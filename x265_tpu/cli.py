@@ -40,6 +40,9 @@ def build_argparser():
     ap.add_argument("--recon", default=None, help="write recon YUV/Y4M")
     ap.add_argument("--csv", default=None, help="per-frame CSV log")
     ap.add_argument("--no-progress", action="store_true")
+    ap.add_argument("--profile-dir", default=None,
+                    help="capture a jax.profiler trace of the encode "
+                         "(x265 PPA/VTune analogue, SURVEY §5)")
     # remaining options go through param_parse (x265 spellings)
     return ap
 
@@ -100,7 +103,8 @@ def main(argv=None):
             recon_w = YUVWriter(args.recon, p.internal_bit_depth)
     csv = open(args.csv, "w") if args.csv else None
     if csv:
-        cols = "frame,type,qp,bits,psnr_y,psnr_u,psnr_v"
+        cols = ("frame,type,qp,bits,psnr_y,psnr_u,psnr_v,pct_intra,"
+                "pct_merge,pct_skip,pct_cu64,pct_cu32,pct_cu16")
         if p.ssim:
             cols += ",ssim"
         csv.write(cols + "\n")
@@ -139,14 +143,23 @@ def main(argv=None):
             if recon_w:
                 recon_w.write(ef.recon)
             if csv:
+                st = ef.stats or {}
                 row = (f"{next_disp},{ef.kind},{ef.qp},"
                        f"{len(ef.au) * 8},"
-                       f"{ps[0]:.4f},{ps[1]:.4f},{ps[2]:.4f}")
+                       f"{ps[0]:.4f},{ps[1]:.4f},{ps[2]:.4f},"
+                       f"{st.get('pct_intra', 0)},{st.get('pct_merge', 0)},"
+                       f"{st.get('pct_skip', 0)},{st.get('pct_cu64', 0)},"
+                       f"{st.get('pct_cu32', 0)},{st.get('pct_cu16', 0)}")
                 if p.ssim:
                     row += f",{sv:.6f}"
                 csv.write(row + "\n")
             next_disp += 1
 
+    prof = None
+    if args.profile_dir:
+        import jax
+        prof = jax.profiler.trace(args.profile_dir)
+        prof.__enter__()
     n_in = 0
     for idx, frame in enumerate(rd):
         if idx < args.seek:
@@ -162,6 +175,8 @@ def main(argv=None):
                              f"{total_bits * p.fps_num / (p.fps_denom * n * 1000):.2f} kb/s]")
             sys.stderr.flush()
     drain(enc.flush())
+    if prof is not None:
+        prof.__exit__(None, None, None)
 
     el = time.time() - t0
     if n:
@@ -177,6 +192,7 @@ def main(argv=None):
             sa = ssim_acc / n
             msg += f", SSIM Mean Y: {sa:.7f} ({ssim_db(sa):.3f} dB)"
         print(msg, file=sys.stderr)
+        print(enc.summary(), file=sys.stderr)
     out.close()
     if recon_w:
         recon_w.close()

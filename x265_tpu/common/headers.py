@@ -244,6 +244,18 @@ class SPS:
     vui_timing_present: int = 0
     fps_num: int = 25
     fps_denom: int = 1
+    # VUI signaling (Annex E; x265 --sar/--range/--colorprim/--transfer/
+    # --colormatrix/--chromaloc/--videoformat)
+    sar_width: int = 0
+    sar_height: int = 0
+    video_format: int = 5
+    video_full_range: bool = False
+    colour_description_present: bool = False
+    colour_primaries: int = 2
+    transfer_characteristics: int = 2
+    matrix_coeffs: int = 2
+    chroma_loc_top: int = 0
+    chroma_loc_bottom: int = 0
 
     # derived
     @property
@@ -313,10 +325,42 @@ def write_sps(sps: SPS) -> bytes:
 
 
 def _write_vui(bw: BitWriter, sps: SPS):
-    bw.write_flag(0)                    # aspect_ratio_info_present
+    """VUI parameters (Annex E.2.1; x265 entropy.cpp:242 codeVUI):
+    sample aspect ratio, video signal type (format/range/color
+    description) and chroma sample location in addition to timing."""
+    sar_present = bool(sps.sar_width and sps.sar_height)
+    if sar_present:
+        bw.write_flag(1)
+        # Table E-1 standard ratios; 255 = EXTENDED_SAR
+        SARS = [(0, 0), (1, 1), (12, 11), (10, 11), (16, 11), (40, 33),
+                (24, 11), (20, 11), (32, 11), (80, 33), (18, 11),
+                (15, 11), (64, 33), (160, 99), (4, 3), (3, 2), (2, 1)]
+        sar = (sps.sar_width, sps.sar_height)
+        idc = SARS.index(sar) if sar in SARS else 255
+        bw.write(idc, 8)
+        if idc == 255:
+            bw.write(sps.sar_width, 16)
+            bw.write(sps.sar_height, 16)
+    else:
+        bw.write_flag(0)                # aspect_ratio_info_present
     bw.write_flag(0)                    # overscan_info_present
-    bw.write_flag(0)                    # video_signal_type_present
-    bw.write_flag(0)                    # chroma_loc_info_present
+    signal_present = (sps.video_format != 5 or sps.video_full_range
+                      or sps.colour_description_present)
+    bw.write_flag(int(signal_present))
+    if signal_present:
+        bw.write(sps.video_format, 3)
+        bw.write_flag(int(sps.video_full_range))
+        bw.write_flag(int(sps.colour_description_present))
+        if sps.colour_description_present:
+            bw.write(sps.colour_primaries, 8)
+            bw.write(sps.transfer_characteristics, 8)
+            bw.write(sps.matrix_coeffs, 8)
+    if sps.chroma_loc_top or sps.chroma_loc_bottom:
+        bw.write_flag(1)                # chroma_loc_info_present
+        bw.write_ue(sps.chroma_loc_top)
+        bw.write_ue(sps.chroma_loc_bottom)
+    else:
+        bw.write_flag(0)
     bw.write_flag(0)                    # neutral_chroma_indication
     bw.write_flag(0)                    # field_seq_flag
     bw.write_flag(0)                    # frame_field_info_present
@@ -328,6 +372,53 @@ def _write_vui(bw: BitWriter, sps: SPS):
         bw.write_flag(0)                # vui_poc_proportional_to_timing
         bw.write_flag(0)                # vui_hrd_parameters_present
     bw.write_flag(0)                    # bitstream_restriction_flag
+
+
+def _parse_vui(br: BitReader, sps: SPS):
+    """Annex E.2.1 parse (mirror of _write_vui's emitted subset plus the
+    standard fields any conforming stream may carry)."""
+    if br.read_flag():                  # aspect_ratio_info_present
+        idc = br.read(8)
+        SARS = [(0, 0), (1, 1), (12, 11), (10, 11), (16, 11), (40, 33),
+                (24, 11), (20, 11), (32, 11), (80, 33), (18, 11),
+                (15, 11), (64, 33), (160, 99), (4, 3), (3, 2), (2, 1)]
+        if idc == 255:
+            sps.sar_width = br.read(16)
+            sps.sar_height = br.read(16)
+        elif idc < len(SARS):
+            sps.sar_width, sps.sar_height = SARS[idc]
+    if br.read_flag():                  # overscan_info_present
+        br.read_flag()
+    if br.read_flag():                  # video_signal_type_present
+        sps.video_format = br.read(3)
+        sps.video_full_range = bool(br.read_flag())
+        sps.colour_description_present = bool(br.read_flag())
+        if sps.colour_description_present:
+            sps.colour_primaries = br.read(8)
+            sps.transfer_characteristics = br.read(8)
+            sps.matrix_coeffs = br.read(8)
+    if br.read_flag():                  # chroma_loc_info_present
+        sps.chroma_loc_top = br.read_ue()
+        sps.chroma_loc_bottom = br.read_ue()
+    br.read_flag()                      # neutral_chroma_indication
+    br.read_flag()                      # field_seq_flag
+    br.read_flag()                      # frame_field_info_present
+    if br.read_flag():                  # default_display_window
+        for _ in range(4):
+            br.read_ue()
+    sps.vui_timing_present = br.read_flag()
+    if sps.vui_timing_present:
+        sps.fps_denom = br.read(32)
+        sps.fps_num = br.read(32)
+        if br.read_flag():              # poc_proportional_to_timing
+            br.read_ue()
+        if br.read_flag():              # hrd_parameters_present
+            raise NotImplementedError("HRD parameters parse")
+    if br.read_flag():                  # bitstream_restriction
+        for _ in range(3):
+            br.read_flag()
+        for _ in range(5):
+            br.read_ue()
 
 
 def parse_sps(data: bytes) -> SPS:
@@ -376,7 +467,8 @@ def parse_sps(data: bytes) -> SPS:
     sps.temporal_mvp_enabled = br.read_flag()
     sps.strong_intra_smoothing = br.read_flag()
     sps.vui_present = br.read_flag()
-    # VUI is display-only metadata; skip parsing (not needed for recon).
+    if sps.vui_present:
+        _parse_vui(br, sps)
     return sps
 
 

@@ -177,6 +177,13 @@ class Params:
     transfer: int = 2
     colormatrix: int = 2
     chromaloc: int = 0
+    # HDR static metadata SEIs (SMPTE ST 2086 / CTA-861.3)
+    master_display: str | None = None   # "G(x,y)B(..)R(..)WP(..)L(max,min)"
+    max_cll: str | None = None          # "cll,fall"
+    # per-range overrides (x265 --zones "s,e,q=QP/s,e,b=FACTOR") and
+    # per-frame QP file (x264/x265 --qpfile "frame type qp" lines)
+    zones: str | None = None
+    qpfile: str | None = None
 
     # --- derived helpers ---------------------------------------------------
 
@@ -363,8 +370,31 @@ _PARSE_ALIASES = {
     "profile": "profile",
     "level-idc": "level_idc",
     "high-tier": "high_tier",
+    "range": "video_full_range",
+    "videoformat": "video_format",
+    "colorprim": "colorprim",
+    "transfer": "transfer",
+    "colormatrix": "colormatrix",
+    "chromaloc": "chromaloc",
+    "master-display": "master_display",
+    "max-cll": "max_cll",
+    "zones": "zones",
+    "qpfile": "qpfile",
+    "sar": None,  # handled specially ("W:H" or an index name)
     "fps": None,  # handled specially
 }
+
+# VUI name tables (x265cli.h / Annex E code points)
+_COLORPRIM = ["reserved", "bt709", "undef", "reserved", "bt470m",
+              "bt470bg", "smpte170m", "smpte240m", "film", "bt2020"]
+_TRANSFER = ["reserved", "bt709", "undef", "reserved", "bt470m",
+             "bt470bg", "smpte170m", "smpte240m", "linear", "log100",
+             "log316", "iec61966-2-4", "bt1361e", "iec61966-2-1",
+             "bt2020-10", "bt2020-12", "smpte-st-2084", "smpte-st-428",
+             "arib-std-b67"]
+_COLORMATRIX = ["GBR", "bt709", "undef", "reserved", "fcc", "bt470bg",
+                "smpte170m", "smpte240m", "YCgCo", "bt2020nc", "bt2020c"]
+_VIDEOFORMAT = ["component", "pal", "ntsc", "secam", "mac", "undef"]
 
 
 # ---------------------------------------------------------------------------
@@ -409,7 +439,7 @@ _UNSUPPORTED: dict[str, tuple[object, str]] = {
     "rd_level": (3, "no effect (single fixed analysis path)"),
     "me": (ME_HEX, "search method fixed (hierarchical coarse + full "
            "local search)"),
-    "subme": (2, "no effect (always half+quarter-pel refine)"),
+    # --subme IS honored (0 = full-pel, 1 = +half, >= 2 = +quarter)
 }
 
 
@@ -468,6 +498,22 @@ def param_parse(p: Params, name: str, value: str | None = None) -> None:
     if name in ("qp", "crf", "bitrate"):
         p.rc_mode = {"qp": RC_CQP, "crf": RC_CRF, "bitrate": RC_ABR}[name]
         setattr(p, _PARSE_ALIASES[name], type(getattr(p, _PARSE_ALIASES[name]))(value))
+        return
+    if name == "sar":
+        sep = ":" if ":" in value else "x"
+        a, b = value.split(sep)
+        p.sar_width, p.sar_height = int(a), int(b)
+        return
+    if name in ("colorprim", "transfer", "colormatrix", "videoformat") \
+            and value is not None and not value.lstrip("-").isdigit():
+        table = {"colorprim": _COLORPRIM, "transfer": _TRANSFER,
+                 "colormatrix": _COLORMATRIX,
+                 "videoformat": _VIDEOFORMAT}[name]
+        field_n = {"videoformat": "video_format"}.get(name, name)
+        setattr(p, field_n, table.index(value))
+        return
+    if name == "range" and value in ("full", "limited"):
+        p.video_full_range = value == "full"
         return
     if name == "hash" and value is not None and not value.isdigit():
         p.decoded_picture_hash = {"md5": HASH_MD5, "crc": HASH_CRC,

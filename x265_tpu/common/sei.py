@@ -127,3 +127,33 @@ def parse_picture_hash(payload: bytes):
         return hash_type, [body[i * 2:(i + 1) * 2] for i in range(n)]
     n = len(body) // 4
     return hash_type, [body[i * 4:(i + 1) * 4] for i in range(n)]
+
+
+def mastering_display_payload(text: str) -> bytes:
+    """SMPTE ST 2086 mastering display colour volume (D.2.27; x265
+    --master-display, sei.h SEIMasteringDisplayColorVolume).
+
+    ``text``: x265's CLI form "G(x,y)B(x,y)R(x,y)WP(x,y)L(max,min)"
+    with primaries/white point in 0.00002-units and luminance in
+    0.0001 cd/m2 units.
+    """
+    import re
+    m = re.match(r"G\((\d+),(\d+)\)B\((\d+),(\d+)\)R\((\d+),(\d+)\)"
+                 r"WP\((\d+),(\d+)\)L\((\d+),(\d+)\)", text)
+    if not m:
+        raise ValueError(f"bad --master-display string: {text!r}")
+    v = [int(x) for x in m.groups()]
+    out = bytearray()
+    # display_primaries in x[0]/y[0..2] order: the payload order is
+    # G, B, R as parsed (x265 stores them already reordered)
+    for i in range(3):
+        out += v[2 * i].to_bytes(2, "big")
+        out += v[2 * i + 1].to_bytes(2, "big")
+    out += v[6].to_bytes(2, "big") + v[7].to_bytes(2, "big")
+    out += v[8].to_bytes(4, "big") + v[9].to_bytes(4, "big")
+    return bytes(out)
+
+
+def content_light_level_payload(max_cll: int, max_fall: int) -> bytes:
+    """Content light level info (D.2.28; x265 --max-cll "cll,fall")."""
+    return max_cll.to_bytes(2, "big") + max_fall.to_bytes(2, "big")

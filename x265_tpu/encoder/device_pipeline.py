@@ -762,9 +762,18 @@ def _inter_tools_builder(enc):
                                       best_pred)
             return best_q, best_pred, best_c
 
+        # --subme ladder (x265 subme table, reduced to the refinement
+        # rounds this search shape has): 0 = full-pel only, 1 = +half,
+        # >= 2 = +quarter
         q0 = jnp.zeros_like(mvi)
-        q0, pred, cost = refine_round(q0, 2)     # half-pel (center incl.)
-        q0, pred, cost = refine_round(q0, 1)     # quarter-pel
+        subme = int(enc.params.subme)
+        if subme >= 1:
+            q0, pred, cost = refine_round(q0, 2)   # half-pel (center incl.)
+        if subme >= 2:
+            q0, pred, cost = refine_round(q0, 1)   # quarter-pel
+        if subme == 0:
+            # evaluate the full-pel center so pred/cost exist
+            q0, pred, cost = refine_round(q0, 0)
         mvq = mvi * 4 + q0                                # [B, 2] (y, x) qpel
 
         # ---- MV coherence passes ----

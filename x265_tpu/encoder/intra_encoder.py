@@ -57,6 +57,31 @@ class EncodedFrame:
     kind: str             # "I" / "P" / "B"
     qp: int
     coded_dev: tuple = None   # device-resident ME-extended recon planes
+    stats: dict = None    # x265_frame_stats analogue (CU distribution)
+
+
+def _frame_cu_stats(ps) -> dict:
+    """Per-frame CU distribution (x265_frame_stats.cuStats analogue,
+    x265.h:119 / encoder.cpp:1230 finishFrameStats)."""
+    pm = ps.pred_mode[::4, ::4]
+    n = pm.size
+    inter = pm != 1
+    mf = ps.merge_flag[::4, ::4] != 0
+    sk = ps.skip[::4, ::4] != 0
+    d = ps.depth[::4, ::4]
+    return {
+        "pct_intra": round(100.0 * float((~inter).sum()) / n, 2),
+        "pct_inter": round(100.0 * float(inter.sum()) / n, 2),
+        "pct_merge": round(100.0 * float((inter & mf).sum()) / n, 2),
+        "pct_skip": round(100.0 * float((inter & sk).sum()) / n, 2),
+        # per-CU-size area shares (16-unit granularity)
+        "pct_cu64": round(100.0 * float((d == ps.geom.log2_ctb - 6).sum())
+                          / n, 2) if ps.geom.log2_ctb >= 6 else 0.0,
+        "pct_cu32": round(100.0 * float((d == ps.geom.log2_ctb - 5).sum())
+                          / n, 2),
+        "pct_cu16": round(100.0 * float((d == ps.geom.log2_ctb - 4).sum())
+                          / n, 2),
+    }
 
 
 @dataclass
@@ -244,6 +269,18 @@ class Encoder:
             strong_intra_smoothing=int(params.strong_intra_smoothing),
             vui_timing_present=1, vui_present=1,
             fps_num=params.fps_num, fps_denom=params.fps_denom,
+            # VUI color/display signaling (Annex E; x265 --sar etc.)
+            sar_width=params.sar_width, sar_height=params.sar_height,
+            video_format=params.video_format,
+            video_full_range=bool(params.video_full_range),
+            colour_description_present=(params.colorprim != 2
+                                        or params.transfer != 2
+                                        or params.colormatrix != 2),
+            colour_primaries=params.colorprim,
+            transfer_characteristics=params.transfer,
+            matrix_coeffs=params.colormatrix,
+            chroma_loc_top=params.chromaloc,
+            chroma_loc_bottom=params.chromaloc,
             # DPB capacity covers the retained reference anchors + the
             # current picture (A.4.1 / dec265 rejects RPSs larger than
             # sps_max_dec_pic_buffering)
@@ -298,8 +335,39 @@ class Encoder:
         self.me_fine = min(8, mr)
         self.me_coarse = max(0, -(-(mr - self.me_fine) // 4))
         self.me_range = 4 * self.me_coarse + self.me_fine
+        # stage wall-clock accounting (x265 DETAILED_CU_STATS /
+        # printSummary analogue, SURVEY §5 tracing): accumulated by the
+        # finish path; summary() renders the encode report
+        import time as _time
+        self._clock = _time.time
+        self._t0 = self._clock()
+        self._perf = {"frames": 0, "bytes": 0, "qp_sum": 0,
+                      "fetch_wait": 0.0, "entropy": 0.0,
+                      "by_type": {"I": 0, "P": 0, "B": 0}}
         from .ratecontrol import RateControl
         self.rc = RateControl(params)
+        # per-range/per-frame QP overrides (x265 --zones ratecontrol.cpp
+        # getZone:156; --qpfile encoder.cpp forceqp intake)
+        self._zones: list = []
+        if params.zones:
+            for z in params.zones.split("/"):
+                parts = z.split(",")
+                s, e = int(parts[0]), int(parts[1])
+                qv = fac = None
+                for kv in parts[2:]:
+                    k, v = kv.split("=")
+                    if k == "q":
+                        qv = int(v)
+                    elif k == "b":
+                        fac = float(v)
+                self._zones.append((s, e, qv, fac))
+        self._qpfile_map: dict[int, int] = {}
+        if params.qpfile:
+            with open(params.qpfile) as fh:
+                for line in fh:
+                    f = line.split()
+                    if len(f) >= 3 and int(f[2]) >= 0:
+                        self._qpfile_map[int(f[0])] = int(f[2])
         self._prev_half = None          # half-res Y of the previous source
         # GOP structure (x265 slicetype role, fixed pattern = b-adapt 0):
         # display-order input queue + mini-GOP reordering when bframes > 0
@@ -355,6 +423,23 @@ class Encoder:
         out = (wrap_nal(NAL_VPS, write_vps(self.vps))
                + wrap_nal(NAL_SPS, write_sps(self.sps))
                + wrap_nal(NAL_PPS, write_pps(self.pps)))
+        hdr_seis = []
+        if self.params.master_display:
+            from ..common.sei import (SEI_MASTERING_DISPLAY,
+                                      mastering_display_payload)
+            hdr_seis.append((SEI_MASTERING_DISPLAY,
+                             mastering_display_payload(
+                                 self.params.master_display)))
+        if self.params.max_cll:
+            from ..common.sei import (SEI_CONTENT_LIGHT_LEVEL,
+                                      content_light_level_payload)
+            cll, fall = (int(v) for v in self.params.max_cll.split(","))
+            hdr_seis.append((SEI_CONTENT_LIGHT_LEVEL,
+                             content_light_level_payload(cll, fall)))
+        if hdr_seis:
+            from ..common.bitstream import NAL_PREFIX_SEI as _PFX
+            out += wrap_nal(_PFX, write_sei_rbsp(hdr_seis),
+                            long_start_code=False)
         if self.params.emit_info_sei:
             # x265-style user_data_unregistered SEI with encoder info
             from .. import __version__
@@ -630,7 +715,8 @@ class Encoder:
             poc = 0 if gop_start else self._next_poc
             kind = "I" if gop_start else "P"
             pend = self._dispatch_one(planes, poc, kind,
-                                      l0_poc=self.prev_anchor_poc, la=la)
+                                      l0_poc=self.prev_anchor_poc, la=la,
+                                      didx=self._display_idx)
             if gop_start:
                 self._cvs_base = self._display_idx
             self._after_anchor(pend, idr=pend.kind == "I")
@@ -700,7 +786,7 @@ class Encoder:
         base = self._cvs_base
         pend = self._dispatch_one(anchor_planes, anchor_poc,
                                   "P" if l0 is not None else "I", l0_poc=l0,
-                                  la=anchor_la)
+                                  la=anchor_la, didx=base + anchor_poc)
         pend.display_idx = base + anchor_poc
         self._inflight.append(pend)
         self._after_anchor(pend)        # retains prev anchor for the Bs
@@ -712,7 +798,7 @@ class Encoder:
             mpoc, mplanes, mla = bs[mid_i]
             mp = self._dispatch_one(mplanes, mpoc, "B", l0_poc=l0,
                                     l1_poc=anchor_poc, la=mla,
-                                    ref_b=True)
+                                    ref_b=True, didx=base + mpoc)
             mp.display_idx = base + mpoc
             self._inflight.append(mp)
             self.dpb[mpoc] = mp
@@ -735,7 +821,8 @@ class Encoder:
             pends = []
             for poc, planes, la in bs:
                 bp = self._dispatch_one(planes, poc, "B", l0_poc=l0,
-                                        l1_poc=l1, la=la, defer_b=True)
+                                        l1_poc=l1, la=la, defer_b=True,
+                                        didx=base + poc)
                 bp.display_idx = base + poc
                 bp.ps.rps_keep = tuple(set(bp.ps.rps_keep)
                                        | set(keep_extra))
@@ -745,16 +832,33 @@ class Encoder:
         else:
             for poc, planes, la in bs:
                 bp = self._dispatch_one(planes, poc, "B", l0_poc=l0,
-                                        l1_poc=l1, la=la)
+                                        l1_poc=l1, la=la,
+                                        didx=base + poc)
                 bp.display_idx = base + poc
                 bp.ps.rps_keep = tuple(set(bp.ps.rps_keep)
                                        | set(keep_extra))
                 self._inflight.append(bp)
 
+    def _qp_override(self, didx):
+        """--qpfile / --zones QP override for display index ``didx``."""
+        if didx is None:
+            return None
+        q = self._qpfile_map.get(didx)
+        if q is not None:
+            return min(51, max(0, q))
+        for (s, e, qv, fac) in self._zones:
+            if s <= didx <= e:
+                if qv is not None:
+                    return min(51, max(0, qv))
+                if fac:
+                    return min(51, max(0, round(
+                        self.qp - 6.0 * np.log2(fac))))
+        return None
+
     def _dispatch_one(self, planes, poc: int, kind: str,
                       l0_poc=None, l1_poc=None, la=None, cplx=None,
                       defer_b: bool = False, defer_all: bool = False,
-                      ref_b: bool = False):
+                      ref_b: bool = False, didx=None):
         """Dispatch one picture's device work (async) and return the
         _Pending handle.  Does NOT advance GOP state (push_frame owns the
         ordering); the host finish (fetch + entropy) runs later in
@@ -783,6 +887,9 @@ class Encoder:
         self._la_off16 = la[0] if la is not None else None
         self.qp = self.rc.frame_qp(is_intra=kind == "I", satd=cplx,
                                    is_b=is_b, is_ref_b=ref_b)
+        ov = self._qp_override(didx)
+        if ov is not None:
+            self.qp = int(ov)
 
         cu_size = min(16, 1 << g.log2_ctb)
         cu_log2 = cu_size.bit_length() - 1
@@ -1010,10 +1117,14 @@ class Encoder:
         self.frames_encoded += 1
         self.last_slice_type_str = "B" if is_b else "P" if is_p else "I"
         self.last_ps = ps      # exposed for tests / debugging
+        self._perf["frames"] += 1
+        self._perf["bytes"] += len(au)
+        self._perf["qp_sum"] += self.qp
+        self._perf["by_type"][self.last_slice_type_str] += 1
         return EncodedFrame(
             poc=poc, display_idx=pend.display_idx, au=au,
             recon=rec_crop, coded=coded_rec, kind=self.last_slice_type_str,
-            qp=self.qp, coded_dev=pend.ext)
+            qp=self.qp, coded_dev=pend.ext, stats=_frame_cu_stats(ps))
 
     # -- fused device pipelines ----------------------------------------------
 
@@ -1048,12 +1159,31 @@ class Encoder:
                 rdoq=self.params.rdoq_level > 0)
         return self._ctu_scan
 
+    def summary(self) -> str:
+        """Encode summary (x265 printSummary, encoder.cpp:943): frame
+        counts by type, average QP, bitrate and wall-clock fps, plus the
+        stage accounting the TPU pipeline cares about (link-fetch wait
+        vs host entropy)."""
+        p = self._perf
+        el = max(1e-9, self._clock() - self._t0)
+        n = max(1, p["frames"])
+        fps = self.params.fps_num / max(1, self.params.fps_denom)
+        kbps = p["bytes"] * 8.0 * fps / n / 1000.0
+        bt = p["by_type"]
+        return (f"encoded {p['frames']} frames "
+                f"(I {bt['I']} P {bt['P']} B {bt['B']}) in {el:.2f}s "
+                f"({p['frames'] / el:.2f} fps), {kbps:.2f} kb/s, "
+                f"Avg QP: {p['qp_sum'] / n:.2f} | stage wait: "
+                f"fetch {p['fetch_wait']:.2f}s entropy "
+                f"{p['entropy']:.2f}s")
+
     def _fetch_outputs(self, pend):
         """Fetch the small output dict (one transfer) and reconstruct the
         coefficient planes from the compacted nonzero-subblock form.
         Tiered overflow fallback: compact int8 -> full int8 luma plane ->
         int16 planes (|level| > 127, very low QP)."""
         import jax
+        _t0 = self._clock()
         small, tails = pend.out_dev
         k = pend.batch_idx
         if isinstance(small, _BatchFetch):
@@ -1097,6 +1227,7 @@ class Encoder:
                 if k is not None:
                     tc = tuple(a[k] for a in tc)
                 ccb, ccr = (np.asarray(a) for a in jax.device_get(tc))
+        self._perf["fetch_wait"] += self._clock() - _t0
         return o, (cy, ccb, ccr)
 
     def _scatter_syntax(self, ps, o, coeffs):
@@ -1614,6 +1745,7 @@ class Encoder:
                         poc: int = 0, l0_poc=None, l1_poc=None) -> bytes:
         from ..common.bitstream import NAL_TRAIL_N
         from ..common.headers import ShortTermRPS
+        _t0 = self._clock()
 
         g = self.geom
         sao_on = bool(self.sps.sao_enabled)
@@ -1702,6 +1834,7 @@ class Encoder:
             enc.bw.byte_alignment()
             data = enc.bw.getvalue()
         rbsp = bw.getvalue() + data
+        self._perf["entropy"] += self._clock() - _t0
         return wrap_nal(nal_type, rbsp)
 
 

@@ -17,15 +17,16 @@ def _bd_integral(rd_a, rd_b, rate_domain: bool):
     pa = np.array([p for _, p in rd_a])
     rb = np.log10([r for r, _ in rd_b])
     pb = np.array([p for _, p in rd_b])
+    deg = min(3, len(ra) - 1, len(rb) - 1)
     if rate_domain:
         # fit log-rate as a function of PSNR
-        ca = np.polyfit(pa, ra, 3)
-        cb = np.polyfit(pb, rb, 3)
+        ca = np.polyfit(pa, ra, deg)
+        cb = np.polyfit(pb, rb, deg)
         lo = max(pa.min(), pb.min())
         hi = min(pa.max(), pb.max())
     else:
-        ca = np.polyfit(ra, pa, 3)
-        cb = np.polyfit(rb, pb, 3)
+        ca = np.polyfit(ra, pa, deg)
+        cb = np.polyfit(rb, pb, deg)
         lo = max(ra.min(), rb.min())
         hi = min(ra.max(), rb.max())
     if hi <= lo:
