@@ -358,6 +358,8 @@ _PARSE_ALIASES = {
     "qblur": "qblur",
     "cplxblur": "cplxblur",
     "max-merge": "max_merge",
+    "nr-intra": "noise_reduction_intra",
+    "nr-inter": "noise_reduction_inter",
     "temporal-mvp": "temporal_mvp",
     "tu-intra-depth": "tu_intra_depth",
     "tu-inter-depth": "tu_inter_depth",
@@ -416,8 +418,8 @@ _UNSUPPORTED: dict[str, tuple[object, str]] = {
     # --lossless itself IS honored (all-intra transquant bypass)
     "b_adapt": (0, "adaptive B placement not implemented (fixed pattern)"),
     # --b-pyramid IS honored (middle B of each mini-GOP referenced)
-    "noise_reduction_intra": (0, "DCT-domain denoise not implemented"),
-    "noise_reduction_inter": (0, "DCT-domain denoise not implemented"),
+    # --nr-intra/--nr-inter ARE honored (device denoiseDct + host
+    # running-average update)
     "temporal_mvp": (False, "TMVP candidate not implemented"),
     "weightb": (False, "weighted bi-prediction not implemented"),
     "intra_refresh": (False, "periodic intra refresh not implemented"),

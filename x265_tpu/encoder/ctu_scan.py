@@ -214,12 +214,13 @@ class CtuScan:
     def __init__(self, geom: PictureGeometry, bit_depth: int = 8,
                  sign_hide: bool = False,
                  strong_intra_smoothing: bool = False,
-                 rdoq: bool = False):
+                 rdoq: bool = False, noise_reduction: bool = False):
         self.t = build_ctu_tables(geom.width, geom.height, geom.log2_ctb)
         self.bit_depth = bit_depth
         self.sign_hide = sign_hide
         self.strong = strong_intra_smoothing
         self.rdoq = rdoq
+        self.noise_reduction = noise_reduction
         self.geom = geom
 
     # -- block (de)arrangement helpers (device-side) -------------------------
@@ -320,12 +321,48 @@ class CtuScan:
 
         xs_all = {k: jnp.asarray(v) for k, v in t["xs"].items()}
 
-        def tq(pred, orig, qp, intra_mask, n, levels_in=None):
+        use_nr = self.noise_reduction
+        # trace-time context for the noise-reduction hooks: make_step
+        # installs the step's data dict; the step resets the per-step
+        # stats accumulators which flow out through the scan ys
+        _nr_ctx = {"d": None, "stats": None}
+
+        def tq(pred, orig, qp, intra_mask, n, levels_in=None,
+               nr_cat=None):
             """Transform-quantize-reconstruct one stage (encode) or
-            dequant-reconstruct (decode when levels_in given)."""
+            dequant-reconstruct (decode when levels_in given).
+
+            ``nr_cat``: DCT-domain noise-reduction category name (x265
+            quant.cpp:205 denoiseDct / frameencoder.cpp:1331 update):
+            when set, the per-position offsets d["nr_<cat>_{i,p}"] are
+            subtracted from |coef| before quantization and the |coef|
+            sums accumulate for the host-side running-average update."""
             if levels_in is None:
                 resi = orig - pred
                 coef = forward_transform(resi, bd, dst=False)
+                if use_nr and nr_cat is not None:
+                    d_ = _nr_ctx["d"]
+                    K = coef.shape[0]
+                    a = jnp.abs(coef).reshape(K, n * n)
+                    sgn = jnp.sign(coef).reshape(K, n * n)
+                    off = jnp.where(intra_mask[:, None],
+                                    d_["nr_" + nr_cat + "_i"][None],
+                                    d_["nr_" + nr_cat + "_p"][None])
+                    # accumulate |coef| sums + block counts by intra/
+                    # inter (all-zero lanes = dummies/clean skips: not
+                    # counted, keeping the running average residual-led)
+                    live = jnp.any(a != 0, axis=1)
+                    im = intra_mask & live
+                    pm = (~intra_mask) & live
+                    st = _nr_ctx["stats"]
+                    s_i, c_i, s_p, c_p = st.get(nr_cat, (0, 0, 0, 0))
+                    st[nr_cat] = (
+                        s_i + (a * im[:, None]).sum(0, dtype=jnp.int32),
+                        c_i + im.sum(dtype=jnp.int32),
+                        s_p + (a * pm[:, None]).sum(0, dtype=jnp.int32),
+                        c_p + pm.sum(dtype=jnp.int32))
+                    coef = (sgn * jnp.maximum(0, a - off)).reshape(
+                        K, n, n).astype(coef.dtype)
                 if use_rdoq:
                     levels = _rdoq_core(jnp, coef, qp, bd)
                 else:
@@ -364,7 +401,10 @@ class CtuScan:
         OVH16, OVH32 = 9.0, 12.0
 
         def make_step(d):
+            _nr_ctx["d"] = d
+
             def step(carry, xs):
+                _nr_ctx["stats"] = {}
                 (rowf, colf, cornf, rowfb, colfb, cornfb,
                  rowfr, colfr, cornfr) = carry
                 cx, cy = xs["cx"], xs["cy"]
@@ -418,7 +458,7 @@ class CtuScan:
                         pred32 = predict32(refs_from(C, qx, qy, 32),
                                            xs["l32_av"][:, q], m32)
                         lv32, rec32 = tq(pred32, d["orig32_y"][bq], qp_y,
-                                         ones_l, 32)
+                                         ones_l, 32, nr_cat="y32")
                         # 16x16 chroma TU candidate (cb+cr paired lanes)
                         raw2 = refs_from(Cc, qx // 2, qy // 2, 16)
                         av2 = jnp.concatenate([xs["c16_av"][:, q]] * 2)
@@ -427,7 +467,8 @@ class CtuScan:
                         predc = _predict_lanes(refc, m32_2, 16, False, bd)
                         oc32 = jnp.concatenate([d["orig16_cb"][bq],
                                                 d["orig16_cr"][bq]])
-                        lvc32, recc32 = tq(predc, oc32, qp_c2, ones_2l, 16)
+                        lvc32, recc32 = tq(predc, oc32, qp_c2, ones_2l,
+                                           16, nr_cat="c16")
                         if decide32:
                             sc = ssd(recc32, oc32)
                             bc = level_bits_jnp(lvc32)
@@ -455,7 +496,8 @@ class CtuScan:
                             imask = ones_l
                         o16 = d["orig16_y"][b]
                         slot_preds.append(pred)
-                        lv, rec = tq(pred, o16, qp_y, imask, 16)
+                        lv, rec = tq(pred, o16, qp_y, imask, 16,
+                                     nr_cat="y16")
                         # 8x8 chroma slot (cb + cr paired lanes)
                         raw2 = refs_from(Cc, sx // 2, sy // 2, 8)
                         av2 = jnp.concatenate([xs["c8_av"][:, i]] * 2)
@@ -473,7 +515,8 @@ class CtuScan:
                         oc = jnp.concatenate([d["orig8_cb"][b],
                                               d["orig8_cr"][b]])
                         slot_predcs.append(predc)
-                        lvc, recc = tq(predc, oc, qp_c2, imask2, 8)
+                        lvc, recc = tq(predc, oc, qp_c2, imask2, 8,
+                                       nr_cat="c8")
                         if inter and rqt:
                             # depth-1 RQT candidate: 4x 8x8 luma TUs +
                             # 4x 4x4 chroma TUs, joint RD vs the TU16
@@ -547,10 +590,10 @@ class CtuScan:
                             ipc16 = join4(jnp.concatenate(slot_predcs), 8)
                             zl = jnp.zeros((L,), bool)
                             lv32i, rec32i = tq(ip32, d["orig32_y"][bq],
-                                               qp_y, zl, 32)
+                                               qp_y, zl, 32, nr_cat="y32")
                             lvc16i, recc16i = tq(ipc16, oc32, qp_c2,
                                                  jnp.zeros((2 * L,), bool),
-                                                 16)
+                                                 16, nr_cat="c16")
                             sci = ssd(recc16i, oc32)
                             bci = level_bits_jnp(lvc16i)
                             c32i = (ssd(rec32i, d["orig32_y"][bq])
@@ -603,17 +646,20 @@ class CtuScan:
 
                 ys = tuple(jnp.stack(v).astype(jnp.int16) if v else None
                            for v in (lv16_o, lv8_o, lv32_o, lvc16_o))
+                nr_ys = (_nr_ctx["stats"] if use_nr else None)
                 ys = ys + (jnp.stack(u32_o) if u32_o else None,
                            jnp.stack(tu8_o) if tu8_o else None,
                            C[:, 1:1 + ctb, 1:1 + ctb].astype(jnp.int16),
-                           Cc[:, 1:1 + ctbc, 1:1 + ctbc].astype(jnp.int16))
+                           Cc[:, 1:1 + ctbc, 1:1 + ctbc].astype(jnp.int16),
+                           nr_ys)
                 return (rowf, colf, cornf, rowfb, colfb, cornfb,
                         rowfr, colfr, cornfr), ys
             return step
 
         def run(oy, ocb, ocr, mode16, mode32, use32, qp_y, qp_cb, qp_cr,
                 lam=None, is_inter=None, ipred_y=None, ipred_cb=None,
-                ipred_cr=None, m32_in=None, rqt_ok=None):
+                ipred_cr=None, m32_in=None, rqt_ok=None,
+                nr_offsets=None):
             out_dtype = jnp.uint8 if bd == 8 else jnp.uint16
             pad16 = jnp.zeros((1, 16, 16), jnp.int32)
             pad8 = jnp.zeros((1, 8, 8), jnp.int32)
@@ -667,6 +713,17 @@ class CtuScan:
                           if rqt_ok is None else jnp.asarray(rqt_ok, bool))
                     d["rqt_ok"] = jnp.concatenate([rq.reshape(-1), zb1])
 
+            if use_nr:
+                sizes = {"y16": 256, "c8": 64, "y32": 1024, "c16": 256}
+                for cat, nn in sizes.items():
+                    if not has32 and cat in ("y32", "c16"):
+                        continue
+                    for sfx in ("_i", "_p"):
+                        key = cat + sfx
+                        v = (nr_offsets or {}).get(
+                            key, np.zeros((nn,), np.int32))
+                        d["nr_" + cat + sfx] = jnp.asarray(v, jnp.int32)
+
             carry0 = (
                 jnp.zeros((cw + 1, ctb), jnp.int32),       # rowf
                 jnp.zeros((ch + 1, ctb), jnp.int32),       # colf
@@ -680,7 +737,9 @@ class CtuScan:
             )
             _, ys = jax.lax.scan(make_step(d), carry0, xs_all)
             (lv16_s, lv8_s, lv32_s, lvc16_s, u32_s, tu8_s,
-             int_y, int_c) = ys
+             int_y, int_c, nr_s) = ys
+            nr_out = (jax.tree.map(lambda a: a.sum(0), nr_s)
+                      if nr_s is not None else None)
 
             # Reorder level stacks to block-raster via STATIC inverse
             # permutations + gather — the schedule tables are static per
@@ -743,6 +802,6 @@ class CtuScan:
             else:
                 tu8_out = jnp.zeros((B16,), bool)
             return (rec_y, rec_cb, rec_cr, lv16_y, lv8_cb, lv8_cr,
-                    lv32_y, lv16_cb, lv16_cr, use32_out, tu8_out)
+                    lv32_y, lv16_cb, lv16_cr, use32_out, tu8_out, nr_out)
 
         return run

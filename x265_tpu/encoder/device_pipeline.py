@@ -190,7 +190,7 @@ def _filter_stage_builder(enc):
                inter=None, mv=None, motion_b=None, qp_base_ctb=None,
                merged=None):
         (rec_y, rec_cb, rec_cr, lv16_y, lv8_cb, lv8_cr,
-         lv32_y, lv16_cb, lv16_cr, use32, _tu8) = scan_out
+         lv32_y, lv16_cb, lv16_cr, use32, _tu8, _nr) = scan_out
         # ---- coefficient planes (merged by the CU decision) ----
         cy = to_plane(lv16_y, gh, gw, 16)
         ccb = to_plane(lv8_cb, gh, gw, 8)
@@ -460,19 +460,24 @@ def build_i_pipeline(enc):
     extend = _extend_builder(enc)
 
     def run(oy, ocb, ocr, qpy, qpb, qpr, lam, qp_base, dqp_cb, dqp_cr,
-            sao_lam, qp_base_ctb):
+            sao_lam, qp_base_ctb, nr_offsets=None):
         modes, _cost = analyse(oy)
         if decide:
             mode32, _c32 = analyse32(oy)
         else:
             mode32 = jnp.zeros((B32,), jnp.int32)
         out = run_scan(oy, ocb, ocr, modes, mode32,
-                       jnp.zeros((B32,), bool), qpy, qpb, qpr, lam=lam)
+                       jnp.zeros((B32,), bool), qpy, qpb, qpr, lam=lam,
+                       nr_offsets=nr_offsets)
         small, tails, fplanes = finish((oy, ocb, ocr), out, qp_base,
                                        dqp_cb, dqp_cr, sao_lam,
                                        qp_base_ctb=qp_base_ctb)
         small = dict(small, modes=modes.astype(jnp.uint8),
                      mode32=mode32.astype(jnp.uint8), use32=out[9])
+        if out[11] is not None:
+            for cat, (si, ci, sp, cp) in out[11].items():
+                small["nr_" + cat] = jnp.concatenate(
+                    [si, ci[None], sp, cp[None]])
         # device-resident DPB entry: the ME/MC-extended reference planes
         # stay on device for the next frame's prep (no host roundtrip)
         return small, tails, extend(fplanes)
@@ -1080,7 +1085,7 @@ def build_p_pipeline(enc, nr: int = 1):
 
     def main_raw(oy, ocb, ocr, modes, mode32, mv, rsel, inter, pred_y,
                  pred_cb, pred_cr, qpy, qpb, qpr, lam, qp_base, dqp_cb,
-                 dqp_cr, sao_lam, qp_base_ctb, ref_pocs):
+                 dqp_cr, sao_lam, qp_base_ctb, ref_pocs, nr_offsets=None):
         merged = finish.merged_masks(inter, (mv, rsel))
         m32_in = None
         if merged is not None:
@@ -1091,7 +1096,7 @@ def build_p_pipeline(enc, nr: int = 1):
                        jnp.zeros((B32,), bool), qpy, qpb, qpr, lam=lam,
                        is_inter=inter, ipred_y=pred_y,
                        ipred_cb=pred_cb, ipred_cr=pred_cr,
-                       m32_in=m32_in)
+                       m32_in=m32_in, nr_offsets=nr_offsets)
 
         # deblock BS needs per-4x4 reference POCs once refs can differ
         # per block (deblock.cpp:193 boundary-strength rules)
@@ -1110,6 +1115,10 @@ def build_p_pipeline(enc, nr: int = 1):
                                        qp_base_ctb=qp_base_ctb,
                                        merged=merged)
         small = dict(small, use32=out[9])
+        if out[11] is not None:
+            for cat, (si, ci, sp, cp) in out[11].items():
+                small["nr_" + cat] = jnp.concatenate(
+                    [si, ci[None], sp, cp[None]])
         return small, tails, extend(fplanes)
 
     prep = jax.jit(prep_raw)
@@ -1118,7 +1127,7 @@ def build_p_pipeline(enc, nr: int = 1):
     def run(oy, ocb, ocr, refs_y, refs_cb, refs_cr,
             qpy, qpb, qpr, lam, qp_base, dqp_cb, dqp_cr, sao_lam,
             qp_base_ctb, ref_pocs, wy=np.int32(64), wo=np.int32(0),
-            n_act=None):
+            n_act=None, nr_offsets=None):
         if not isinstance(refs_y, (tuple, list)):
             refs_y, refs_cb, refs_cr = (refs_y,), (refs_cb,), (refs_cr,)
         if n_act is None:
@@ -1131,7 +1140,8 @@ def build_p_pipeline(enc, nr: int = 1):
                                  inter, pred_y, pred_cb, pred_cr,
                                  qpy, qpb, qpr, lam, qp_base, dqp_cb,
                                  dqp_cr, sao_lam, qp_base_ctb,
-                                 jnp.asarray(ref_pocs, jnp.int32))
+                                 jnp.asarray(ref_pocs, jnp.int32),
+                                 nr_offsets)
         small = dict(small, modes=modes.astype(jnp.uint8),
                      mode32=mode32.astype(jnp.uint8),
                      mv=mv.astype(jnp.int16),
@@ -1332,7 +1342,7 @@ def build_b_pipeline(enc, batch: int | None = None,
     def main(oy, ocb, ocr, modes, mode32, mv0, mv1, d, inter,
              pred_y, pred_cb, pred_cr, qpy, qpb, qpr, lam,
              qp_base, dqp_cb, dqp_cr, sao_lam, poc_l0, poc_l1,
-             qp_base_ctb):
+             qp_base_ctb, nr_offsets=None):
         merged_pre = finish.merged_masks(inter, (mv0, mv1, d))
         m32_in = None
         if merged_pre is not None:
@@ -1343,7 +1353,7 @@ def build_b_pipeline(enc, batch: int | None = None,
                        jnp.zeros((B32,), bool), qpy, qpb, qpr, lam=lam,
                        is_inter=inter, ipred_y=pred_y,
                        ipred_cb=pred_cb, ipred_cr=pred_cr,
-                       m32_in=m32_in)
+                       m32_in=m32_in, nr_offsets=nr_offsets)
         # normalized per-4x4 motion state for the in-pipeline deblock
         def rep4(a):
             return jnp.repeat(jnp.repeat(a.reshape(gh, gw, -1), 4, 0),
@@ -1368,7 +1378,12 @@ def build_b_pipeline(enc, batch: int | None = None,
             ext = _extend_builder(enc)(fplanes)
         else:
             ext = None
-        return dict(small, use32=out[9]), tails, ext
+        sm = dict(small, use32=out[9])
+        if out[11] is not None:
+            for cat, (si, ci, sp, cp) in out[11].items():
+                sm["nr_" + cat] = jnp.concatenate(
+                    [si, ci[None], sp, cp[None]])
+        return sm, tails, ext
 
     if batch is None:
         prep_c = jax.jit(prep)
@@ -1379,18 +1394,18 @@ def build_b_pipeline(enc, batch: int | None = None,
         prep_c = jax.jit(jax.vmap(
             prep, in_axes=(0, None, None, None, None, None, None, 0)))
         main_c = jax.jit(jax.vmap(
-            main, in_axes=(0,) * 20 + (None, None, 0)))
+            main, in_axes=(0,) * 20 + (None, None, 0, None)))
 
     def run(oy, ocb, ocr, r0y, r0cb, r0cr, r1y, r1cb, r1cr,
             qpy, qpb, qpr, lam, qp_base, dqp_cb, dqp_cr, sao_lam,
-            poc_l0, poc_l1, qp_base_ctb):
+            poc_l0, poc_l1, qp_base_ctb, nr_offsets=None):
         (modes, mode32, mv0, mv1, d, inter, pred_y, pred_cb,
          pred_cr) = prep_c(oy, r0y, r0cb, r0cr, r1y, r1cb, r1cr, qp_base)
         small, tails, ext = main_c(oy, ocb, ocr, modes, mode32, mv0, mv1,
                                    d, inter, pred_y, pred_cb, pred_cr,
                                    qpy, qpb, qpr, lam, qp_base, dqp_cb,
                                    dqp_cr, sao_lam, poc_l0, poc_l1,
-                                   qp_base_ctb)
+                                   qp_base_ctb, nr_offsets)
         small = dict(small, modes=modes.astype(jnp.uint8),
                      mode32=mode32.astype(jnp.uint8),
                      mv0=mv0.astype(jnp.int16), mv1=mv1.astype(jnp.int16),

@@ -335,6 +335,24 @@ class Encoder:
         self.me_fine = min(8, mr)
         self.me_coarse = max(0, -(-(mr - self.me_fine) // 4))
         self.me_range = 4 * self.me_coarse + self.me_fine
+        # DCT-domain noise reduction (x265 --nr-intra/--nr-inter;
+        # quant.cpp:205 denoiseDct + frameencoder.cpp:1331 update):
+        # host-side running sums drive per-position offsets fed to the
+        # device scan each frame
+        self._nr_enabled = bool(params.noise_reduction_intra
+                                or params.noise_reduction_inter)
+        self._nr_sizes = {"y16": (256, 16), "c8": (64, 8),
+                          "y32": (1024, 32), "c16": (256, 16)}
+        self._nr_state = {}
+        self._nr_offsets = {}
+        if self._nr_enabled:
+            for cat, (nn, _) in self._nr_sizes.items():
+                for sfx in ("_i", "_p"):
+                    self._nr_state[cat + sfx] = [
+                        np.zeros((nn,), np.int64), 0]
+                    self._nr_offsets[cat + sfx] = np.zeros((nn,),
+                                                           np.int32)
+
         # stage wall-clock accounting (x265 DETAILED_CU_STATS /
         # printSummary analogue, SURVEY §5 tracing): accumulated by the
         # finish path; summary() renders the encode report
@@ -1156,8 +1174,37 @@ class Encoder:
                 sign_hide=bool(self.pps.sign_data_hiding),
                 strong_intra_smoothing=bool(
                     self.sps.strong_intra_smoothing),
-                rdoq=self.params.rdoq_level > 0)
+                rdoq=self.params.rdoq_level > 0,
+                noise_reduction=self._nr_enabled)
         return self._ctu_scan
+
+    def _nr_update(self, o):
+        """Noise-reduction running-average update from the frame's
+        fetched |DCT coef| sums (frameencoder.cpp:1331
+        noiseReductionUpdate, incl. the halving cap and the
+        don't-denoise-DC rule)."""
+        p = self.params
+        max_blocks = {4: 1 << 18, 8: 1 << 16, 16: 1 << 14, 32: 1 << 12}
+        for cat, (nn, size) in self._nr_sizes.items():
+            key = "nr_" + cat
+            if key not in o:
+                continue
+            v = np.asarray(o[key]).astype(np.int64)
+            si, ci = v[:nn], int(v[nn])
+            sp, cp = v[nn + 1:2 * nn + 1], int(v[2 * nn + 1])
+            for sfx, s_, c_ in (("_i", si, ci), ("_p", sp, cp)):
+                st = self._nr_state[cat + sfx]
+                st[0] += s_
+                st[1] += c_
+                if st[1] > max_blocks[size]:
+                    st[0] >>= 1
+                    st[1] >>= 1
+                strength = (p.noise_reduction_intra if sfx == "_i"
+                            else p.noise_reduction_inter)
+                num = strength * st[1] + st[0] // 2
+                off = (num // (st[0] + 1)).astype(np.int32)
+                off[0] = 0               # never denoise DC
+                self._nr_offsets[cat + sfx] = off
 
     def summary(self) -> str:
         """Encode summary (x265 printSummary, encoder.cpp:943): frame
@@ -1228,6 +1275,8 @@ class Encoder:
                     tc = tuple(a[k] for a in tc)
                 ccb, ccr = (np.asarray(a) for a in jax.device_get(tc))
         self._perf["fetch_wait"] += self._clock() - _t0
+        if self._nr_enabled:
+            self._nr_update(o)
         return o, (cy, ccb, ccr)
 
     def _scatter_syntax(self, ps, o, coeffs):
@@ -1341,7 +1390,8 @@ class Encoder:
         qpy, qpb, qpr, lam, qp_ctb = self._qp_arrays
         small, tails, ext = self._i_pipeline(
             orig[0], orig[1], orig[2], qpy, qpb, qpr, lam,
-            *self._filter_qps(), qp_ctb)
+            *self._filter_qps(), qp_ctb,
+            nr_offsets=self._nr_offsets if self._nr_enabled else None)
         h = _BatchFetch(small)
         h.start()
         return (h, tails), ext
@@ -1417,7 +1467,8 @@ class Encoder:
             tuple(r[2] for r in refs),
             qpy, qpb, qpr, lam, *self._filter_qps(), qp_ctb,
             np.asarray(pocs, np.int32),
-            np.int32(wp[0]), np.int32(wp[1]), n_act=len(ref_pocs))
+            np.int32(wp[0]), np.int32(wp[1]), n_act=len(ref_pocs),
+            nr_offsets=self._nr_offsets if self._nr_enabled else None)
         h = _BatchFetch(small)
         h.start()              # overlap the link with later host work
         return (h, tails), ext
@@ -1487,7 +1538,8 @@ class Encoder:
             orig[0], orig[1], orig[2], *refs0, *refs1,
             qpy, qpb, qpr, lam,
             *self._filter_qps(), np.int32(l0_poc), np.int32(l1_poc),
-            qp_ctb)
+            qp_ctb,
+            nr_offsets=self._nr_offsets if self._nr_enabled else None)
         h = _BatchFetch(small)
         h.start()
         return (h, tails)
@@ -1505,7 +1557,8 @@ class Encoder:
             orig[0], orig[1], orig[2], *refs0, *refs1,
             qpy, qpb, qpr, lam,
             *self._filter_qps(), np.int32(l0_poc), np.int32(l1_poc),
-            qp_ctb)
+            qp_ctb,
+            nr_offsets=self._nr_offsets if self._nr_enabled else None)
         h = _BatchFetch(small)
         h.start()
         return (h, tails), ext
@@ -1531,7 +1584,8 @@ class Encoder:
         small, tails, _ = pipe(
             oy, ocb, ocr, *refs0, *refs1,
             qs[0], qs[1], qs[2], qs[3], fq[0], fq[1], fq[2], fq[3],
-            np.int32(l0_poc), np.int32(l1_poc), qs[4])
+            np.int32(l0_poc), np.int32(l1_poc), qs[4],
+            nr_offsets=self._nr_offsets if self._nr_enabled else None)
         handle = _BatchFetch(small)
         handle.start()
         for k, p in enumerate(pends):
