@@ -40,6 +40,9 @@ def build_argparser():
     ap.add_argument("--recon", default=None, help="write recon YUV/Y4M")
     ap.add_argument("--csv", default=None, help="per-frame CSV log")
     ap.add_argument("--no-progress", action="store_true")
+    ap.add_argument("--dither", action="store_true",
+                    help="error-diffusion when input depth > internal "
+                         "depth (x265-extras.cpp:284)")
     ap.add_argument("--profile-dir", default=None,
                     help="capture a jax.profiler trace of the encode "
                          "(x265 PPA/VTune analogue, SURVEY §5)")
@@ -166,6 +169,11 @@ def main(argv=None):
             continue
         if args.frames and n_in >= args.frames:
             break
+        if args.dither and args.input_depth > p.internal_bit_depth:
+            from .native import dither_image
+            frame = tuple(dither_image(
+                [np.asarray(pl) for pl in frame], args.input_depth,
+                p.internal_bit_depth))
         srcs[n_in] = frame
         n_in += 1
         drain(enc.push_frame(frame))

@@ -165,3 +165,36 @@ def derive_inter_syntax_native(ps) -> bool:
         ps.merge_flag, ps.merge_idx, ps.mvp_flag, ps.mvp_flag1,
         ps.mvd, ps.mvd1, ps.skip)
     return True
+
+
+def dither_image(planes, input_depth: int, output_depth: int):
+    """x265_dither_image analogue (x265-extras.cpp:284): error-diffusion
+    down-conversion of high-bit-depth input planes to ``output_depth``.
+    planes: list of uint16 numpy arrays at ``input_depth``; returns the
+    dithered planes (uint8 when output_depth == 8, else uint16).
+    Falls back to rounding if the native toolchain is unavailable."""
+    lib = get_lib()
+    out = []
+    shift_up = 16 - input_depth
+    if lib is None or not hasattr(lib, "dither_plane"):
+        rs = input_depth - output_depth
+        for p in planes:
+            v = (p.astype(np.int32) + (1 << (rs - 1))) >> rs
+            dt = np.uint8 if output_depth == 8 else np.uint16
+            out.append(np.clip(v, 0, (1 << output_depth) - 1).astype(dt))
+        return out
+    u16p = np.ctypeslib.ndpointer(np.uint16, flags="C_CONTIGUOUS")
+    i16p = np.ctypeslib.ndpointer(np.int16, flags="C_CONTIGUOUS")
+    lib.dither_plane.argtypes = [u16p, u16p, ctypes.c_int, ctypes.c_int,
+                                 i16p, ctypes.c_int]
+    lib.dither_plane.restype = None
+    for p in planes:
+        h, w = p.shape
+        src = np.ascontiguousarray(
+            p.astype(np.uint16) << shift_up)
+        dst = np.zeros_like(src)
+        errs = np.zeros((w + 1,), np.int16)
+        lib.dither_plane(dst, src, w, h, errs, output_depth)
+        dt = np.uint8 if output_depth == 8 else np.uint16
+        out.append(dst.astype(dt))
+    return out

@@ -1245,3 +1245,31 @@ long derive_inter_syntax(
                (ctu / ctbs_w) << log2_ctb, log2_ctb, 0);
     return 0;
 }
+
+/* ---- input dithering (x265-extras.cpp:284 ditherPlane; x264-derived
+ * error-diffusion when input bit depth exceeds the internal depth).
+ * src: uint16 samples already left-shifted to 16-bit range; dst: the
+ * target-depth samples. ---- */
+void dither_plane(uint16_t *dst, const uint16_t *src, int width,
+                  int height, int16_t *errors, int bit_depth) {
+    const int l_shift = 16 - bit_depth;
+    const int r_shift = 16 - bit_depth + 2;
+    const int half = 1 << (16 - bit_depth + 1);
+    const int pixel_max = (1 << bit_depth) - 1;
+    int x, y;
+    for (x = 0; x <= width; x++) errors[x] = 0;
+    for (y = 0; y < height; y++) {
+        int16_t err = 0;
+        const uint16_t *s = src + (size_t)y * width;
+        uint16_t *o = dst + (size_t)y * width;
+        for (x = 0; x < width; x++) {
+            int v;
+            err = (int16_t)(err * 2 + errors[x] + errors[x + 1]);
+            v = ((s[x] << 2) + err + half) >> r_shift;
+            if (v < 0) v = 0;
+            if (v > pixel_max) v = pixel_max;
+            o[x] = (uint16_t)v;
+            errors[x] = err = (int16_t)(s[x] - (o[x] << l_shift));
+        }
+    }
+}
