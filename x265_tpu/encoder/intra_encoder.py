@@ -68,19 +68,24 @@ def _frame_cu_stats(ps) -> dict:
     inter = pm != 1
     mf = ps.merge_flag[::4, ::4] != 0
     sk = ps.skip[::4, ::4] != 0
-    d = ps.depth[::4, ::4]
+    d = ps.depth[::4, ::4].astype(np.int32)
+
+    def pct_depth(k):
+        # guard negative depths (small CTUs): comparing a uint8 view
+        # against an out-of-range scalar crashes this numpy build
+        if k < 0:
+            return 0.0
+        return round(100.0 * float((d == k).sum()) / n, 2)
+
     return {
         "pct_intra": round(100.0 * float((~inter).sum()) / n, 2),
         "pct_inter": round(100.0 * float(inter.sum()) / n, 2),
         "pct_merge": round(100.0 * float((inter & mf).sum()) / n, 2),
         "pct_skip": round(100.0 * float((inter & sk).sum()) / n, 2),
         # per-CU-size area shares (16-unit granularity)
-        "pct_cu64": round(100.0 * float((d == ps.geom.log2_ctb - 6).sum())
-                          / n, 2) if ps.geom.log2_ctb >= 6 else 0.0,
-        "pct_cu32": round(100.0 * float((d == ps.geom.log2_ctb - 5).sum())
-                          / n, 2),
-        "pct_cu16": round(100.0 * float((d == ps.geom.log2_ctb - 4).sum())
-                          / n, 2),
+        "pct_cu64": pct_depth(ps.geom.log2_ctb - 6),
+        "pct_cu32": pct_depth(ps.geom.log2_ctb - 5),
+        "pct_cu16": pct_depth(ps.geom.log2_ctb - 4),
     }
 
 
