@@ -36,10 +36,22 @@ def main():
 
     w, h = 1920, 1080
     n_frames = int(os.environ.get("BENCH_FRAMES", "10"))
-    base = synthetic_frame(w, h, 0)
-    # panning content: a realistic medium-quality workload
-    frames = [(np.roll(base[0], 3 * t, axis=1), base[1], base[2])
-              for t in range(n_frames)]
+    clip = os.environ.get("BENCH_CLIP")       # optional real Y4M content
+    if clip:
+        from x265_tpu.io.y4m import Y4MReader
+        rd = Y4MReader(clip)
+        w, h = rd.width, rd.height
+        frames = []
+        for fr in rd:
+            frames.append(fr)
+            if len(frames) >= n_frames:
+                break
+        n_frames = len(frames)
+    else:
+        base = synthetic_frame(w, h, 0)
+        # panning content: a realistic medium-quality workload
+        frames = [(np.roll(base[0], 3 * t, axis=1), base[1], base[2])
+                  for t in range(n_frames)]
 
     # MEDIUM-EQUIVALENT config (the BASELINE.json north-star shape, not
     # CQP-flat): AQ + cuTree + B frames with b-pyramid + weightp +
@@ -55,21 +67,31 @@ def main():
         enc.push_frame(fr)
     enc.flush()
 
-    t0 = time.time()
-    total_bytes = 0
-    for fr in frames:
-        for ef in enc.push_frame(fr):
+    # median-of-N timed runs: the device tunnel is a shared, noisy
+    # resource (identical runs measured 0.7-2.0 fps in round 4), so a
+    # single run is barely signal.  The median + the per-run spread are
+    # both reported.
+    n_runs = int(os.environ.get("BENCH_RUNS", "3"))
+    runs = []
+    for _ in range(n_runs):
+        t0 = time.time()
+        total_bytes = 0
+        for fr in frames:
+            for ef in enc.push_frame(fr):
+                total_bytes += len(ef.au)
+        for ef in enc.flush():
             total_bytes += len(ef.au)
-    for ef in enc.flush():
-        total_bytes += len(ef.au)
-    dt = time.time() - t0
-    fps = n_frames / dt
+        dt = time.time() - t0
+        runs.append(round(n_frames / dt, 4))
+    fps = sorted(runs)[len(runs) // 2]
 
     print(json.dumps({
         "metric": "1080p_medium_encode_fps",
-        "value": round(fps, 4),
+        "value": fps,
         "unit": "fps",
         "vs_baseline": round(fps / 30.0, 4),
+        "runs": runs,
+        "frames": n_frames,
     }))
 
 

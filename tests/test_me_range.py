@@ -28,8 +28,8 @@ def test_reach_bookkeeping():
     p = Params(source_width=64, source_height=64, me_range=57)
     enc = Encoder(p)
     assert enc.me_fine == 8
-    assert enc.me_coarse == 13
-    assert enc.me_range == 60          # total reach covers merange 57
+    assert enc.me_coarse == 12
+    assert enc.me_range == 56          # total reach never exceeds merange
     p8 = Params(source_width=64, source_height=64, me_range=8)
     enc8 = Encoder(p8)
     assert enc8.me_coarse == 0 and enc8.me_range == 8

@@ -336,9 +336,13 @@ class Encoder:
         # re-cast TPU-first): a quarter-res full search seeds a per-block
         # +-me_fine full-res refine, honoring --merange up to 64.
         # me_range is the TOTAL full-pel reach (= ME/MC margin driver).
+        # merange is a MAXIMUM in x265 (motion.cpp:571 clamps the pattern
+        # to the range); round the coarse reach DOWN so the total never
+        # exceeds the request (round-3/4 advice: emitted MVs must stay
+        # within --merange).
         mr = max(1, min(64, params.me_range))
         self.me_fine = min(8, mr)
-        self.me_coarse = max(0, -(-(mr - self.me_fine) // 4))
+        self.me_coarse = max(0, (mr - self.me_fine) // 4)
         self.me_range = 4 * self.me_coarse + self.me_fine
         # DCT-domain noise reduction (x265 --nr-intra/--nr-inter;
         # quant.cpp:205 denoiseDct + frameencoder.cpp:1331 update):
@@ -439,6 +443,18 @@ class Encoder:
             self.sps.max_dec_pic_buffering = cap
             self.vps.num_reorder_pics = reorder
             self.vps.max_dec_pic_buffering = cap
+
+    def _min_keyint(self) -> int:
+        """Effective --min-keyint: x265's auto derivation when 0
+        (encoder.cpp:1609-1614: min(fps, keyint/10), clamped to
+        [1, keyint/2 + 1])."""
+        p = self.params
+        keyint = max(1, p.keyint_max)
+        mk = p.keyint_min
+        if mk <= 0:
+            fps = p.fps_num / max(1, p.fps_denom)
+            mk = min(int(fps), keyint // 10)
+        return max(1, min(mk, keyint // 2 + 1))
 
     # -- stream headers ------------------------------------------------------
 
@@ -725,7 +741,7 @@ class Encoder:
         # lookahead scenecut (x265 slicetype.cpp:1437 analogue): the
         # lowres cost ratio decides BEFORE dispatch, so the pipeline
         # never needs a mid-stream re-encode
-        min_keyint = p.keyint_min if p.keyint_min > 0 else 2
+        min_keyint = self._min_keyint()
         la_scenecut = (la is not None and len(la) > 2 and la[2]
                        and p.scenecut_threshold > 0
                        and (self._display_idx - self._cvs_base)
@@ -1040,7 +1056,7 @@ class Encoder:
             elif is_p:
                 o = self._finish_p(pend)
                 cost_p, cost_i = self.last_frame_costs
-                min_keyint = p.keyint_min if p.keyint_min > 0 else 2
+                min_keyint = self._min_keyint()
                 if (pend.allow_scenecut and not self._inflight
                         and cost_p > 0.85 * cost_i
                         and poc % keyint >= min_keyint):
