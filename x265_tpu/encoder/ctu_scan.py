@@ -409,11 +409,10 @@ class CtuScan:
                  rowfr, colfr, cornfr) = carry
                 cx, cy = xs["cx"], xs["cy"]
                 L = cx.shape[0]                  # = lmax
-                qp_y = d["qp_y"][xs["ctu"]]      # [L] per-lane
-                qp_c2 = jnp.concatenate([d["qp_cb"][xs["ctu"]],
-                                         d["qp_cr"][xs["ctu"]]])
+                qp_y = xs["qp_y"]                # [L] per-lane
+                qp_c2 = jnp.concatenate([xs["qp_cb"], xs["qp_cr"]])
                 if decide32 or rqt:
-                    lam = d["lam"][xs["ctu"]]    # [L] SSD-domain lambda
+                    lam = xs["lam"]              # [L] SSD-domain lambda
                 ones_l = jnp.ones((L,), bool)
                 ones_2l = jnp.ones((2 * L,), bool)
                 lv16_o, lv8_o, lv32_o, lvc16_o, u32_o = [], [], [], [], []
@@ -452,12 +451,12 @@ class CtuScan:
                     qx, qy = quad_orig[q]
                     slot_preds, slot_predcs = [], []
                     if has32:
-                        bq = xs["b32"][:, q]
-                        m32 = d["mode32"][bq]
+                        m32 = xs["m32"][:, q]
+                        o32y = xs["o32y"][:, q]
                         # 32x32 luma TU candidate (refs precede quadrant)
                         pred32 = predict32(refs_from(C, qx, qy, 32),
                                            xs["l32_av"][:, q], m32)
-                        lv32, rec32 = tq(pred32, d["orig32_y"][bq], qp_y,
+                        lv32, rec32 = tq(pred32, o32y, qp_y,
                                          ones_l, 32, nr_cat="y32")
                         # 16x16 chroma TU candidate (cb+cr paired lanes)
                         raw2 = refs_from(Cc, qx // 2, qy // 2, 16)
@@ -465,14 +464,14 @@ class CtuScan:
                         refc = _substitute(raw2, av2, bd)
                         m32_2 = jnp.concatenate([m32, m32])
                         predc = _predict_lanes(refc, m32_2, 16, False, bd)
-                        oc32 = jnp.concatenate([d["orig16_cb"][bq],
-                                                d["orig16_cr"][bq]])
+                        oc32 = jnp.concatenate([xs["o16cb"][:, q],
+                                                xs["o16cr"][:, q]])
                         lvc32, recc32 = tq(predc, oc32, qp_c2, ones_2l,
                                            16, nr_cat="c16")
                         if decide32:
                             sc = ssd(recc32, oc32)
                             bc = level_bits_jnp(lvc32)
-                            cost32 = (ssd(rec32, d["orig32_y"][bq])
+                            cost32 = (ssd(rec32, o32y)
                                       + sc[:L] + sc[L:]
                                       + lam * (level_bits_jnp(lv32)
                                                + bc[:L] + bc[L:] + OVH32))
@@ -481,20 +480,19 @@ class CtuScan:
                     for s in range(spq):
                         i = q * spq + s
                         sx, sy = qx + slot_orig[s][0], qy + slot_orig[s][1]
-                        b = xs["b16"][:, i]
-                        m = d["mode16"][b]
+                        m = xs["m16"][:, i]
                         # 16x16 luma slot
                         ref = _substitute(refs_from(C, sx, sy, 16),
                                           xs["l16_av"][:, i], bd)
                         pred = _predict_lanes(ref, m, 16, True, bd)
                         if inter:
-                            iv = d["is_inter"][b]
+                            iv = xs["inter"][:, i]
                             pred = jnp.where(iv[:, None, None],
-                                             d["ipred_y"][b], pred)
+                                             xs["ipy"][:, i], pred)
                             imask = ~iv
                         else:
                             imask = ones_l
-                        o16 = d["orig16_y"][b]
+                        o16 = xs["o16y"][:, i]
                         slot_preds.append(pred)
                         lv, rec = tq(pred, o16, qp_y, imask, 16,
                                      nr_cat="y16")
@@ -506,14 +504,14 @@ class CtuScan:
                         predc = _predict_lanes(refc, m2, 8, False, bd)
                         if inter:
                             iv2 = jnp.concatenate([iv, iv])
-                            ip = jnp.concatenate([d["ipred_cb"][b],
-                                                  d["ipred_cr"][b]])
+                            ip = jnp.concatenate([xs["ipcb"][:, i],
+                                                  xs["ipcr"][:, i]])
                             predc = jnp.where(iv2[:, None, None], ip, predc)
                             imask2 = ~iv2
                         else:
                             imask2 = ones_2l
-                        oc = jnp.concatenate([d["orig8_cb"][b],
-                                              d["orig8_cr"][b]])
+                        oc = jnp.concatenate([xs["o8cb"][:, i],
+                                              xs["o8cr"][:, i]])
                         slot_predcs.append(predc)
                         lvc, recc = tq(predc, oc, qp_c2, imask2, 8,
                                        nr_cat="c8")
@@ -545,7 +543,7 @@ class CtuScan:
                             # split flag + extra cbf signaling overhead
                             c8 = (ssd(rec8, o16) + sc4[:L] + sc4[L:]
                                   + lam * (b8 + bc4[:L] + bc4[L:] + 9.0))
-                            tu8 = iv & d["rqt_ok"][b] & (c8 < c16)
+                            tu8 = iv & xs["rqt_ok"][:, i] & (c8 < c16)
                             t3 = tu8[:, None, None]
                             t3c = jnp.concatenate([tu8, tu8])[:, None,
                                                               None]
@@ -564,7 +562,7 @@ class CtuScan:
                             sc = ssd(recc, oc)
                             bc = level_bits_jnp(lvc)
                             cost16 = cost16 + (
-                                ssd(rec, d["orig16_y"][b]) + sc[:L] + sc[L:]
+                                ssd(rec, o16) + sc[:L] + sc[L:]
                                 + lam * (level_bits_jnp(lv)
                                          + bc[:L] + bc[L:] + OVH16))
                             if inter:
@@ -575,7 +573,7 @@ class CtuScan:
                             if inter:
                                 u32 = u32 & ~any_inter
                         else:
-                            u32 = d["use32"][bq]
+                            u32 = xs["use32"][:, q]
                         sel32, rec32f, lv32f = u32, rec32, lv32
                         recc32f, lvc32f = recc32, lvc32
                         if inter and decide32:
@@ -589,18 +587,18 @@ class CtuScan:
                             ip32 = join4(jnp.concatenate(slot_preds), 16)
                             ipc16 = join4(jnp.concatenate(slot_predcs), 8)
                             zl = jnp.zeros((L,), bool)
-                            lv32i, rec32i = tq(ip32, d["orig32_y"][bq],
+                            lv32i, rec32i = tq(ip32, o32y,
                                                qp_y, zl, 32, nr_cat="y32")
                             lvc16i, recc16i = tq(ipc16, oc32, qp_c2,
                                                  jnp.zeros((2 * L,), bool),
                                                  16, nr_cat="c16")
                             sci = ssd(recc16i, oc32)
                             bci = level_bits_jnp(lvc16i)
-                            c32i = (ssd(rec32i, d["orig32_y"][bq])
+                            c32i = (ssd(rec32i, o32y)
                                     + sci[:L] + sci[L:]
                                     + lam * (level_bits_jnp(lv32i)
                                              + bci[:L] + bci[L:] + OVH32))
-                            tu32 = d["m32_in"][bq] & (c32i < cost16)
+                            tu32 = xs["m32_in"][:, q] & (c32i < cost16)
                             t1 = tu32[:, None, None]
                             t2 = jnp.concatenate([tu32, tu32]
                                                  )[:, None, None]
@@ -724,6 +722,42 @@ class CtuScan:
                             key, np.zeros((nn,), np.int32))
                         d["nr_" + cat + sfx] = jnp.asarray(v, jnp.int32)
 
+            # ---- pre-permuted per-level streams ----
+            # Every per-step ``d[...][indices]`` gather is hoisted out of
+            # the scan body as ONE whole-frame gather over the STATIC
+            # schedule tables, streamed through xs.  Thousands of tiny
+            # in-scan gathers serialize on XLA:TPU (profiled round 5);
+            # the hoisted form is a single large static-index gather.
+            xs_run = dict(xs_all)
+            b16t = jnp.asarray(t["xs"]["b16"])    # [nlv, L, nslots]
+            ctut = jnp.asarray(t["xs"]["ctu"])    # [nlv, L]
+            xs_run["o16y"] = d["orig16_y"][b16t]
+            xs_run["o8cb"] = d["orig8_cb"][b16t]
+            xs_run["o8cr"] = d["orig8_cr"][b16t]
+            xs_run["m16"] = d["mode16"][b16t]
+            xs_run["qp_y"] = d["qp_y"][ctut]
+            xs_run["qp_cb"] = d["qp_cb"][ctut]
+            xs_run["qp_cr"] = d["qp_cr"][ctut]
+            if has32:
+                b32t = jnp.asarray(t["xs"]["b32"])  # [nlv, L, n_quads]
+                xs_run["o32y"] = d["orig32_y"][b32t]
+                xs_run["o16cb"] = d["orig16_cb"][b32t]
+                xs_run["o16cr"] = d["orig16_cr"][b32t]
+                xs_run["m32"] = d["mode32"][b32t]
+                if not decide32:
+                    xs_run["use32"] = d["use32"][b32t]
+            if decide32 or rqt:
+                xs_run["lam"] = d["lam"][ctut]
+            if inter:
+                xs_run["inter"] = d["is_inter"][b16t]
+                xs_run["ipy"] = d["ipred_y"][b16t]
+                xs_run["ipcb"] = d["ipred_cb"][b16t]
+                xs_run["ipcr"] = d["ipred_cr"][b16t]
+                if decide32:
+                    xs_run["m32_in"] = d["m32_in"][b32t]
+                if rqt:
+                    xs_run["rqt_ok"] = d["rqt_ok"][b16t]
+
             carry0 = (
                 jnp.zeros((cw + 1, ctb), jnp.int32),       # rowf
                 jnp.zeros((ch + 1, ctb), jnp.int32),       # colf
@@ -735,7 +769,7 @@ class CtuScan:
                 jnp.zeros((ch + 1, ctbc), jnp.int32),      # colf cr
                 jnp.zeros((cw + 2, 2), jnp.int32),         # cornf cr
             )
-            _, ys = jax.lax.scan(make_step(d), carry0, xs_all)
+            _, ys = jax.lax.scan(make_step(d), carry0, xs_run)
             (lv16_s, lv8_s, lv32_s, lvc16_s, u32_s, tu8_s,
              int_y, int_c, nr_s) = ys
             nr_out = (jax.tree.map(lambda a: a.sum(0), nr_s)

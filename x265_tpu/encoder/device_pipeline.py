@@ -54,11 +54,12 @@ def _filter_stage_builder(enc):
 
     def _chroma_qp_jnp(qp, offset):
         from ..cabac.ctu import _CHROMA_QP_MAP
+        from ..ops._util import take_small
         qpi = jnp.clip(qp + offset, -12, 57)
         return jnp.where(qpi < 30, jnp.maximum(0, qpi),
                          jnp.where(qpi > 43, qpi - 6,
-                                   jnp.asarray(_CHROMA_QP_MAP)[
-                                       jnp.clip(qpi - 30, 0, 13)]))
+                                   take_small(_CHROMA_QP_MAP,
+                                              jnp.clip(qpi - 30, 0, 13))))
 
     # z-order index of every 16x16 block within its CTB (first-coded-CU
     # boundary for the per-CU deblock QP, see _qp_planes)

@@ -170,28 +170,39 @@ def _substitute(samples, avail, bit_depth):
 def _predict_lanes(refs, modes, n, is_luma, bit_depth):
     """Per-lane single-mode intra prediction: refs [Lx, R] int32 substituted,
     modes [Lx] -> pred [Lx, n, n] int32.  Mirrors ops.intra.predict_all_modes
-    but computes only the chosen mode per lane."""
+    but computes only the chosen mode per lane.
+
+    Gather-free: per-lane mode selection runs as a one-hot contraction
+    (gathering the [35, N*N, R] weight tensor per lane serializes on
+    XLA:TPU and miscompiled on XLA:CPU inside scan bodies — jax 0.9.0).
+    The two einsums are exact in f32: weights <= 32 and samples <= 1023
+    keep every partial sum below 2^24 (see ops/intra.predict_all_modes),
+    and the one-hot select adds a single 1.0-weighted term."""
+    import jax
     import jax.numpy as jnp
 
     W, shift, add, filt = _weight_tensor(n)
     lanes = refs.shape[0]
     filtered = refs.at[:, 1:-1].set(
         (refs[:, :-2] + 2 * refs[:, 1:-1] + refs[:, 2:] + 2) >> 2)
-    use_filt = (jnp.asarray(filt)[modes] if is_luma
-                else jnp.zeros((lanes,), bool))
+    onehot = (modes[:, None] == jnp.arange(35, dtype=jnp.int32)
+              ).astype(jnp.float32)                    # [Lx, 35]
+    use_filt = ((onehot @ jnp.asarray(filt, jnp.float32)) > 0.5
+                if is_luma else jnp.zeros((lanes,), bool))
     ref_sel = jnp.where(use_filt[:, None], filtered, refs)
 
-    # exact int32 contraction, written as multiply+reduce rather than a
-    # dot: float matmuls are unsafe for the normative math (reduced
-    # precision, see ops/intra.predict_all_modes), and an int32 einsum
-    # over a GATHERED weight tensor miscompiles on the XLA:CPU backend
-    # when fused into a larger graph (observed jax 0.9.0: wrong acc
-    # values inside lax.scan bodies; mul+sum lowers correctly, and int32
-    # dots never use the TPU MXU anyway so nothing is lost on device)
-    Wi = jnp.asarray(W, jnp.int32)[modes]              # [Lx, n*n, R]
-    acc = (Wi * ref_sel[:, None, :]).sum(-1)
-    sh = jnp.asarray(shift)[modes][:, None]
-    ad = jnp.asarray(add)[modes][:, None]
+    Wf = jnp.asarray(W.reshape(35, -1), jnp.float32)   # [35, N*N*R]
+    r_len = W.shape[-1]
+    acc_all = jnp.einsum(
+        "mq,lm->lq", Wf * 1.0, onehot,
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32).reshape(lanes, n * n, r_len)
+    acc = jnp.einsum("lpr,lr->lp", acc_all,
+                     ref_sel.astype(jnp.float32),
+                     precision=jax.lax.Precision.HIGHEST,
+                     preferred_element_type=jnp.float32).astype(jnp.int32)
+    sh = (onehot @ jnp.asarray(shift, jnp.float32)).astype(jnp.int32)[:, None]
+    ad = (onehot @ jnp.asarray(add, jnp.float32)).astype(jnp.int32)[:, None]
     pred = ((acc + ad) >> sh).reshape(lanes, n, n)
 
     if is_luma and n < 32:

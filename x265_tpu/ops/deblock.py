@@ -420,11 +420,16 @@ def _luma_seg_filter_jnp(seg, bs, qp, bit_depth, beta_off, tc_off):
     """seg: [E, 4, 8] int32; bs: [E] int32 (0 = skip).  Returns [E, 4, 8]."""
     import jax.numpy as jnp
 
+    from ._util import take_small
+
     shift = bit_depth - 8
     qb = jnp.clip(qp + beta_off * 2, 0, 51)
     qt = jnp.clip(qp + 2 * (bs - 1) + tc_off * 2, 0, 53)
-    beta = (jnp.asarray(BETA_TABLE)[qb] << shift)
-    tc = (jnp.asarray(TC_TABLE)[qt] << shift)
+    if getattr(qb, "ndim", 0) == 0:
+        beta = (jnp.asarray(BETA_TABLE)[qb] << shift)
+    else:
+        beta = (take_small(BETA_TABLE, qb) << shift)
+    tc = (take_small(TC_TABLE, qt) << shift)
     if beta.ndim == 0:
         beta = jnp.broadcast_to(beta, bs.shape)
     beta = beta[:, None]
@@ -499,9 +504,14 @@ def _chroma_seg_filter_jnp(seg, bs, qp, bit_depth, tc_off):
     """seg: [E, 4, 4] int32 (p1 p0 q0 q1); bs: [E] (2 filters)."""
     import jax.numpy as jnp
 
+    from ._util import take_small
+
     shift = bit_depth - 8
     qt = jnp.clip(qp + 2 + tc_off * 2, 0, 53)
-    tc = (jnp.asarray(TC_TABLE)[qt] << shift)
+    if getattr(qt, "ndim", 0) == 0:
+        tc = (jnp.asarray(TC_TABLE)[qt] << shift)
+    else:
+        tc = (take_small(TC_TABLE, qt) << shift)
     tc = jnp.where(bs == 2, tc, 0)[:, None]
     p1, p0, q0, q1 = (seg[:, :, i] for i in range(4))
     delta = jnp.clip((((q0 - p0) << 2) + p1 - q1 + 4) >> 3, -tc, tc)

@@ -211,7 +211,10 @@ def _eo_category_jnp(p, klass, valid):
     (dy0, dx0), (dy1, dx1) = EO_NEIGHBORS[klass]
     n0 = jnp.roll(jnp.roll(p, -dy0, axis=0), -dx0, axis=1)
     n1 = jnp.roll(jnp.roll(p, -dy1, axis=0), -dx1, axis=1)
-    cat = jnp.asarray(EDGE_CAT)[2 + jnp.sign(p - n0) + jnp.sign(p - n1)]
+    s = jnp.sign(p - n0) + jnp.sign(p - n1)
+    # EDGE_CAT as arithmetic (plane-sized table gathers serialize on TPU):
+    # s=-2 -> 1, s=-1 -> 2, s=0 -> 0, s=1 -> 3, s=2 -> 4
+    cat = jnp.where(s < 0, s + 3, jnp.where(s > 0, s + 2, 0))
     return jnp.where(valid, cat, 0)
 
 
@@ -321,36 +324,29 @@ def sao_apply_plane_jnp(plane, ctbs_h, ctbs_w, ctb, types, classes,
     """
     import jax.numpy as jnp
 
-    ph, pw = plane.shape
     maxval = (1 << bit_depth) - 1
-    nctb = ctbs_h * ctbs_w
-    iy = jnp.arange(ph)[:, None] // ctb
-    ix = jnp.arange(pw)[None, :] // ctb
-    ctb_map = iy * ctbs_w + ix                        # [PH, PW]
+
+    def rep(a):
+        """Broadcast a per-CTB [ch, cw] map to per-pixel [PH, PW]."""
+        return jnp.repeat(jnp.repeat(a.astype(jnp.int32), ctb, 0), ctb, 1)
 
     # per-pixel EO category under each CTB's class
     cats = jnp.stack([_eo_category_jnp(plane, k, eo_valid[k])
                       for k in range(4)])             # [4, PH, PW]
-    kmap = classes.reshape(-1)[ctb_map]               # class per pixel
+    kmap = rep(classes)                               # class per pixel
     cat = sum(jnp.where(kmap == k, cats[k], 0) for k in range(4))
 
-    # EO offsets: flat gather from [nctb, 5]
-    eo_tab = jnp.concatenate(
-        [jnp.zeros((nctb, 1), jnp.int32),
-         offsets.reshape(nctb, 4).astype(jnp.int32)], axis=1)
-    eo_off = eo_tab.reshape(-1)[ctb_map * 5 + cat]
+    # offsets as per-pixel selects — dense [PH, PW] gathers from per-CTB
+    # tables cost ~70 ms/plane at 1080p on TPU (XLA lowers them to
+    # serialized dynamic-slices); four compare+select plane passes are
+    # ~30x cheaper for the same result
+    offp = [rep(offsets[..., i]) for i in range(4)]
+    eo_off = sum(jnp.where(cat == i + 1, offp[i], 0) for i in range(4))
 
-    # BO offsets: band table [nctb, 32] built by one-hot accumulate
-    band_tab = jnp.zeros((nctb, 32), jnp.int32)
-    bp = band_pos.reshape(-1)
-    for i in range(4):
-        pos = (bp + i) & 31
-        band_tab = band_tab + (
-            (jnp.arange(32)[None, :] == pos[:, None]).astype(jnp.int32)
-            * offsets.reshape(nctb, 4)[:, i:i + 1].astype(jnp.int32))
     band = plane >> (bit_depth - 5)
-    bo_off = band_tab.reshape(-1)[ctb_map * 32 + band]
+    bo_off = sum(jnp.where(band == rep((band_pos + i) & 31), offp[i], 0)
+                 for i in range(4))
 
-    tmap = types.reshape(-1)[ctb_map]
+    tmap = rep(types)
     off = jnp.where(tmap == 2, eo_off, jnp.where(tmap == 1, bo_off, 0))
     return jnp.clip(plane + off, 0, maxval)
