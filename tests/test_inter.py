@@ -109,7 +109,10 @@ def test_scenecut_inserts_idr():
     a = make_clip("pan", 64, 64, 2, seed=1)
     b = make_clip("noise", 64, 64, 2, seed=2)
     frames = a + b
-    stream, _ = roundtrip(frames, 64, 64, qp=30)
+    # min-keyint now auto-derives to x265's min(fps, keyint/10) (= 25
+    # here), which correctly suppresses an IDR this early; request the
+    # short minimum explicitly to exercise the scenecut path
+    stream, _ = roundtrip(frames, 64, 64, qp=30, keyint_min=2)
     from x265_tpu.common.bitstream import split_annexb
     vcl = [t for t, _tid, _ in split_annexb(stream) if t < 32]
     assert vcl[0] == 19 and vcl[2] == 19, vcl   # IDR at the scene change

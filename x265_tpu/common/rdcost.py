@@ -41,28 +41,32 @@ def level_bits_jnp(levels):
     """
     import jax.numpy as jnp
 
-    a = jnp.abs(levels).astype(jnp.float32)
+    # integer-exact: floor(log2(|l|)) computed as the MSB index via
+    # threshold counting so the bits total is a deterministic integer
+    # (f32 log2/floor is epsilon-fragile across backends/kernels, and
+    # the Pallas scan step must reproduce these costs bit-exactly)
+    a = jnp.abs(levels)
     nz = a > 0
-    mag = jnp.where(nz, 2.0 * jnp.floor(jnp.log2(jnp.maximum(a, 1.0)))
-                    + 3.0, 0.0)
+    msb = sum((a >= (1 << k)).astype(jnp.int32) for k in range(1, 16))
+    mag = jnp.where(nz, 2 * msb + 3, 0)
     bits = jnp.sum(mag, axis=(-1, -2))
     L, n, _ = levels.shape
     g = n // 4
     grp_nz = jnp.any(
         levels.reshape(L, g, 4, g, 4) != 0, axis=(2, 4))
-    bits = bits + 2.0 * jnp.sum(grp_nz, axis=(-1, -2)).astype(jnp.float32)
-    return bits
+    bits = bits + 2 * jnp.sum(grp_nz.astype(jnp.int32), axis=(-1, -2))
+    return bits.astype(jnp.float32)
 
 
 def level_bits_np(levels: np.ndarray) -> np.ndarray:
-    """Numpy oracle of level_bits_jnp."""
-    a = np.abs(levels).astype(np.float32)
+    """Numpy oracle of level_bits_jnp (same integer MSB formulation)."""
+    a = np.abs(levels).astype(np.int64)
     nz = a > 0
-    mag = np.where(nz, 2.0 * np.floor(np.log2(np.maximum(a, 1.0))) + 3.0,
-                   0.0)
+    msb = sum((a >= (1 << k)).astype(np.int64) for k in range(1, 16))
+    mag = np.where(nz, 2 * msb + 3, 0)
     bits = mag.sum(axis=(-1, -2))
     L, n, _ = levels.shape
     g = n // 4
     grp_nz = np.any(levels.reshape(L, g, 4, g, 4) != 0, axis=(2, 4))
-    bits = bits + 2.0 * grp_nz.sum(axis=(-1, -2)).astype(np.float32)
-    return bits
+    bits = bits + 2 * grp_nz.sum(axis=(-1, -2))
+    return bits.astype(np.float32)

@@ -393,7 +393,10 @@ class CtuScan:
             return jnp.where(use_strong[:, None, None], pred_u, pred_f)
 
         def ssd(a, b):
-            return jnp.sum((a - b).astype(jnp.float32) ** 2, axis=(1, 2))
+            # integer-exact (sums < 2^31): float summation order would
+            # diverge between XLA and the Pallas step for sums > 2^24
+            d = a - b
+            return jnp.sum(d * d, axis=(1, 2)).astype(jnp.float32)
 
         # CU-syntax overhead estimates (bits) for the RD compare: a
         # 16-config quadrant codes 4x (luma mode + cbfs) + a split flag;
@@ -769,7 +772,12 @@ class CtuScan:
                 jnp.zeros((ch + 1, ctbc), jnp.int32),      # colf cr
                 jnp.zeros((cw + 2, 2), jnp.int32),         # cornf cr
             )
-            _, ys = jax.lax.scan(make_step(d), carry0, xs_run)
+            from .ctu_scan_pallas import make_pallas_step, pallas_supported
+            if pallas_supported(self, inter, decide32, rqt):
+                step_fn = make_pallas_step(self, inter, decide32)
+            else:
+                step_fn = make_step(d)
+            _, ys = jax.lax.scan(step_fn, carry0, xs_run)
             (lv16_s, lv8_s, lv32_s, lvc16_s, u32_s, tu8_s,
              int_y, int_c, nr_s) = ys
             nr_out = (jax.tree.map(lambda a: a.sum(0), nr_s)
