@@ -234,7 +234,7 @@ class CtuScan:
     # -- the scan ------------------------------------------------------------
 
     def scan_fn(self, inter: bool, decide32: bool = False,
-                rqt: bool = False):
+                rqt: bool = False, allow_pallas: bool = True):
         """Returns run(...) -> (rec_y, rec_cb, rec_cr, lv16_y, lv8_cb,
         lv8_cr, lv32_y, lv16_cb, lv16_cr, use32, tu8).
 
@@ -773,7 +773,8 @@ class CtuScan:
                 jnp.zeros((cw + 2, 2), jnp.int32),         # cornf cr
             )
             from .ctu_scan_pallas import make_pallas_step, pallas_supported
-            if pallas_supported(self, inter, decide32, rqt):
+            if allow_pallas and pallas_supported(self, inter, decide32,
+                                                 rqt):
                 step_fn = make_pallas_step(self, inter, decide32)
             else:
                 step_fn = make_step(d)

@@ -1189,7 +1189,11 @@ def build_b_pipeline(enc, batch: int | None = None,
     gh, gw = ph // n, pw // n
     scan = enc._get_ctu_scan()
     decide = bool(scan.t["has32"]) and not enc.force_cu16
-    run_scan = scan.scan_fn(inter=True, decide32=decide)
+    # vmapped pallas_call blocks fail the Mosaic tiling rules; the
+    # batched-B scan stays on the jnp step (it amortizes across the
+    # vmapped frames anyway)
+    run_scan = scan.scan_fn(inter=True, decide32=decide,
+                            allow_pallas=(batch is None))
     B32 = scan.t["b32_n"]
     nctb = g.n_ctbs
     analyse16 = _analyse_builder(enc, n, gh, gw, ph, pw)
