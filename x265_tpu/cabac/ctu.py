@@ -92,6 +92,11 @@ class PicSyntax:
     cur_poc: int = 0
     ref_pocs_l0: tuple = ()
     ref_pocs_l1: tuple = ()
+    # TMVP (§8.5.3.2.9): slice_temporal_mvp_enabled + the collocated
+    # picture's motion field (dict: pred_mode/inter_dir/mv0/mv1 [4x4
+    # grids], poc0/poc1 [4x4 ref-POC maps], poc) — L0[0], from-l0 = 1
+    temporal_mvp: bool = False
+    col: object = None
     # per-CTB QP (cu_qp_delta, QG == CTB i.e. diff_cu_qp_delta_depth 0):
     # the ACTUAL QpY of each CTB — equal to the predicted QP (previous CTB
     # in raster order / slice QP) when the CTB codes no coefficients.

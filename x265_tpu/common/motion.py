@@ -7,7 +7,9 @@ bi-predictive candidates), §8.5.3.2.5 (zero candidates), §8.5.3.2.6-7
 x265_1.9/source/common/cudata.cpp getInterMergeCandidates / fillMvpCand
 (SURVEY.md §2.1) and libde265's motion.cc derivations.
 
-Scope: TMVP disabled (SPS flag 0), 2Nx2N PUs.  Reference pictures are
+Scope: 2Nx2N PUs; TMVP per §8.5.3.1.7/8.5.3.2.9 (collocated picture =
+L0[0], collocated_from_l0 = 1) when ``ps.temporal_mvp`` is set and the
+collocated picture's motion field is attached as ``ps.col``.  Reference pictures are
 identified by POC through the slice-level lists carried on ``PicSyntax``
 (``ref_pocs_l0`` / ``ref_pocs_l1`` / ``cur_poc``); all references are
 short-term.  These derivations are NORMATIVE — encoder and decoder call
@@ -61,10 +63,85 @@ def _neighbor_motion(ps, xc, yc, xn, yn):
         int(ps.ref_idx1[y4, x4]))
 
 
+def _col_motion_at(ps, xc, yc):
+    """Collocated motion sample at luma (xc, yc) (16x16 granularity,
+    §8.5.3.2.9 inputs).  Returns None when outside the picture / intra /
+    no collocated data."""
+    col = getattr(ps, "col", None)
+    if col is None:
+        return None
+    if xc >= ps.geom.width or yc >= ps.geom.height:
+        return None
+    y4, x4 = (yc & ~15) >> 2, (xc & ~15) >> 2
+    if col["pred_mode"][y4, x4] == MODE_INTRA:
+        return None
+    d = int(col["inter_dir"][y4, x4])
+    if d == 0:
+        d = 1
+    return (d,
+            (int(col["mv0"][y4, x4, 0]), int(col["mv0"][y4, x4, 1])),
+            int(col["poc0"][y4, x4]),
+            (int(col["mv1"][y4, x4, 0]), int(col["mv1"][y4, x4, 1])),
+            int(col["poc1"][y4, x4]))
+
+
+def _col_mv_for_list(ps, colm, lx: int, ref_idx: int):
+    """§8.5.3.2.9 collocated MV for target list ``lx``/``ref_idx``:
+    pick the col block's list, then POC-scale.  colm from _col_motion_at.
+    All references here are short-term."""
+    d, mv0, poc0, mv1, poc1 = colm
+    col_poc = ps.col["poc"]
+    if d == 2:                       # col uses only L1
+        mv_col, ref_poc_col = mv1, poc1
+    elif d == 1:                     # only L0
+        mv_col, ref_poc_col = mv0, poc0
+    else:                            # bi: depends on backward refs
+        all_before = all(p <= ps.cur_poc for p in ps.ref_pocs_l0) and \
+            all(p <= ps.cur_poc for p in ps.ref_pocs_l1)
+        n = lx if all_before else 0  # collocated_from_l0 == 1
+        mv_col, ref_poc_col = (mv0, poc0) if n == 0 else (mv1, poc1)
+    target_poc = (ps.ref_pocs_l0, ps.ref_pocs_l1)[lx][ref_idx]
+    col_dist = col_poc - ref_poc_col
+    cur_dist = ps.cur_poc - target_poc
+    if col_dist == cur_dist:
+        return mv_col
+    return _scale_mv(mv_col, cur_dist, col_dist)
+
+
+def temporal_mv(ps, x0: int, y0: int, w: int, h: int, lx: int,
+                ref_idx: int):
+    """§8.5.3.1.7 temporal luma MV prediction: bottom-right position
+    (same CTB row only), falling back to the PU center."""
+    if not getattr(ps, "temporal_mvp", False) or \
+            getattr(ps, "col", None) is None:
+        return None
+    log2ctb = ps.geom.log2_ctb
+    ybr, xbr = y0 + h, x0 + w
+    colm = None
+    if (y0 >> log2ctb) == (ybr >> log2ctb):
+        colm = _col_motion_at(ps, xbr, ybr)
+    if colm is None:
+        colm = _col_motion_at(ps, x0 + (w >> 1), y0 + (h >> 1))
+    if colm is None:
+        return None
+    return _col_mv_for_list(ps, colm, lx, ref_idx)
+
+
+def _temporal_merge_cand(ps, x0, y0, w, h):
+    """Temporal merge candidate (refIdx 0 per used list) or None."""
+    is_b = len(ps.ref_pocs_l1) > 0
+    mv0 = temporal_mv(ps, x0, y0, w, h, 0, 0)
+    mv1 = temporal_mv(ps, x0, y0, w, h, 1, 0) if is_b else None
+    if mv0 is None and mv1 is None:
+        return None
+    d = (1 if mv0 is not None else 0) | (2 if mv1 is not None else 0)
+    return MotionCand(d, mv0 or (0, 0), 0, mv1 or (0, 0), 0)
+
+
 def merge_candidates(ps, x0: int, y0: int, w: int, h: int,
                      max_cand: int = 5) -> list[MotionCand]:
-    """Merge list for a 2Nx2N PU (TMVP off): spatial A1 B1 B0 A0 (B2) +
-    combined bi (B slices) + zero fill.  §8.5.3.2.3-5."""
+    """Merge list for a 2Nx2N PU: spatial A1 B1 B0 A0 (B2) + temporal
+    (TMVP) + combined bi (B slices) + zero fill.  §8.5.3.2.3-5."""
     a1 = _neighbor_motion(ps, x0, y0, x0 - 1, y0 + h - 1)
     b1 = _neighbor_motion(ps, x0, y0, x0 + w - 1, y0 - 1)
     b0 = _neighbor_motion(ps, x0, y0, x0 + w, y0 - 1)
@@ -84,6 +161,10 @@ def merge_candidates(ps, x0: int, y0: int, w: int, h: int,
                 and (b1 is None or b2.key() != b1.key()):
             cands.append(b2)
     cands = cands[:max_cand]
+    if len(cands) < max_cand:
+        t = _temporal_merge_cand(ps, x0, y0, w, h)
+        if t is not None:
+            cands.append(t)      # §8.5.3.2.1: temporal is never pruned
 
     is_b = len(ps.ref_pocs_l1) > 0
     if is_b and 1 < len(cands) < max_cand:
@@ -190,6 +271,12 @@ def amvp_candidates(ps, x0: int, y0: int, w: int, h: int,
         cands.append(mv_a)
     if mv_b is not None and mv_b != mv_a:
         cands.append(mv_b)
+    if len(cands) < 2:
+        # §8.5.3.2.6: the temporal candidate is not pruned against the
+        # spatial ones
+        t = temporal_mv(ps, x0, y0, w, h, lx, ref_idx)
+        if t is not None:
+            cands.append(t)
     while len(cands) < 2:
         cands.append((0, 0))
     return cands[:2]

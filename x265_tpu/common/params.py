@@ -420,7 +420,6 @@ _UNSUPPORTED: dict[str, tuple[object, str]] = {
     # --b-pyramid IS honored (middle B of each mini-GOP referenced)
     # --nr-intra/--nr-inter ARE honored (device denoiseDct + host
     # running-average update)
-    "temporal_mvp": (False, "TMVP candidate not implemented"),
     "weightb": (False, "weighted bi-prediction not implemented"),
     "intra_refresh": (False, "periodic intra refresh not implemented"),
     "interlace_mode": (0, "field coding not implemented"),

@@ -61,6 +61,7 @@ class Decoder:
         self._cur: DecodedPicture | None = None
         self._cur_is_ref = True
         self._dpb = {}          # poc -> coded-size planes (reference pics)
+        self._col_motion = {}   # poc -> TMVP motion field
         self._reorder = []      # decoded pictures awaiting output bumping
         self._num_reorder = 0   # max pics that may precede in decode order
         self._prev_poc = 0      # PicOrderCntVal of the previous picture
@@ -148,6 +149,7 @@ class Decoder:
             self.pictures.extend(self._reorder)
             self._reorder = []
             self._dpb.clear()
+            self._col_motion.clear()
         else:
             max_lsb = 1 << sps.log2_max_poc_lsb
             lsb = sh.pic_order_cnt_lsb
@@ -206,6 +208,15 @@ class Decoder:
         ps.cur_poc = poc
         ps.ref_pocs_l0 = tuple(pocs_l0)
         ps.ref_pocs_l1 = tuple(pocs_l1)
+        # TMVP: attach the collocated picture's retained motion field
+        if sh.temporal_mvp_enabled and sh.slice_type != SLICE_I:
+            col_list = pocs_l0 if sh.collocated_from_l0 else pocs_l1
+            if col_list:
+                ci = min(sh.collocated_ref_idx, len(col_list) - 1)
+                col = self._col_motion.get(col_list[ci])
+                if col is not None:
+                    ps.temporal_mvp = True
+                    ps.col = col
         ps.slice_qp = sh.slice_qp
         ps.cu_qp_delta_enabled = bool(pps.cu_qp_delta_enabled)
         ps.qp_ctb[:] = sh.slice_qp
@@ -254,6 +265,19 @@ class Decoder:
                 strong_smoothing=bool(sps.strong_intra_smoothing),
                 ref_planes=refs_l0 or None, refs_l1=refs_l1 or None,
                 weights=sh if use_w else None)
+
+        # retain this picture's motion field for later TMVP use
+        pocs0a = np.asarray(ps.ref_pocs_l0 or (0,), np.int32)
+        pocs1a = np.asarray(ps.ref_pocs_l1 or (0,), np.int32)
+        r0 = np.minimum(ps.ref_idx0.astype(np.int32), len(pocs0a) - 1)
+        r1 = np.minimum(ps.ref_idx1.astype(np.int32), len(pocs1a) - 1)
+        self._col_motion[poc] = dict(
+            pred_mode=ps.pred_mode.copy(),
+            inter_dir=ps.inter_dir.copy(),
+            mv0=ps.mv0.copy(), mv1=ps.mv1.copy(),
+            poc0=pocs0a[r0], poc1=pocs1a[r1], poc=poc)
+        while len(self._col_motion) > 8:
+            self._col_motion.pop(next(iter(self._col_motion)))
 
         # decoded picture = coded size; output view = conformance-cropped
         cw, ch = sps.pic_width, sps.pic_height

@@ -291,6 +291,7 @@ class Encoder:
             # sps_max_dec_pic_buffering)
             max_dec_pic_buffering=max(1, min(4, params.ref)) + 1,
             num_reorder_pics=0,
+            temporal_mvp_enabled=int(bool(params.temporal_mvp)),
             sao_enabled=int(params.sao))
         shd = int(params.sign_hide)
         if params.deblock:
@@ -398,7 +399,7 @@ class Encoder:
         self._prev_half = None          # half-res Y of the previous source
         # GOP structure (x265 slicetype role, fixed pattern = b-adapt 0):
         # display-order input queue + mini-GOP reordering when bframes > 0
-        self.bframes = params.bframes if self.bit_depth == 8 else 0
+        self.bframes = params.bframes
         self._queue = []                # [(poc, planes)] pending display order
         self._next_poc = 0              # next display POC within the CVS
         self._display_idx = 0           # global input counter (keyint)
@@ -415,6 +416,7 @@ class Encoder:
         # between the sequential and GOP-parallel paths (round-3 bug:
         # gop.py never populated the DPB mirror, silently diverging).
         self._wp_src = {}
+        self._col_store = {}    # poc -> collocated motion field (TMVP)
         self.prev_anchor_poc = None
         # lookahead (x265 slicetype.cpp role): cuTree propagation over a
         # rc_lookahead-deep window; adds output delay exactly like the
@@ -422,7 +424,7 @@ class Encoder:
         # zero-latency path (x265 tune zerolatency: no lookahead/cutree).
         self.lookahead = None
         self._use_lookahead = (params.cu_tree and params.rc_lookahead > 0
-                               and self.aq and self.bit_depth == 8)
+                               and self.aq)
         self._la_frame = None           # (offsets16, satd, scenecut)
         # frame pipeline: dispatched-but-unfinished frames (x265 frame
         # parallelism analogue, SURVEY §2.6 P2: device work of frame N+1
@@ -969,6 +971,14 @@ class Encoder:
         # dpb.cpp:186 computeRPS).  For Bs this includes the already-
         # dispatched next anchor (s1) and older anchors future Ps use.
         ps.rps_keep = tuple(self._ref_pocs)
+
+        # TMVP: collocated picture = L0[0] (collocated_from_l0 = 1);
+        # its motion field was stored when that picture entropy-coded
+        if self.params.temporal_mvp and ps.ref_pocs_l0:
+            col = self._col_store.get(ps.ref_pocs_l0[0])
+            if col is not None:
+                ps.temporal_mvp = True
+                ps.col = col
 
         pend = _Pending(poc=poc, kind=kind, qp=self.qp, ps=ps,
                         display_idx=0, planes=planes, orig=orig,
@@ -1816,11 +1826,31 @@ class Encoder:
         return (y.astype(rec[0].dtype), cb.astype(rec[1].dtype),
                 cr.astype(rec[2].dtype))
 
+    def _store_col_motion(self, ps, poc: int) -> None:
+        """Retain this picture's final motion field for TMVP
+        (§8.5.3.2.9 collocated inputs): 4x4 pred-mode/dir/MV grids plus
+        per-4x4 reference-POC maps (x265 keeps the same data on its
+        Frame; cudata.cpp temporal merge cand)."""
+        pocs0 = np.asarray(ps.ref_pocs_l0 or (0,), np.int32)
+        pocs1 = np.asarray(ps.ref_pocs_l1 or (0,), np.int32)
+        r0 = np.minimum(ps.ref_idx0.astype(np.int32), len(pocs0) - 1)
+        r1 = np.minimum(ps.ref_idx1.astype(np.int32), len(pocs1) - 1)
+        self._col_store[poc] = dict(
+            pred_mode=ps.pred_mode.copy(),
+            inter_dir=ps.inter_dir.copy(),
+            mv0=ps.mv0.copy(), mv1=ps.mv1.copy(),
+            poc0=pocs0[r0], poc1=pocs1[r1], poc=poc)
+        while len(self._col_store) > 8:
+            self._col_store.pop(next(iter(self._col_store)))
+
     def _entropy_encode(self, ps: PicSyntax, slice_type: int = SLICE_I,
                         poc: int = 0, l0_poc=None, l1_poc=None) -> bytes:
         from ..common.bitstream import NAL_TRAIL_N
         from ..common.headers import ShortTermRPS
         _t0 = self._clock()
+
+        if self.params.temporal_mvp:
+            self._store_col_motion(ps, poc)
 
         g = self.geom
         sao_on = bool(self.sps.sao_enabled)
@@ -1859,7 +1889,9 @@ class Encoder:
                 slice_type=slice_type, slice_qp=self.qp,
                 sao_luma=int(sao_on), sao_chroma=int(sao_on),
                 pic_order_cnt_lsb=poc % (1 << self.sps.log2_max_poc_lsb),
-                rps=rps, max_num_merge_cand=ps.max_merge_cand)
+                rps=rps, max_num_merge_cand=ps.max_merge_cand,
+                temporal_mvp_enabled=int(getattr(ps, "temporal_mvp",
+                                                 False)))
             n0 = max(1, len(act0))
             sh.num_ref_idx_l0 = n0
             if n0 != self.pps.num_ref_idx_l0_default:

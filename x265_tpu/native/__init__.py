@@ -69,6 +69,10 @@ def get_lib():
             + [ctypes.c_int] * 8 \
             + [i32p, ctypes.c_int, i32p, ctypes.c_int] \
             + [u8p] * 4 + [i16p] * 2 + [u8p]
+        dt = lib.derive_inter_syntax_tmvp
+        dt.restype = ctypes.c_long
+        dt.argtypes = list(dr.argtypes) \
+            + [u8p, u8p, i16p, i16p, i32p, i32p, ctypes.c_int]
         _LIB = lib
         return _LIB
 
@@ -157,13 +161,25 @@ def derive_inter_syntax_native(ps) -> bool:
         a = getattr(ps, name)
         assert a.dtype == np.uint8 and a.flags["C_CONTIGUOUS"], name
     assert ps.mvd.dtype == np.int16 and ps.mvd1.dtype == np.int16
-    lib.derive_inter_syntax(
-        *ins, mv0, mv1, cy, ccb, ccr, zs,
-        g.width, g.height, g.w4, g.h4, g.log2_ctb, 3,
-        ps.max_merge_cand, ps.cur_poc,
-        pocs0, len(ps.ref_pocs_l0), pocs1, len(ps.ref_pocs_l1),
-        ps.merge_flag, ps.merge_idx, ps.mvp_flag, ps.mvp_flag1,
-        ps.mvd, ps.mvd1, ps.skip)
+    base_args = (*ins, mv0, mv1, cy, ccb, ccr, zs,
+                 g.width, g.height, g.w4, g.h4, g.log2_ctb, 3,
+                 ps.max_merge_cand, ps.cur_poc,
+                 pocs0, len(ps.ref_pocs_l0), pocs1, len(ps.ref_pocs_l1),
+                 ps.merge_flag, ps.merge_idx, ps.mvp_flag, ps.mvp_flag1,
+                 ps.mvd, ps.mvd1, ps.skip)
+    if getattr(ps, "temporal_mvp", False) and ps.col is not None:
+        col = ps.col
+        lib.derive_inter_syntax_tmvp(
+            *base_args,
+            np.ascontiguousarray(col["pred_mode"], np.uint8),
+            np.ascontiguousarray(col["inter_dir"], np.uint8),
+            np.ascontiguousarray(col["mv0"], np.int16),
+            np.ascontiguousarray(col["mv1"], np.int16),
+            np.ascontiguousarray(col["poc0"], np.int32),
+            np.ascontiguousarray(col["poc1"], np.int32),
+            int(col["poc"]))
+    else:
+        lib.derive_inter_syntax(*base_args)
     return True
 
 

@@ -907,6 +907,11 @@ typedef struct {
     int cur_poc;
     const int32_t *ref_pocs_l0, *ref_pocs_l1;
     int n_ref_l0, n_ref_l1;
+    /* TMVP (§8.5.3.2.9): collocated picture's motion field, or tmvp=0 */
+    int tmvp, log2_ctb, col_poc;
+    const uint8_t *col_pred, *col_dir;
+    const int16_t *col_mv0, *col_mv1;
+    const int32_t *col_poc0, *col_poc1;
     uint8_t *merge_flag, *merge_idx, *mvp_flag, *mvp_flag1, *skip;
     int16_t *mvd, *mvd1;
 } Der;
@@ -946,7 +951,11 @@ static int mc_eq(const MC *a, const MC *b) {
     return 1;
 }
 
-/* §8.5.3.2.3-5: spatial A1 B1 B0 A0 (B2) + combined bi + zero fill */
+static int d_temporal_mv(const Der *c, int x0, int y0, int w, int h,
+                         int lx, int ref_idx, int out[2]);
+
+/* §8.5.3.2.3-5: spatial A1 B1 B0 A0 (B2) + temporal + combined bi +
+ * zero fill */
 static int d_merge_candidates(const Der *c, int x0, int y0, int w, int h,
                               MC *out /* [max_merge] */) {
     MC a1, b1, b0, a0, b2;
@@ -971,6 +980,20 @@ static int d_merge_candidates(const Der *c, int x0, int y0, int w, int h,
     if (n > max_cand) n = max_cand;
 
     is_b = c->n_ref_l1 > 0;
+    if (n < max_cand && c->tmvp) {
+        /* temporal candidate: refIdx 0 per used list, never pruned */
+        int m0[2], m1[2], g0, g1;
+        g0 = d_temporal_mv(c, x0, y0, w, h, 0, 0, m0);
+        g1 = is_b ? d_temporal_mv(c, x0, y0, w, h, 1, 0, m1) : 0;
+        if (g0 || g1) {
+            out[n].dir = (g0 ? 1 : 0) | (g1 ? 2 : 0);
+            out[n].mv0x = g0 ? m0[0] : 0; out[n].mv0y = g0 ? m0[1] : 0;
+            out[n].ref0 = 0;
+            out[n].mv1x = g1 ? m1[0] : 0; out[n].mv1y = g1 ? m1[1] : 0;
+            out[n].ref1 = 0;
+            n++;
+        }
+    }
     if (is_b && n > 1 && n < max_cand) {
         /* §8.5.3.2.4 combined bi-predictive candidates */
         static const int L0IDX[12] = {0,1,0,2,1,2,0,3,1,3,2,3};
@@ -1027,6 +1050,58 @@ static void d_scale_mv(int mvx, int mvy, int tb, int td, int *out) {
         long r = v >= 0 ? a : -a;
         out[i] = r < -32768 ? -32768 : (r > 32767 ? 32767 : (int)r);
     }
+}
+
+/* ---- TMVP (§8.5.3.1.7 / 8.5.3.2.9); twin of motion.py temporal_mv */
+
+typedef struct { int dir, mv0x, mv0y, poc0, mv1x, mv1y, poc1; } ColM;
+
+static int d_col_at(const Der *c, int xc, int yc, ColM *m) {
+    int y4, x4, i;
+    if (!c->tmvp) return 0;
+    if (xc >= c->w || yc >= c->h) return 0;
+    y4 = (yc & ~15) >> 2; x4 = (xc & ~15) >> 2;
+    i = y4 * c->w4 + x4;
+    if (c->col_pred[i] == 1) return 0;              /* MODE_INTRA */
+    m->dir = c->col_dir[i]; if (!m->dir) m->dir = 1;
+    m->mv0x = c->col_mv0[i * 2]; m->mv0y = c->col_mv0[i * 2 + 1];
+    m->mv1x = c->col_mv1[i * 2]; m->mv1y = c->col_mv1[i * 2 + 1];
+    m->poc0 = c->col_poc0[i]; m->poc1 = c->col_poc1[i];
+    return 1;
+}
+
+static int d_col_mv(const Der *c, const ColM *m, int lx, int ref_idx,
+                    int out[2]) {
+    int mvx, mvy, rp, target, col_dist, cur_dist;
+    if (m->dir == 2)      { mvx = m->mv1x; mvy = m->mv1y; rp = m->poc1; }
+    else if (m->dir == 1) { mvx = m->mv0x; mvy = m->mv0y; rp = m->poc0; }
+    else {
+        int all_before = 1, i, n;
+        for (i = 0; i < c->n_ref_l0 && all_before; i++)
+            if (c->ref_pocs_l0[i] > c->cur_poc) all_before = 0;
+        for (i = 0; i < c->n_ref_l1 && all_before; i++)
+            if (c->ref_pocs_l1[i] > c->cur_poc) all_before = 0;
+        n = all_before ? lx : 0;    /* collocated_from_l0 == 1 */
+        if (n == 0) { mvx = m->mv0x; mvy = m->mv0y; rp = m->poc0; }
+        else        { mvx = m->mv1x; mvy = m->mv1y; rp = m->poc1; }
+    }
+    target = (lx == 0 ? c->ref_pocs_l0 : c->ref_pocs_l1)[ref_idx];
+    col_dist = c->col_poc - rp;
+    cur_dist = c->cur_poc - target;
+    if (col_dist == cur_dist) { out[0] = mvx; out[1] = mvy; }
+    else d_scale_mv(mvx, mvy, cur_dist, col_dist, out);
+    return 1;
+}
+
+static int d_temporal_mv(const Der *c, int x0, int y0, int w, int h,
+                         int lx, int ref_idx, int out[2]) {
+    ColM m; int got = 0;
+    if (!c->tmvp) return 0;
+    if ((y0 >> c->log2_ctb) == ((y0 + h) >> c->log2_ctb))
+        got = d_col_at(c, x0 + w, y0 + h, &m);
+    if (!got) got = d_col_at(c, x0 + (w >> 1), y0 + (h >> 1), &m);
+    if (!got) return 0;
+    return d_col_mv(c, &m, lx, ref_idx, out);
 }
 
 /* §8.5.3.2.7: AMVP from a neighbor's motion (same list first, then the
@@ -1100,6 +1175,13 @@ static void d_amvp_candidates(const Der *c, int x0, int y0, int w, int h,
     if (got_b && !(got_a && mv_b[0] == mv_a[0] && mv_b[1] == mv_a[1])
         && n < 2) {
         cands[n][0] = mv_b[0]; cands[n][1] = mv_b[1]; n++;
+    }
+    if (n < 2 && c->tmvp) {
+        /* §8.5.3.2.6: temporal, not pruned against the spatials */
+        int t[2];
+        if (d_temporal_mv(c, x0, y0, w, h, lx, ref_idx, t)) {
+            cands[n][0] = t[0]; cands[n][1] = t[1]; n++;
+        }
     }
     while (n < 2) { cands[n][0] = 0; cands[n][1] = 0; n++; }
     }
@@ -1229,12 +1311,66 @@ long derive_inter_syntax(
     c.w = width; c.h = height; c.w4 = w4; c.h4 = h4;
     c.ystride = w4 * 4; c.cstride = w4 * 2;
     c.min_cb = log2_min_cb; c.max_merge = max_merge;
+    c.log2_ctb = log2_ctb;
     c.cur_poc = cur_poc;
     c.ref_pocs_l0 = ref_pocs_l0; c.n_ref_l0 = n_ref_l0;
     c.ref_pocs_l1 = ref_pocs_l1; c.n_ref_l1 = n_ref_l1;
     c.merge_flag = merge_flag; c.merge_idx = merge_idx;
     c.mvp_flag = mvp_flag; c.mvp_flag1 = mvp_flag1;
     c.mvd = mvd; c.mvd1 = mvd1; c.skip = skip;
+
+    ctb_size = 1 << log2_ctb;
+    ctbs_w = (width + ctb_size - 1) >> log2_ctb;
+    ctbs_h = (height + ctb_size - 1) >> log2_ctb;
+    n_ctbs = ctbs_w * ctbs_h;
+    for (ctu = 0; ctu < n_ctbs; ctu++)
+        d_walk(&c, (ctu % ctbs_w) << log2_ctb,
+               (ctu / ctbs_w) << log2_ctb, log2_ctb, 0);
+    return 0;
+}
+
+/* derive_inter_syntax with the TMVP collocated field attached (twin of
+ * motion.py temporal_mv; same arguments + the col arrays). */
+long derive_inter_syntax_tmvp(
+    const uint8_t *depth, const uint8_t *pred_mode,
+    const uint8_t *inter_dir, const uint8_t *ref_idx0,
+    const uint8_t *ref_idx1,
+    const int16_t *mv0, const int16_t *mv1,
+    const int32_t *coeff_y, const int32_t *coeff_cb,
+    const int32_t *coeff_cr, const int64_t *zscan,
+    int width, int height, int w4, int h4,
+    int log2_ctb, int log2_min_cb, int max_merge, int cur_poc,
+    const int32_t *ref_pocs_l0, int n_ref_l0,
+    const int32_t *ref_pocs_l1, int n_ref_l1,
+    uint8_t *merge_flag, uint8_t *merge_idx,
+    uint8_t *mvp_flag, uint8_t *mvp_flag1,
+    int16_t *mvd, int16_t *mvd1, uint8_t *skip,
+    const uint8_t *col_pred, const uint8_t *col_dir,
+    const int16_t *col_mv0, const int16_t *col_mv1,
+    const int32_t *col_poc0, const int32_t *col_poc1, int col_poc)
+{
+    Der c;
+    int ctb_size, ctbs_w, ctbs_h, ctu, n_ctbs;
+    memset(&c, 0, sizeof(c));
+    c.depth = depth; c.pred_mode = pred_mode; c.inter_dir = inter_dir;
+    c.ref_idx0 = ref_idx0; c.ref_idx1 = ref_idx1;
+    c.mv0 = mv0; c.mv1 = mv1;
+    c.cy = coeff_y; c.ccb = coeff_cb; c.ccr = coeff_cr; c.zscan = zscan;
+    c.w = width; c.h = height; c.w4 = w4; c.h4 = h4;
+    c.ystride = w4 * 4; c.cstride = w4 * 2;
+    c.min_cb = log2_min_cb; c.max_merge = max_merge;
+    c.log2_ctb = log2_ctb;
+    c.cur_poc = cur_poc;
+    c.ref_pocs_l0 = ref_pocs_l0; c.n_ref_l0 = n_ref_l0;
+    c.ref_pocs_l1 = ref_pocs_l1; c.n_ref_l1 = n_ref_l1;
+    c.merge_flag = merge_flag; c.merge_idx = merge_idx;
+    c.mvp_flag = mvp_flag; c.mvp_flag1 = mvp_flag1;
+    c.mvd = mvd; c.mvd1 = mvd1; c.skip = skip;
+    c.tmvp = 1;
+    c.col_pred = col_pred; c.col_dir = col_dir;
+    c.col_mv0 = col_mv0; c.col_mv1 = col_mv1;
+    c.col_poc0 = col_poc0; c.col_poc1 = col_poc1;
+    c.col_poc = col_poc;
 
     ctb_size = 1 << log2_ctb;
     ctbs_w = (width + ctb_size - 1) >> log2_ctb;
