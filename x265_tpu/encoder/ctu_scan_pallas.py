@@ -192,6 +192,16 @@ def make_pallas_step(scan, inter: bool, decide32: bool):
         """[n*n, lanes] -> [lanes, n, n]."""
         return jnp.transpose(vT.reshape(n, n, lanes), (2, 0, 1))
 
+    def unflat(v, n, lanes):
+        """[lanes, n*n] -> [lanes, n, n] (Mosaic-safe: VMEM blocks keep
+        a >=128 minor dim; the spatial form is built via transposes)."""
+        return unflatten(jnp.transpose(v), n, lanes)
+
+    def flat(x, n, lanes):
+        """[lanes, n, n] -> [lanes, n*n]."""
+        return jnp.transpose(
+            jnp.transpose(x, (1, 2, 0)).reshape(n * n, lanes))
+
     def lanes3(x, lanes, a=1, b=1):
         """Per-lane scalar [lanes] (or [lanes, 1]) -> [lanes, a, b]
         MATERIALIZED (Mosaic rejects both the 1-D -> 3-D reshape and
@@ -620,12 +630,12 @@ def make_pallas_step(scan, inter: bool, decide32: bool):
         for q in range(n_quads):
             qx, qy = quad_orig[q]
             m32m = m32v[q, :]
-            o32 = o32y[q * L:(q + 1) * L]
+            o32 = unflat(o32y[q * L:(q + 1) * L], 32, L)
             pred32 = predict32_f(refs_from_C(C, qx, qy, 32, L),
                                  l32av[q * L:(q + 1) * L], m32m)
             rec32 = tq(pred32, o32, qpl, ones_l, 32, t32b, L, lvb)
             lv32 = lvb[0:L, 0:32, 0:32]
-            lv32_o[q * L:(q + 1) * L] = lv32
+            lv32_o[q * L:(q + 1) * L, :] = flat(lv32, 32, L)
             # chroma 16 candidate
             raw2 = refs_from_C(Cc, qx // 2, qy // 2, 16, 2 * L)
             av2 = jnp.concatenate([c16av[q * L:(q + 1) * L]] * 2)
@@ -633,12 +643,14 @@ def make_pallas_step(scan, inter: bool, decide32: bool):
             m32_2 = jnp.concatenate([m32m, m32m])
             predc = predict_chroma(refc, m32_2, 16, w16[:], sh16[:],
                                    ad16[:], 2 * L)
-            oc32 = jnp.concatenate([o16cb[q * L:(q + 1) * L],
-                                    o16cr[q * L:(q + 1) * L]])
+            oc32 = unflat(jnp.concatenate(
+                [o16cb[q * L:(q + 1) * L],
+                 o16cr[q * L:(q + 1) * L]]), 16, 2 * L)
             recc32 = tq(predc, oc32, qpc2, ones_2l, 16, t16b, 2 * L,
                         lvbc)
             lvc32 = lvbc[0:2 * L, 0:16, 0:16]
-            lvc16_o[q * 2 * L:(q + 1) * 2 * L] = lvc32
+            lvc16_o[q * 2 * L:(q + 1) * 2 * L, :] = flat(lvc32, 16,
+                                                         2 * L)
             if decide32:
                 lam = lamv[:]
                 sc = ssd(recc32, oc32)
@@ -660,16 +672,17 @@ def make_pallas_step(scan, inter: bool, decide32: bool):
                 if inter:
                     iv = ivv[i, :]
                     pred = jnp.where(lanes3(iv, L, 16, 16) > 0,
-                                     ipy[i * L:(i + 1) * L], pred)
+                                     unflat(ipy[i * L:(i + 1) * L],
+                                            16, L), pred)
                     imask = 1 - iv
                 else:
                     iv = None
                     imask = ones_l
-                o16 = o16y[i * L:(i + 1) * L]
+                o16 = unflat(o16y[i * L:(i + 1) * L], 16, L)
                 slot_pred_list.append(pred)
                 rec = tq(pred, o16, qpl, imask, 16, t16b, L, lvb)
                 lv = lvb[0:L, 0:16, 0:16]
-                lv16_o[i * L:(i + 1) * L] = lv
+                lv16_o[i * L:(i + 1) * L, :] = flat(lv, 16, L)
                 # chroma 8
                 raw2 = refs_from_C(Cc, sx // 2, sy // 2, 8, 2 * L)
                 av2 = jnp.concatenate([c8av[i * L:(i + 1) * L]] * 2)
@@ -679,20 +692,23 @@ def make_pallas_step(scan, inter: bool, decide32: bool):
                                        ad8[:], 2 * L)
                 if inter:
                     iv2 = jnp.concatenate([iv, iv])
-                    ipc = jnp.concatenate([ipcb[i * L:(i + 1) * L],
-                                           ipcr[i * L:(i + 1) * L]])
+                    ipc = unflat(jnp.concatenate(
+                        [ipcb[i * L:(i + 1) * L],
+                         ipcr[i * L:(i + 1) * L]]), 8, 2 * L)
                     predc = jnp.where(lanes3(iv2, 2 * L, 8, 8) > 0,
                                       ipc, predc)
                     imask2 = 1 - iv2
                 else:
                     imask2 = ones_2l
-                oc = jnp.concatenate([o8cb[i * L:(i + 1) * L],
-                                      o8cr[i * L:(i + 1) * L]])
+                oc = unflat(jnp.concatenate(
+                    [o8cb[i * L:(i + 1) * L],
+                     o8cr[i * L:(i + 1) * L]]), 8, 2 * L)
                 slot_predc_list.append(predc)
                 recc = tq(predc, oc, qpc2, imask2, 8, t8b, 2 * L,
                           lvbc)
                 lvc = lvbc[0:2 * L, 0:8, 0:8]
-                lv8c_o[i * 2 * L:(i + 1) * 2 * L] = lvc
+                lv8c_o[i * 2 * L:(i + 1) * 2 * L, :] = flat(lvc, 8,
+                                                            2 * L)
                 C[:, 1 + sy:1 + sy + 16, 1 + sx:1 + sx + 16] = rec
                 Cc[:, 1 + sy // 2:1 + sy // 2 + 8,
                    1 + sx // 2:1 + sx // 2 + 8] = recc
@@ -743,12 +759,13 @@ def make_pallas_step(scan, inter: bool, decide32: bool):
                 tu32i = b2i(tu32)
                 t2 = lanes3(jnp.concatenate([tu32i, tu32i]),
                             2 * L, 16, 16) > 0
-                lv32_prev = lv32_o[q * L:(q + 1) * L]
-                lv32_o[q * L:(q + 1) * L] = jnp.where(t1, lv32i,
-                                                      lv32_prev)
-                lvc_prev = lvc16_o[q * 2 * L:(q + 1) * 2 * L]
-                lvc16_o[q * 2 * L:(q + 1) * 2 * L] = jnp.where(
-                    t2, lvc16i, lvc_prev)
+                lv32_prev = lv32_o[q * L:(q + 1) * L, :]
+                lv32_o[q * L:(q + 1) * L, :] = jnp.where(
+                    tu32i[:, None] > 0, flat(lv32i, 32, L), lv32_prev)
+                lvc_prev = lvc16_o[q * 2 * L:(q + 1) * 2 * L, :]
+                lvc16_o[q * 2 * L:(q + 1) * 2 * L, :] = jnp.where(
+                    jnp.concatenate([tu32i, tu32i])[:, None] > 0,
+                    flat(lvc16i, 16, 2 * L), lvc_prev)
                 rec32 = jnp.where(t1, rec32i, rec32)
                 recc32 = jnp.where(t2, recc16i, recc32)
             u32_o[q, :] = b2i(sel32)
@@ -765,8 +782,8 @@ def make_pallas_step(scan, inter: bool, decide32: bool):
                 jnp.where(s2c, recc32, curc)
 
         # ---- outputs: recon tiles + frontier ----
-        inty_o[:, :, :] = C[:, 1:1 + ctb, 1:1 + ctb]
-        intc_o[:, :, :] = Cc[:, 1:1 + ctbc, 1:1 + ctbc]
+        inty_o[:, :] = flat(C[:, 1:1 + ctb, 1:1 + ctb], ctb, L)
+        intc_o[:, :] = flat(Cc[:, 1:1 + ctbc, 1:1 + ctbc], ctbc, 2 * L)
         rowf_o[:, :] = rowf[:, :]
         colf_o[:, :] = colf[:, :]
         rowfb_o[:, :] = rowfb[:, :]
@@ -813,6 +830,13 @@ def make_pallas_step(scan, inter: bool, decide32: bool):
             return jnp.swapaxes(a, 0, 1).reshape(
                 (a.shape[1] * a.shape[0],) + a.shape[2:])
 
+        def smf(a):
+            """slot-major + spatial-flatten: [L, ns, n, n] ->
+            [ns*L, n*n] (narrow-minor VMEM blocks pad lanes to 128 —
+            an 8x waste at n = 16 that OOMs the kernel at 1080p)."""
+            b = sm(a)
+            return b.reshape(b.shape[0], b.shape[1] * b.shape[2])
+
         cxv = xs["cx"]
         cyv = xs["cy"]
         par_in = (cyv - 1) & 1
@@ -826,13 +850,13 @@ def make_pallas_step(scan, inter: bool, decide32: bool):
             corn_cr=cornfr[cxv, par_in][:, None],
             m16=jnp.swapaxes(xs["m16"], 0, 1),
             qp_y=xs["qp_y"], qp_cb=xs["qp_cb"], qp_cr=xs["qp_cr"],
-            o16y=sm(xs["o16y"]), o8cb=sm(xs["o8cb"]),
-            o8cr=sm(xs["o8cr"]),
+            o16y=smf(xs["o16y"]), o8cb=smf(xs["o8cb"]),
+            o8cr=smf(xs["o8cr"]),
             l16av=sm(xs["l16_av"].astype(jnp.int32)),
             c8av=sm(xs["c8_av"].astype(jnp.int32)),
             **consts,
-            o32y=sm(xs["o32y"]), o16cb=sm(xs["o16cb"]),
-            o16cr=sm(xs["o16cr"]),
+            o32y=smf(xs["o32y"]), o16cb=smf(xs["o16cb"]),
+            o16cr=smf(xs["o16cr"]),
             m32=jnp.swapaxes(xs["m32"], 0, 1),
             l32av=sm(xs["l32_av"].astype(jnp.int32)),
             c16av=sm(xs["c16_av"].astype(jnp.int32)),
@@ -845,9 +869,9 @@ def make_pallas_step(scan, inter: bool, decide32: bool):
                                         0, 1)
         if inter:
             ins["iv"] = jnp.swapaxes(xs["inter"].astype(jnp.int32), 0, 1)
-            ins["ipy"] = sm(xs["ipy"])
-            ins["ipcb"] = sm(xs["ipcb"])
-            ins["ipcr"] = sm(xs["ipcr"])
+            ins["ipy"] = smf(xs["ipy"])
+            ins["ipcb"] = smf(xs["ipcb"])
+            ins["ipcr"] = smf(xs["ipcr"])
             if decide32:
                 ins["m32in"] = jnp.swapaxes(
                     xs["m32_in"].astype(jnp.int32), 0, 1)
@@ -874,13 +898,13 @@ def make_pallas_step(scan, inter: bool, decide32: bool):
                     for k in order]
 
         out_shapes = [
-            jax.ShapeDtypeStruct((nslots * L, 16, 16), jnp.int32),
-            jax.ShapeDtypeStruct((nslots * 2 * L, 8, 8), jnp.int32),
-            jax.ShapeDtypeStruct((n_quads * L, 32, 32), jnp.int32),
-            jax.ShapeDtypeStruct((n_quads * 2 * L, 16, 16), jnp.int32),
+            jax.ShapeDtypeStruct((nslots * L, 256), jnp.int32),
+            jax.ShapeDtypeStruct((nslots * 2 * L, 64), jnp.int32),
+            jax.ShapeDtypeStruct((n_quads * L, 1024), jnp.int32),
+            jax.ShapeDtypeStruct((n_quads * 2 * L, 256), jnp.int32),
             jax.ShapeDtypeStruct((n_quads, L), jnp.int32),
-            jax.ShapeDtypeStruct((L, ctb, ctb), jnp.int32),
-            jax.ShapeDtypeStruct((2 * L, ctbc, ctbc), jnp.int32),
+            jax.ShapeDtypeStruct((L, ctb * ctb), jnp.int32),
+            jax.ShapeDtypeStruct((2 * L, ctbc * ctbc), jnp.int32),
             jax.ShapeDtypeStruct(rowf.shape, jnp.int32),
             jax.ShapeDtypeStruct(colf.shape, jnp.int32),
             jax.ShapeDtypeStruct(rowfb.shape, jnp.int32),
@@ -922,7 +946,8 @@ def make_pallas_step(scan, inter: bool, decide32: bool):
         lvc16_s = lvc16f.reshape(n_quads, 2 * L, 16, 16).astype(jnp.int16)
         u32_s = u32m.astype(bool)
         ys = (lv16_s, lv8_s, lv32_s, lvc16_s, u32_s, None,
-              inty.astype(jnp.int16), intc.astype(jnp.int16), None)
+              inty.reshape(L, ctb, ctb).astype(jnp.int16),
+              intc.reshape(2 * L, ctbc, ctbc).astype(jnp.int16), None)
         carry = (rowf, colf, cornf, rowfb, colfb, cornfb,
                  rowfr, colfr, cornfr)
         return carry, ys

@@ -518,7 +518,7 @@ def _extend_builder(enc):
     return extend
 
 
-def _inter_tools_builder(enc):
+def _inter_tools_builder(enc, allow_pallas=True):
     """Shared inter machinery for the P/B device pipelines: full-search +
     subpel ME, MV-coherence passes, and pp/ps luma+chroma MC evaluation
     at arbitrary per-block MVs (windows gathered from the extended ref).
@@ -771,15 +771,22 @@ def _inter_tools_builder(enc):
         # --subme ladder (x265 subme table, reduced to the refinement
         # rounds this search shape has): 0 = full-pel only, 1 = +half,
         # >= 2 = +quarter
-        q0 = jnp.zeros_like(mvi)
         subme = int(enc.params.subme)
-        if subme >= 1:
-            q0, pred, cost = refine_round(q0, 2)   # half-pel (center incl.)
-        if subme >= 2:
-            q0, pred, cost = refine_round(q0, 1)   # quarter-pel
-        if subme == 0:
-            # evaluate the full-pel center so pred/cost exist
-            q0, pred, cost = refine_round(q0, 0)
+        from .me_pallas import (make_refine_kernel,
+                                pallas_refine_supported)
+        if allow_pallas and pallas_refine_supported(enc.bit_depth):
+            # fused Pallas subpel search: all rounds/candidates in VMEM
+            refine_k = make_refine_kernel(min(subme, 2), MRQ)
+            q0, pred, cost = refine_k(W, ob, mvi, pmv, lam)
+        else:
+            q0 = jnp.zeros_like(mvi)
+            if subme >= 1:
+                q0, pred, cost = refine_round(q0, 2)  # half-pel
+            if subme >= 2:
+                q0, pred, cost = refine_round(q0, 1)  # quarter-pel
+            if subme == 0:
+                # evaluate the full-pel center so pred/cost exist
+                q0, pred, cost = refine_round(q0, 0)
         mvq = mvi * 4 + q0                                # [B, 2] (y, x) qpel
 
         # ---- MV coherence passes ----
@@ -1200,7 +1207,8 @@ def build_b_pipeline(enc, batch: int | None = None,
     analyse32 = (_analyse_builder(enc, 32, ph // 32, pw // 32, ph, pw)
                  if decide else None)
     finish = _filter_stage_builder(enc)
-    tools = _inter_tools_builder(enc)
+    tools = _inter_tools_builder(enc,
+                                 allow_pallas=(batch is None))
 
     def to_blocks(pl, bn):
         return pl.reshape(gh, bn, gw, bn).transpose(

@@ -972,14 +972,6 @@ class Encoder:
         # dispatched next anchor (s1) and older anchors future Ps use.
         ps.rps_keep = tuple(self._ref_pocs)
 
-        # TMVP: collocated picture = L0[0] (collocated_from_l0 = 1);
-        # its motion field was stored when that picture entropy-coded
-        if self.params.temporal_mvp and ps.ref_pocs_l0:
-            col = self._col_store.get(ps.ref_pocs_l0[0])
-            if col is not None:
-                ps.temporal_mvp = True
-                ps.col = col
-
         pend = _Pending(poc=poc, kind=kind, qp=self.qp, ps=ps,
                         display_idx=0, planes=planes, orig=orig,
                         l0_poc=l0_poc, l1_poc=l1_poc, cu_size=cu_size)
@@ -1693,6 +1685,17 @@ class Encoder:
         (x265_tpu/native/slice_enc.c derive_inter_syntax) with the Python
         spec loops as fallback/oracle.  Must run after the coefficient
         planes are scattered (skip needs them)."""
+        # TMVP: collocated picture = L0[0] (collocated_from_l0 = 1).
+        # Attached HERE — in entropy/finish order — because the col
+        # picture's final motion is only stored at its own entropy pass;
+        # dispatch-time attachment would race the frame pipeline and
+        # silently disable TMVP under overlap.
+        if self.params.temporal_mvp and ps.ref_pocs_l0 and \
+                ps.col is None:
+            col = self._col_store.get(ps.ref_pocs_l0[0])
+            if col is not None:
+                ps.temporal_mvp = True
+                ps.col = col
         if not self.force_python_derivation:
             from ..native import derive_inter_syntax_native
             if derive_inter_syntax_native(ps):
@@ -1850,6 +1853,11 @@ class Encoder:
         _t0 = self._clock()
 
         if self.params.temporal_mvp:
+            if slice_type == SLICE_I:
+                # POC restarts at the IDR: stale collocated entries from
+                # the previous CVS must never resolve (entropy order is
+                # strictly serial, so this cannot race the pipeline)
+                self._col_store.clear()
             self._store_col_motion(ps, poc)
 
         g = self.geom

@@ -16,6 +16,9 @@ With CQP the result is BIT-EXACT with the single-device sequential
 encode of the same frames (keyint == gop_size): the device programs are
 deterministic and see identical inputs — the multi-chip guarantee the
 reference documents for deterministic frame counts (x265.h:442-447).
+ABR/CRF run per-GOP (each shard owns a full RateControl): every GOP's
+stream is bit-exact with the sequential encode of that GOP alone, the
+deterministic contract x265 documents for frame-parallel ABR.
 
 Scope: IPPP GOPs (anchors only).  B mini-GOPs inside each shard are the
 same batched dispatch the single-chip path uses and land here next.
@@ -43,8 +46,12 @@ class GopParallelEncoder:
         from jax.sharding import Mesh
 
         assert params.bframes == 0, "GOP-parallel v1 is IPPP"
-        assert params.rc_mode == 0, \
-            "GOP parallelism requires deterministic CQP rate control"
+        # Rate control: each GOP runs its own independent RateControl
+        # (CQP/CRF/ABR).  Determinism contract: every GOP's output equals
+        # the sequential encode of that GOP alone with the same params —
+        # per-GOP RC state never crosses shards (the relaxation x265
+        # documents for frame-parallel ABR, x265.h:442-447; cross-GOP
+        # bit budgeting is a non-goal at closed-GOP granularity).
         self.params = params
         if mesh is None:
             devs = jax.devices()
@@ -136,7 +143,11 @@ class GopParallelEncoder:
                 pend = e._dispatch_one(
                     gops[k][r], r, kind,
                     l0_poc=None if r == 0 else r - 1,
-                    cplx=0.0, defer_b=False, defer_all=True)
+                    # ABR/CRF: per-frame complexity from the inline
+                    # half-res estimate (deterministic per GOP); CQP
+                    # ignores satd so skip the estimate entirely
+                    cplx=0.0 if self.params.rc_mode == 0 else None,
+                    defer_b=False, defer_all=True)
                 pends.append(pend)
             oy = np.stack([p.orig[0] for p in pends])
             ocb = np.stack([p.orig[1] for p in pends])
