@@ -38,6 +38,11 @@ _orig_params_init = _Params.__init__
 
 def _test_params_init(self, *args, **kwargs):
     kwargs.setdefault("me_range", 8)
+    # Adaptive B placement (default b-adapt 2, honored since round 5)
+    # restructures mini-GOPs by content; the conformance suites assert
+    # the FIXED patterns they were written for.  Adaptive placement is
+    # covered explicitly by tests/test_badapt.py.
+    kwargs.setdefault("b_adapt", 0)
     _orig_params_init(self, *args, **kwargs)
 
 

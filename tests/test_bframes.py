@@ -48,7 +48,11 @@ def make_clip(kind, w, h, n_frames, seed=0):
 
 def b_roundtrip(frames, w, h, qp, **kw):
     """Encode with B frames; assert own-decoder display-order bit-exactness
-    + hash SEIs; return (stream, display-order recons, encode kinds)."""
+    + hash SEIs; return (stream, display-order recons, encode kinds).
+
+    b-adapt is pinned off: these suites assert the FIXED mini-GOP
+    machinery; adaptive placement is covered by tests/test_badapt.py."""
+    kw.setdefault("b_adapt", 0)
     p = Params(source_width=w, source_height=h, qp=qp,
                decoded_picture_hash=1, **kw)
     enc = Encoder(p)

@@ -55,9 +55,8 @@ def test_unsupported_param_warnings():
     p = Params(source_width=64, source_height=64)
     assert unsupported_param_warnings(p) == []
     # explicit USER overrides of unimplemented tools warn
-    q = Params(source_width=64, source_height=64, psy_rd=2.0,
+    q = Params(source_width=64, source_height=64,
                rect=True, tskip=True)
     msgs = unsupported_param_warnings(q)
-    assert any("psy-rd" in m for m in msgs)
     assert any("rect" in m for m in msgs)
     assert any("tskip" in m for m in msgs)

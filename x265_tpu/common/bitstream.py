@@ -48,6 +48,15 @@ class BitWriter:
     def write_flag(self, flag: bool | int) -> None:
         self.write(1 if flag else 0, 1)
 
+    def byte_align(self) -> None:
+        """SEI payload alignment (§D.3.1 payload_bit_equal_to_one +
+        zeros) — only when not already byte-aligned (x265 SEI
+        writeByteAlign, sei.h)."""
+        if self._bitpos:
+            self.write_flag(1)
+            if self._bitpos:
+                self.write(0, 8 - self._bitpos)
+
     def write_ue(self, value: int) -> None:
         """Unsigned Exp-Golomb ue(v) (H.265 §9.2)."""
         assert value >= 0
@@ -104,6 +113,15 @@ class BitCounter:
 
     def write_flag(self, flag) -> None:
         self.bit_length += 1
+
+    def byte_align(self) -> None:
+        """SEI payload alignment (§D.3.1 payload_bit_equal_to_one +
+        zeros) — only when not already byte-aligned (x265 SEI
+        writeByteAlign, sei.h)."""
+        if self._bitpos:
+            self.write_flag(1)
+            if self._bitpos:
+                self.write(0, 8 - self._bitpos)
 
     def write_ue(self, value: int) -> None:
         self.bit_length += 2 * (value + 1).bit_length() - 1

@@ -256,6 +256,17 @@ class SPS:
     matrix_coeffs: int = 2
     chroma_loc_top: int = 0
     chroma_loc_bottom: int = 0
+    # HRD (Annex E.2.2; populated by the encoder's initHRD analogue,
+    # x265 ratecontrol.cpp:618)
+    hrd_present: bool = False
+    hrd_bit_rate_scale: int = 0
+    hrd_bit_rate_value: int = 0
+    hrd_cpb_size_scale: int = 0
+    hrd_cpb_size_value: int = 0
+    hrd_cbr: bool = False
+    hrd_initial_cpb_len: int = 24
+    hrd_cpb_removal_len: int = 24
+    hrd_dpb_output_len: int = 24
 
     # derived
     @property
@@ -370,8 +381,78 @@ def _write_vui(bw: BitWriter, sps: SPS):
         bw.write(sps.fps_denom, 32)     # vui_num_units_in_tick
         bw.write(sps.fps_num, 32)       # vui_time_scale
         bw.write_flag(0)                # vui_poc_proportional_to_timing
-        bw.write_flag(0)                # vui_hrd_parameters_present
+        bw.write_flag(int(sps.hrd_present))   # vui_hrd_parameters_present
+        if sps.hrd_present:
+            _write_hrd(bw, sps)
     bw.write_flag(0)                    # bitstream_restriction_flag
+
+
+def _write_hrd(bw: BitWriter, sps: SPS):
+    """hrd_parameters (Annex E.2.2) for one temporal layer — the exact
+    field set x265 emits (entropy.cpp:347 codeHrdParameters): NAL HRD
+    only, no sub-pic parameters, fixed picture rate, one CPB."""
+    bw.write_flag(1)                    # nal_hrd_parameters_present
+    bw.write_flag(0)                    # vcl_hrd_parameters_present
+    bw.write_flag(0)                    # sub_pic_hrd_params_present
+    bw.write(sps.hrd_bit_rate_scale, 4)
+    bw.write(sps.hrd_cpb_size_scale, 4)
+    bw.write(sps.hrd_initial_cpb_len - 1, 5)
+    bw.write(sps.hrd_cpb_removal_len - 1, 5)
+    bw.write(sps.hrd_dpb_output_len - 1, 5)
+    for _ in range(sps.max_sub_layers):
+        bw.write_flag(1)                # fixed_pic_rate_general_flag
+        bw.write_ue(0)                  # elemental_duration_in_tc_minus1
+        bw.write_ue(0)                  # cpb_cnt_minus1
+        bw.write_ue(sps.hrd_bit_rate_value - 1)
+        bw.write_ue(sps.hrd_cpb_size_value - 1)
+        bw.write_flag(int(sps.hrd_cbr))
+
+
+def _parse_hrd(br: BitReader, sps: SPS, max_sub_layers: int):
+    """General hrd_parameters parse (Annex E.2.2, commonInfPresent=1) —
+    handles arbitrary conforming streams (sub-pic params, VCL HRD,
+    multiple CPBs), storing the primary NAL CPB into sps.hrd_*.
+    Mirrors libde265 sps/vui parsing (libde265/libde265/vui.cc)."""
+    nal_present = br.read_flag()
+    vcl_present = br.read_flag()
+    sub_pic = 0
+    if nal_present or vcl_present:
+        sub_pic = br.read_flag()
+        if sub_pic:
+            br.read(8)                  # tick_divisor_minus2
+            br.read(5)                  # du_cpb_removal_delay_increment_length
+            br.read_flag()              # sub_pic_cpb_params_in_pic_timing
+            br.read(5)                  # dpb_output_delay_du_length
+        sps.hrd_bit_rate_scale = br.read(4)
+        sps.hrd_cpb_size_scale = br.read(4)
+        if sub_pic:
+            br.read(4)                  # cpb_size_du_scale
+        sps.hrd_initial_cpb_len = br.read(5) + 1
+        sps.hrd_cpb_removal_len = br.read(5) + 1
+        sps.hrd_dpb_output_len = br.read(5) + 1
+    for _ in range(max_sub_layers):
+        fixed_general = br.read_flag()
+        fixed_cvs = 1 if fixed_general else br.read_flag()
+        low_delay = 0
+        if fixed_cvs:
+            br.read_ue()                # elemental_duration_in_tc_minus1
+        else:
+            low_delay = br.read_flag()
+        cpb_cnt = 1 if low_delay else br.read_ue() + 1
+        for li, present in enumerate((nal_present, vcl_present)):
+            if not present:
+                continue
+            for j in range(cpb_cnt):
+                brv = br.read_ue() + 1  # bit_rate_value_minus1
+                cpv = br.read_ue() + 1  # cpb_size_value_minus1
+                if j == 0 and li == 0:
+                    sps.hrd_bit_rate_value = brv
+                    sps.hrd_cpb_size_value = cpv
+                if sub_pic:
+                    br.read_ue()        # cpb_size_du_value_minus1
+                    br.read_ue()        # bit_rate_du_value_minus1
+                sps.hrd_cbr = bool(br.read_flag())
+    sps.hrd_present = True
 
 
 def _parse_vui(br: BitReader, sps: SPS):
@@ -413,7 +494,7 @@ def _parse_vui(br: BitReader, sps: SPS):
         if br.read_flag():              # poc_proportional_to_timing
             br.read_ue()
         if br.read_flag():              # hrd_parameters_present
-            raise NotImplementedError("HRD parameters parse")
+            _parse_hrd(br, sps, sps.max_sub_layers)
     if br.read_flag():                  # bitstream_restriction
         for _ in range(3):
             br.read_flag()

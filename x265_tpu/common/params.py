@@ -88,8 +88,8 @@ class Params:
 
     # RDO / quant
     rdoq_level: int = 0     # x265 1.9 medium default; slow+ presets use 2
-    psy_rd: float = 0.3
-    psy_rdoq: float = 1.0
+    psy_rd: float = 2.0     # x265 1.9 default (param.cpp:188)
+    psy_rdoq: float = 0.0   # x265 1.9 default (param.cpp:189); slow+ -> 1.0
     sign_hide: bool = True
     noise_reduction_intra: int = 0
     noise_reduction_inter: int = 0
@@ -416,7 +416,6 @@ _UNSUPPORTED: dict[str, tuple[object, str]] = {
     "tskip_fast": (False, "transform-skip not implemented"),
     "cu_lossless": (False, "per-CU lossless trial not implemented"),
     # --lossless itself IS honored (all-intra transquant bypass)
-    "b_adapt": (0, "adaptive B placement not implemented (fixed pattern)"),
     # --b-pyramid IS honored (middle B of each mini-GOP referenced)
     # --nr-intra/--nr-inter ARE honored (device denoiseDct + host
     # running-average update)
@@ -427,14 +426,11 @@ _UNSUPPORTED: dict[str, tuple[object, str]] = {
     "rd_penalty": (0, "--rdpenalty not implemented"),
     "tu_intra_depth": (1, "TU quadtree depth fixed at 1"),
     "tu_inter_depth": (1, "TU quadtree depth fixed at 1"),
-    "psy_rd": (0.0, "psycho-visual RD not implemented"),
-    "psy_rdoq": (0.0, "psycho-visual RDOQ not implemented"),
     "limit_refs": (0, "no effect (all refs always searched)"),
     "limit_modes": (False, "no effect (all modes always evaluated)"),
     "early_skip": (False, "no effect (batched full evaluation)"),
     "fast_intra": (False, "no effect (all-modes batch is free)"),
     "b_intra": (False, "no effect"),
-    "hrd": (False, "HRD signaling not implemented"),
     "qblur": (0.5, "2-pass qp blur not implemented"),
     "constrained_intra": (False, "constrained intra pred not implemented"),
     "rd_level": (3, "no effect (single fixed analysis path)"),

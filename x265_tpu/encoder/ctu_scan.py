@@ -214,13 +214,16 @@ class CtuScan:
     def __init__(self, geom: PictureGeometry, bit_depth: int = 8,
                  sign_hide: bool = False,
                  strong_intra_smoothing: bool = False,
-                 rdoq: bool = False, noise_reduction: bool = False):
+                 rdoq: bool = False, noise_reduction: bool = False,
+                 psy_rd: float = 0.0, psy_rdoq: float = 0.0):
         self.t = build_ctu_tables(geom.width, geom.height, geom.log2_ctb)
         self.bit_depth = bit_depth
         self.sign_hide = sign_hide
         self.strong = strong_intra_smoothing
         self.rdoq = rdoq
         self.noise_reduction = noise_reduction
+        self.psy_rd = float(psy_rd)
+        self.psy_rdoq = float(psy_rdoq)
         self.geom = geom
 
     # -- block (de)arrangement helpers (device-side) -------------------------
@@ -272,6 +275,7 @@ class CtuScan:
         import jax.numpy as jnp
 
         from ..common.rdcost import level_bits_jnp
+        from ..ops.cost import psy_cost
         from ..ops.quantize import (_rdoq_core, dequant, quant_masked,
                                     sign_hide_diag)
         from ..ops.transforms import forward_transform, inverse_transform
@@ -288,6 +292,14 @@ class CtuScan:
         strong = self.strong
         sign_hide = self.sign_hide
         use_rdoq = self.rdoq
+        # psy-rd: the psycho-visual energy term enters every in-scan RD
+        # compare (32-vs-16 CU, inter RQT, TU32 trial) as
+        # lambda_sad * psyRd * 0.33 * psyCost, the exact weighting of
+        # x265's RDCost::calcPsyRdCost (rdcost.h:74; setPsyRdScale
+        # folds the 0.33).  lam (xs) is the SSD-domain 0.85*lambda^2, so
+        # lambda_sad = sqrt(lam / 0.85).
+        psy = self.psy_rd > 0.0 and (decide32 or rqt)
+        psy_scale = self.psy_rd * 0.33
         maxv = (1 << bd) - 1
         n_levels, lmax = t["n_levels"], t["lmax"]
         ctb = 1 << g.log2_ctb
@@ -328,7 +340,7 @@ class CtuScan:
         _nr_ctx = {"d": None, "stats": None}
 
         def tq(pred, orig, qp, intra_mask, n, levels_in=None,
-               nr_cat=None):
+               nr_cat=None, luma=True):
             """Transform-quantize-reconstruct one stage (encode) or
             dequant-reconstruct (decode when levels_in given).
 
@@ -364,7 +376,11 @@ class CtuScan:
                     coef = (sgn * jnp.maximum(0, a - off)).reshape(
                         K, n, n).astype(coef.dtype)
                 if use_rdoq:
-                    levels = _rdoq_core(jnp, coef, qp, bd)
+                    # psy-rdoq is luma-only, like x265 (quant.cpp
+                    # rdoQuant's usePsy gate)
+                    levels = _rdoq_core(
+                        jnp, coef, qp, bd,
+                        psy_scale=self.psy_rdoq if luma else 0.0)
                 else:
                     levels = quant_masked(coef, qp, intra_mask, bd)
                 if sign_hide:
@@ -416,6 +432,9 @@ class CtuScan:
                 qp_c2 = jnp.concatenate([xs["qp_cb"], xs["qp_cr"]])
                 if decide32 or rqt:
                     lam = xs["lam"]              # [L] SSD-domain lambda
+                    if psy:
+                        # SAD-domain lambda for calcPsyRdCost's psy term
+                        plam = psy_scale * jnp.sqrt(lam / 0.85)
                 ones_l = jnp.ones((L,), bool)
                 ones_2l = jnp.ones((2 * L,), bool)
                 lv16_o, lv8_o, lv32_o, lvc16_o, u32_o = [], [], [], [], []
@@ -470,7 +489,7 @@ class CtuScan:
                         oc32 = jnp.concatenate([xs["o16cb"][:, q],
                                                 xs["o16cr"][:, q]])
                         lvc32, recc32 = tq(predc, oc32, qp_c2, ones_2l,
-                                           16, nr_cat="c16")
+                                           16, nr_cat="c16", luma=False)
                         if decide32:
                             sc = ssd(recc32, oc32)
                             bc = level_bits_jnp(lvc32)
@@ -478,6 +497,9 @@ class CtuScan:
                                       + sc[:L] + sc[L:]
                                       + lam * (level_bits_jnp(lv32)
                                                + bc[:L] + bc[L:] + OVH32))
+                            if psy:
+                                cost32 = cost32 + plam * psy_cost(
+                                    o32y, rec32)
                             cost16 = jnp.full((L,), 0.0)
                             any_inter = jnp.zeros((L,), bool)
                     for s in range(spq):
@@ -517,7 +539,7 @@ class CtuScan:
                                               xs["o8cr"][:, i]])
                         slot_predcs.append(predc)
                         lvc, recc = tq(predc, oc, qp_c2, imask2, 8,
-                                       nr_cat="c8")
+                                       nr_cat="c8", luma=False)
                         if inter and rqt:
                             # depth-1 RQT candidate: 4x 8x8 luma TUs +
                             # 4x 4x4 chroma TUs, joint RD vs the TU16
@@ -529,7 +551,8 @@ class CtuScan:
                             lv4s, rec4s = tq(split4(predc, 4),
                                              split4(oc, 4),
                                              jnp.tile(qp_c2, 4),
-                                             jnp.tile(imask2, 4), 4)
+                                             jnp.tile(imask2, 4), 4,
+                                             luma=False)
                             rec8 = join4(rec8s, 8)
                             lv8 = join4(lv8s, 8)
                             rec4 = join4(rec4s, 4)
@@ -539,6 +562,8 @@ class CtuScan:
                             c16 = (ssd(rec, o16) + sc16[:L] + sc16[L:]
                                    + lam * (level_bits_jnp(lv)
                                             + bc16[:L] + bc16[L:]))
+                            if psy:
+                                c16 = c16 + plam * psy_cost(o16, rec)
                             sc4 = ssd(rec4, oc)
                             b8 = level_bits_jnp(lv8s).reshape(4, L).sum(0)
                             bc4 = level_bits_jnp(lv4s).reshape(
@@ -546,6 +571,8 @@ class CtuScan:
                             # split flag + extra cbf signaling overhead
                             c8 = (ssd(rec8, o16) + sc4[:L] + sc4[L:]
                                   + lam * (b8 + bc4[:L] + bc4[L:] + 9.0))
+                            if psy:
+                                c8 = c8 + plam * psy_cost(o16, rec8)
                             tu8 = iv & xs["rqt_ok"][:, i] & (c8 < c16)
                             t3 = tu8[:, None, None]
                             t3c = jnp.concatenate([tu8, tu8])[:, None,
@@ -568,6 +595,8 @@ class CtuScan:
                                 ssd(rec, o16) + sc[:L] + sc[L:]
                                 + lam * (level_bits_jnp(lv)
                                          + bc[:L] + bc[L:] + OVH16))
+                            if psy:
+                                cost16 = cost16 + plam * psy_cost(o16, rec)
                             if inter:
                                 any_inter = any_inter | iv
                     if has32:
@@ -594,13 +623,16 @@ class CtuScan:
                                                qp_y, zl, 32, nr_cat="y32")
                             lvc16i, recc16i = tq(ipc16, oc32, qp_c2,
                                                  jnp.zeros((2 * L,), bool),
-                                                 16, nr_cat="c16")
+                                                 16, nr_cat="c16",
+                                                 luma=False)
                             sci = ssd(recc16i, oc32)
                             bci = level_bits_jnp(lvc16i)
                             c32i = (ssd(rec32i, o32y)
                                     + sci[:L] + sci[L:]
                                     + lam * (level_bits_jnp(lv32i)
                                              + bci[:L] + bci[L:] + OVH32))
+                            if psy:
+                                c32i = c32i + plam * psy_cost(o32y, rec32i)
                             tu32 = xs["m32_in"][:, q] & (c32i < cost16)
                             t1 = tu32[:, None, None]
                             t2 = jnp.concatenate([tu32, tu32]

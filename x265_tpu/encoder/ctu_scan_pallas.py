@@ -51,6 +51,8 @@ def pallas_supported(scan, inter: bool, decide32: bool, rqt: bool) -> bool:
         return False
     if scan.rdoq or scan.noise_reduction or rqt:
         return False
+    if getattr(scan, "psy_rd", 0.0) > 0.0:
+        return False    # psy energy term not in the kernel yet
     if scan.bit_depth != 8:
         return False
     t = scan.t

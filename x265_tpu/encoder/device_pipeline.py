@@ -774,7 +774,7 @@ def _inter_tools_builder(enc, allow_pallas=True):
         subme = int(enc.params.subme)
         from .me_pallas import (make_refine_kernel,
                                 pallas_refine_supported)
-        if allow_pallas and pallas_refine_supported(enc.bit_depth):
+        if allow_pallas and pallas_refine_supported(enc.bit_depth, nb):
             # fused Pallas subpel search: all rounds/candidates in VMEM
             refine_k = make_refine_kernel(min(subme, 2), MRQ)
             q0, pred, cost = refine_k(W, ob, mvi, pmv, lam)

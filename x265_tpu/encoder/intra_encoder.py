@@ -19,14 +19,17 @@ Encoder(params) ~ x265_encoder_open, .headers() ~ x265_encoder_headers,
 
 from __future__ import annotations
 
+import sys as _sys
+
 import numpy as np
 
 from ..cabac.ctu import (MODE_INTER, MODE_INTRA, CtuCoder, PicSyntax,
                          chroma_qp)
 from ..cabac.engine import CabacEncoder
 from ..cabac.tables import init_context_states
-from ..common.bitstream import (NAL_IDR_W_RADL, NAL_PPS, NAL_SPS, NAL_TRAIL_R,
-                                NAL_SUFFIX_SEI, NAL_VPS, wrap_nal)
+from ..common.bitstream import (NAL_IDR_W_RADL, NAL_PPS, NAL_PREFIX_SEI,
+                                NAL_SPS, NAL_SUFFIX_SEI, NAL_TRAIL_R,
+                                NAL_VPS, wrap_nal)
 from ..common.geometry import PictureGeometry
 from ..common.headers import (PPS, SPS, VPS, SLICE_B, SLICE_I, SLICE_P,
                               SliceHeader,
@@ -374,6 +377,19 @@ class Encoder:
                       "by_type": {"I": 0, "P": 0, "B": 0}}
         from .ratecontrol import RateControl
         self.rc = RateControl(params)
+        # HRD signaling (x265 --hrd; ratecontrol.cpp:618 initHRD):
+        # requires VBV; emits hrd_parameters in the VUI plus
+        # buffering-period (IRAP) and pic-timing (every AU) SEIs
+        self.hrd = bool(params.hrd)
+        if self.hrd and not self.rc.vbv:
+            if params.log_level >= 1:
+                print("x265_tpu [warning]: --hrd requires --vbv-bufsize/"
+                      "--vbv-maxrate; disabling HRD", file=_sys.stderr)
+            self.hrd = False
+        if self.hrd:
+            self._init_hrd()
+        self._last_bp_order = 0         # encode order of the last BP SEI
+        self._cvs_finish_base = 0       # finish counter at the last IDR
         # per-range/per-frame QP overrides (x265 --zones ratecontrol.cpp
         # getZone:156; --qpfile encoder.cpp forceqp intake)
         self._zones: list = []
@@ -423,8 +439,11 @@ class Encoder:
         # reference (push_frame/flush API).  encode_frame() is the
         # zero-latency path (x265 tune zerolatency: no lookahead/cutree).
         self.lookahead = None
-        self._use_lookahead = (params.cu_tree and params.rc_lookahead > 0
-                               and self.aq)
+        self._use_lookahead = ((params.cu_tree and params.rc_lookahead > 0
+                                and self.aq)
+                               or (params.b_adapt > 0 and self.bframes > 0
+                                   and params.rc_lookahead > 0))
+        self._anchor_low = None         # LowresFrame of the last anchor
         self._la_frame = None           # (offsets16, satd, scenecut)
         # frame pipeline: dispatched-but-unfinished frames (x265 frame
         # parallelism analogue, SURVEY §2.6 P2: device work of frame N+1
@@ -445,6 +464,42 @@ class Encoder:
             self.sps.max_dec_pic_buffering = cap
             self.vps.num_reorder_pics = reorder
             self.vps.max_dec_pic_buffering = cap
+
+    def _init_hrd(self) -> None:
+        """x265 RateControl::initHRD (ratecontrol.cpp:618): normalize the
+        VBV rate/size into the HRD value/scale notation and size the SEI
+        delay fields."""
+        p = self.params
+        sps = self.sps
+
+        def ctz(x):
+            return (x & -x).bit_length() - 1 if x > 0 else 0
+
+        def blen(x):
+            return max(1, int(x).bit_length())
+
+        br = p.vbv_max_bitrate * 1000
+        cpb = p.vbv_buffer_size * 1000
+        sps.hrd_bit_rate_scale = min(15, max(0, ctz(br) - 6))
+        sps.hrd_bit_rate_value = br >> (sps.hrd_bit_rate_scale + 6)
+        sps.hrd_cpb_size_scale = min(15, max(0, ctz(cpb) - 4))
+        sps.hrd_cpb_size_value = cpb >> (sps.hrd_cpb_size_scale + 4)
+        br_u = sps.hrd_bit_rate_value << (sps.hrd_bit_rate_scale + 6)
+        cpb_u = sps.hrd_cpb_size_value << (sps.hrd_cpb_size_scale + 4)
+        self._hrd_bitrate_unscale = br_u
+        self._hrd_cpb_unscale = cpb_u
+        tick = sps.fps_num / max(1, sps.fps_denom)
+        max_cpb_delay = int(min(max(1, p.keyint_max) * 0.5 * tick, 2**31))
+        max_dpb_delay = int(max(1, sps.max_dec_pic_buffering * 0.5 * tick))
+        max_delay = int(90000.0 * cpb_u / max(1, br_u) + 0.5)
+        sps.hrd_initial_cpb_len = 2 + min(22, max(4, 32 - blen(max_delay)))
+        sps.hrd_cpb_removal_len = min(31, max(4, 32 - blen(max_cpb_delay)))
+        sps.hrd_dpb_output_len = min(31, max(4, 32 - blen(max_dpb_delay)))
+        sps.hrd_cbr = (p.rc_mode == 2
+                       and p.vbv_max_bitrate <= p.bitrate)
+        sps.hrd_present = True
+        sps.vui_present = 1
+        sps.vui_timing_present = 1
 
     def _min_keyint(self) -> int:
         """Effective --min-keyint: x265's auto derivation when 0
@@ -752,6 +807,9 @@ class Encoder:
                      or self.prev_anchor_poc is None
                      or self.force_all_intra
                      or la_scenecut)
+        if la is not None and len(la) > 3 and (self.bframes == 0
+                                               or gop_start):
+            self._anchor_low = la[3]
         if self.bframes == 0:
             poc = 0 if gop_start else self._next_poc
             kind = "I" if gop_start else "P"
@@ -777,7 +835,10 @@ class Encoder:
             self._queue.append((self._next_poc, planes, la))
             self._next_poc += 1
             if len(self._queue) == self.bframes + 1:
-                self._emit_minigop()
+                if self.params.b_adapt > 0:
+                    self._emit_minigop(count=self._slicetype_decide())
+                else:
+                    self._emit_minigop()
         self._display_idx += 1
 
     def _after_anchor(self, pf: _Pending, idr: bool = False) -> None:
@@ -794,7 +855,10 @@ class Encoder:
             self._ref_pocs = []
             self._next_poc = 1
         else:
-            self._next_poc = pf.poc + 1
+            # b-adapt emits PARTIAL queues: display-order POCs beyond
+            # this anchor may already be assigned to still-queued frames,
+            # so never move _next_poc backwards
+            self._next_poc = max(self._next_poc, pf.poc + 1)
         # retained references: the new anchor + the previous num_ref-1
         # (Bs additionally need the previous anchor even at --ref 1)
         keep = max(self.num_ref, 2 if self.bframes else 1)
@@ -810,7 +874,7 @@ class Encoder:
         self.dpb, self.dpb_dev = dpb, dpb_dev
         self.prev_anchor_poc = pf.poc
 
-    def _emit_minigop(self) -> None:
+    def _emit_minigop(self, count=None) -> None:
         """Dispatch the queued mini-GOP: last frame as the P anchor first,
         then the Bs against their reference pair.
 
@@ -821,8 +885,14 @@ class Encoder:
         anchor).  Without it all Bs are TRAIL_N against the anchors."""
         if not self._queue:
             return
-        frames, self._queue = self._queue, []
+        if count is None:
+            frames, self._queue = self._queue, []
+        else:
+            frames = self._queue[:count]
+            self._queue = self._queue[count:]
         anchor_poc, anchor_planes, anchor_la = frames[-1]
+        if anchor_la is not None and len(anchor_la) > 3:
+            self._anchor_low = anchor_la[3]
         l0 = self.prev_anchor_poc
         base = self._cvs_base
         pend = self._dispatch_one(anchor_planes, anchor_poc,
@@ -879,6 +949,65 @@ class Encoder:
                 bp.ps.rps_keep = tuple(set(bp.ps.rps_keep)
                                        | set(keep_extra))
                 self._inflight.append(bp)
+
+    def _slicetype_decide(self) -> int:
+        """Adaptive B placement (x265 --b-adapt): trellis over the
+        queued display-order window.  Re-casts slicetypePath
+        (x265_1.9/source/encoder/slicetype.cpp:1565) + slicetypeAnalyse
+        (:1193): every candidate segmentation of the window is scored as
+        its anchor's lowres P cost plus each B's
+        min(intra, list0, list1, bidir-average) cost, and the cheapest
+        path picks the first mini-GOP's length.  b-adapt 1 and 2 share
+        the trellis here: the per-pair costs are single batched lowres
+        device programs, so the full path search is already cheap (the
+        fast/trellis split exists in x265 because each estimate costs a
+        threaded HEX search).  Returns the queue prefix length to emit
+        (#Bs + 1 anchor)."""
+        la = self.lookahead
+        q = self._queue
+        m = len(q)
+        lows = [e[2][3] if (e[2] is not None and len(e[2]) > 3
+                            and e[2][3] is not None
+                            and e[2][3].intra_cost is not None) else None
+                for e in q]
+        if la is None or self._anchor_low is None                 or self._anchor_low.intra_cost is None                 or any(lo is None for lo in lows):
+            return m
+        # id()-keyed cache entries from dead frames must not alias new
+        # objects; all frames of THIS decision are alive, so a fresh
+        # cache per decision is both safe and sufficient (every pair is
+        # shared across many candidate paths within one trellis)
+        la._pair_cache.clear()
+        anchors = [self._anchor_low] + lows
+        inf = float("inf")
+        best = [inf] * (m + 1)
+        best[m] = 0.0
+        choice = [m - 1] * (m + 1)
+        for i in range(m - 1, -1, -1):
+            a = anchors[i]
+            for k in range(i, min(i + self.bframes, m - 1) + 1):
+                c = la.p_cost(lows[k], a) + best[k + 1]
+                # B reference pairs mirror the actual dispatch shape:
+                # with b-pyramid and >= 2 Bs the middle B refs
+                # (a, anchor) and the outer Bs the half-distance pairs
+                # (slicetypePathCost's bBPyramid branch,
+                # slicetype.cpp:1617)
+                nb = k - i
+                if self.b_pyramid and nb >= 2:
+                    mid = i + nb // 2
+                    pairs = [(j, a, lows[mid]) if j < mid
+                             else (j, lows[mid], lows[k])
+                             for j in range(i, k) if j != mid]
+                    pairs.append((mid, a, lows[k]))
+                else:
+                    pairs = [(j, a, lows[k]) for j in range(i, k)]
+                for j, r0, r1 in pairs:
+                    if c >= best[i]:
+                        break
+                    c += la.bidir_cost(lows[j], r0, r1)
+                if c < best[i]:
+                    best[i] = c
+                    choice[i] = k
+        return choice[0] + 1
 
     def _qp_override(self, didx):
         """--qpfile / --zones QP override for display index ``didx``."""
@@ -1139,6 +1268,35 @@ class Encoder:
             sei = write_sei_rbsp([(SEI_DECODED_PICTURE_HASH, payload)])
             au += wrap_nal(NAL_SUFFIX_SEI, sei, long_start_code=False)
 
+        if self.hrd:
+            # prefix SEI NAL: buffering-period on IRAP AUs + pic-timing
+            # on every AU (frameencoder.cpp:436-496)
+            from ..common.sei import (SEI_BUFFERING_PERIOD, SEI_PIC_TIMING,
+                                      buffering_period_payload,
+                                      pic_timing_payload)
+            sps = self.sps
+            order = self.frames_encoded
+            msgs = []
+            if kind == "I":
+                # hrdFullness (ratecontrol.cpp:1839): 90kHz delay from
+                # the CPB fill the rate control is tracking
+                fill = int(self.rc.buffer_fill)
+                dly = (90000 * fill + self._hrd_bitrate_unscale)                     // self._hrd_bitrate_unscale
+                off = (90000 * self._hrd_cpb_unscale
+                       + self._hrd_bitrate_unscale)                     // self._hrd_bitrate_unscale - dly
+                msgs.append((SEI_BUFFERING_PERIOD,
+                             buffering_period_payload(sps, dly, off)))
+                self._last_bp_order = order
+                self._cvs_finish_base = order
+            rem = min(max(1, order - self._last_bp_order),
+                      1 << sps.hrd_cpb_removal_len)
+            out_delay = max(0, sps.num_reorder_pics + poc
+                            - (order - self._cvs_finish_base))
+            msgs.append((SEI_PIC_TIMING,
+                         pic_timing_payload(sps, rem, out_delay)))
+            au = wrap_nal(NAL_PREFIX_SEI, write_sei_rbsp(msgs),
+                          long_start_code=False) + au
+
         if p.repeat_headers and kind == "I" and self.frames_encoded > 0:
             # emit VPS/SPS/PPS before every non-first IDR (join-in-progress
             # decoding, x265 --repeat-headers); gated on a stream-global
@@ -1198,7 +1356,9 @@ class Encoder:
                 strong_intra_smoothing=bool(
                     self.sps.strong_intra_smoothing),
                 rdoq=self.params.rdoq_level > 0,
-                noise_reduction=self._nr_enabled)
+                noise_reduction=self._nr_enabled,
+                psy_rd=self.params.psy_rd,
+                psy_rdoq=self.params.psy_rdoq)
         return self._ctu_scan
 
     def _nr_update(self, o):

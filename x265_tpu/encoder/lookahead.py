@@ -117,6 +117,40 @@ def _build_lowres_program(lw, lh, r):
     return jax.jit(run), (gh, gw)
 
 
+def _build_bidir_program(lw, lh, r):
+    """Device program: (cur, ref0, ref1, mv0, mv1) -> per-8x8-block SAD
+    of cur vs the rounded average of the two integer-MV motion
+    compensations (the lowres bidir predictor of x265's
+    estimateFrameCost, slicetype.cpp:377)."""
+    import jax
+    import jax.numpy as jnp
+
+    n = 8
+    gh, gw = lh // n, lw // n
+    by = (np.repeat(np.arange(gh), gw) * n).astype(np.int32)
+    bx = (np.tile(np.arange(gw), gh) * n).astype(np.int32)
+
+    def run(cur, p0, p1, mv0, mv1):
+        cur32 = cur.astype(jnp.int32)
+        ob = cur32.reshape(gh, n, gw, n).transpose(0, 2, 1, 3).reshape(
+            -1, n, n)
+
+        def mc(ref, mv):
+            pe = jnp.pad(ref.astype(jnp.int32), r, mode="edge")
+            mvf = mv.reshape(-1, 2)          # (x, y) integer lowres px
+            ys = jnp.asarray(by) + jnp.clip(mvf[:, 1], -r, r) + r
+            xs = jnp.asarray(bx) + jnp.clip(mvf[:, 0], -r, r) + r
+            return jax.vmap(
+                lambda y0, x0: jax.lax.dynamic_slice(
+                    pe, (y0, x0), (n, n)))(ys, xs)
+
+        pred = (mc(p0, mv0) + mc(p1, mv1) + 1) >> 1
+        sad = jnp.abs(ob - pred).sum(axis=(1, 2))
+        return sad.reshape(gh, gw).astype(jnp.int32)
+
+    return jax.jit(run)
+
+
 class Lookahead:
     """Sliding-window lookahead queue (x265 Lookahead role).
 
@@ -134,6 +168,8 @@ class Lookahead:
         self._prog = None
         self._grid = None
         self._prev_low = None
+        self._pair_cache = {}           # (id, id) -> ([gh,gw] sad, mv)
+        self._bidir_prog = None
 
     def _analyze(self, fr: LowresFrame) -> None:
         import jax.numpy as jnp
@@ -212,7 +248,57 @@ class Lookahead:
                     if fr.aq_offsets is not None else 0.0)
             off = base - self.strength * log2_ratio
         self.queue.pop(0)
-        return fr.planes, off, fr.satd_cost, scenecut
+        return fr.planes, off, fr.satd_cost, scenecut, fr
+
+    # -- b-adapt cost estimation (x265 slicetype.cpp CostEstimateGroup
+    # re-cast as on-demand batched lowres programs) ------------------------
+
+    def pair_cost(self, b_fr: LowresFrame, r_fr: LowresFrame) -> np.ndarray:
+        """Per-8x8-lowres-block SAD of ``b_fr`` full-search-predicted
+        from ``r_fr`` ([gh, gw] int32) plus the winning integer MVs.
+        Same device program as the window analysis (estimateFrameCost's
+        unidirectional list cost, slicetype.cpp:230)."""
+        import jax.numpy as jnp
+        k = (id(b_fr), id(r_fr))
+        hit = self._pair_cache.get(k)
+        if hit is not None:
+            return hit
+        _, pc, mv = self._prog(jnp.asarray(b_fr.low), jnp.asarray(r_fr.low))
+        out = (np.asarray(pc), np.asarray(mv))
+        self._pair_cache[k] = out
+        if len(self._pair_cache) > 256:
+            self._pair_cache.pop(next(iter(self._pair_cache)))
+        return out
+
+    def bidir_cost(self, b_fr: LowresFrame, p0: LowresFrame,
+                   p1: LowresFrame) -> float:
+        """Frame cost of coding ``b_fr`` as a B with references (p0, p1):
+        per block min(intra, list0, list1, bidir-average) summed — the
+        bidir term is the SAD against the average of the two
+        motion-compensated predictions at the searched integer MVs
+        (x265 slicetype.cpp:377 estimateFrameCost's bidir path; without
+        it the trellis degenerates to all-P, since unidirectional SAD
+        never beats the adjacent-frame chain)."""
+        pc0, mv0 = self.pair_cost(b_fr, p0)
+        pc1, mv1 = self.pair_cost(b_fr, p1)
+        if self._bidir_prog is None:
+            self._bidir_prog = _build_bidir_program(*b_fr.low.shape[::-1],
+                                                    r=10)
+        import jax.numpy as jnp
+        bi = np.asarray(self._bidir_prog(
+            jnp.asarray(b_fr.low), jnp.asarray(p0.low),
+            jnp.asarray(p1.low), jnp.asarray(mv0), jnp.asarray(mv1)))
+        per_blk = np.minimum.reduce([
+            b_fr.intra_cost.astype(np.int64), pc0.astype(np.int64),
+            pc1.astype(np.int64), bi.astype(np.int64)])
+        return float(per_blk.sum())
+
+    def p_cost(self, b_fr: LowresFrame, ref_fr: LowresFrame) -> float:
+        """Frame cost of coding ``b_fr`` as a P predicted from
+        ``ref_fr``: per block min(intra, list0) summed."""
+        pc, _ = self.pair_cost(b_fr, ref_fr)
+        return float(np.minimum(b_fr.intra_cost.astype(np.int64),
+                                pc.astype(np.int64)).sum())
 
     def _propagate(self) -> np.ndarray:
         """estimateCUPropagate (slicetype.cpp:1741) over the window: each

@@ -28,10 +28,17 @@ import numpy as np
 from ..ops.interp import LUMA_FILTERS
 
 
-def pallas_refine_supported(bit_depth: int) -> bool:
-    if os.environ.get("X265_NO_PALLAS"):
+def pallas_refine_supported(bit_depth: int, n_blocks: int = 1 << 30) -> bool:
+    if os.environ.get("X265_NO_PALLAS") or os.environ.get("X265_NO_PALLAS_ME"):
         return False
     if bit_depth != 8:
+        return False
+    if n_blocks < 512:
+        # sub-tile pictures (fewer 16x16 blocks than one T=512 grid
+        # step) hit a Mosaic vector-layout abort in the padded single-
+        # step grid (observed on v5e: "limits[i] <= dim(i) (64 vs 1)"
+        # in ApplyVectorLayoutPass); the jnp refine path is faster than
+        # one padded tile there anyway
         return False
     if os.environ.get("X265_PALLAS", "") == "interp":
         return True

@@ -82,6 +82,41 @@ def sa8d(a: jax.Array, b: jax.Array) -> jax.Array:
     return jnp.sum(per_blk, axis=(-2, -1))
 
 
+def _psy_energy8(x: jax.Array) -> jax.Array:
+    """[..., H, W] -> [..., H/8, W/8] AC (DC-removed) Hadamard energy of
+    every 8x8 tile: sa8d(tile, 0) - (sad(tile, 0) >> 2).
+
+    The 8x8 Hadamard DC coefficient equals the tile's pixel sum, so the
+    sa8d normalisation ((sum|had| + 2) >> 2) counts DC as sum >> 2;
+    subtracting sad >> 2 leaves pure AC energy — exactly x265's
+    psyCost_pp energy term (x265_1.9/source/common/pixel.cpp:255
+    sa8d_8x8 used by psyCost at sizes >= 8)."""
+    xf = x.astype(jnp.float32)
+    *lead, h, w = xf.shape
+    t = xf.reshape(*lead, h // 8, 8, w // 8, 8)
+    t = jnp.moveaxis(t, -3, -2)                        # [..., h/8, w/8, 8, 8]
+    v = t.reshape(*t.shape[:-2], 64)
+    had = jnp.einsum("ij,...j->...i", jnp.asarray(_KRON64), v,
+                     precision=jax.lax.Precision.HIGHEST,
+                     preferred_element_type=jnp.float32)
+    sa8d_blk = (jnp.sum(jnp.abs(had), axis=-1).astype(jnp.int32) + 2) >> 2
+    sad_blk = jnp.sum(v, axis=-1).astype(jnp.int32) >> 2   # pixels >= 0
+    return sa8d_blk - sad_blk
+
+
+def psy_cost(a: jax.Array, b: jax.Array) -> jax.Array:
+    """Psycho-visual cost between source and reconstruction blocks:
+    sum over 8x8 tiles of |AC_energy(a) - AC_energy(b)|.
+
+    Matches x265's psyCost primitive (pixel.cpp psyCost_pp template,
+    wired into RD by rdcost.h:74 calcPsyRdCost): a reconstruction that
+    deadens texture (loses AC energy) is penalised even when its SSD is
+    low.  a, b: [..., H, W] pixel blocks, H and W multiples of 8;
+    returns [...] float32."""
+    d = jnp.abs(_psy_energy8(a) - _psy_energy8(b))
+    return jnp.sum(d, axis=(-2, -1)).astype(jnp.float32)
+
+
 # numpy oracles ------------------------------------------------------------
 
 def satd_np(a: np.ndarray, b: np.ndarray) -> int:
@@ -106,4 +141,19 @@ def sa8d_np(a: np.ndarray, b: np.ndarray) -> int:
             blk = d[y:y + 8, x:x + 8]
             had = h8 @ blk @ h8.T
             total += (int(np.abs(had).sum()) + 2) >> 2
+    return total
+
+
+def psy_cost_np(a: np.ndarray, b: np.ndarray) -> int:
+    """Numpy oracle of ``psy_cost`` for a single [H, W] block pair."""
+    z = np.zeros((8, 8), np.int64)
+    total = 0
+    h, w = a.shape
+    for y in range(0, h, 8):
+        for x in range(0, w, 8):
+            ea = (sa8d_np(a[y:y + 8, x:x + 8], z)
+                  - (int(a[y:y + 8, x:x + 8].sum()) >> 2))
+            eb = (sa8d_np(b[y:y + 8, x:x + 8], z)
+                  - (int(b[y:y + 8, x:x + 8].sum()) >> 2))
+            total += abs(ea - eb)
     return total

@@ -194,7 +194,7 @@ def _scan_tables(n: int):
 _RDOQ_RATE_SCALE = 0.7
 
 
-def _rdoq_core(jnp, coef, qp, bit_depth):
+def _rdoq_core(jnp, coef, qp, bit_depth, psy_scale: float = 0.0):
     n = coef.shape[-1]
     log2n = n.bit_length() - 1
     qp = jnp.asarray(qp, jnp.int32)
@@ -231,6 +231,17 @@ def _rdoq_core(jnp, coef, qp, bit_depth):
                      3.0 + 2.0 * jnp.floor(
                          jnp.log2(jnp.maximum(lf, 1.0))), 0.0)
     j = dist + lam2 * rate
+    if psy_scale > 0.0:
+        # psy-rdoq (x265 quant.cpp:551 rdoQuant's usePsy path): the
+        # reconstructed coefficient's energy is a BONUS — retaining AC
+        # magnitude is worth lambda_sad * psyRdoqScale per unit of
+        # pixel-domain reconstructed amplitude, so larger candidate
+        # levels win ties against zeroing on textured blocks.  DC is
+        # excluded (x265 keeps psy off the DC position).
+        lam_sad = jnp.sqrt(lam2 / (0.85 * _RDOQ_RATE_SCALE))
+        ac = jnp.ones((n, n), bool).at[0, 0].set(False)
+        j = j - (psy_scale * lam_sad) * (
+            dqf * float(2.0 ** (-ts))) * ac[None, None]
     best = jnp.argmin(j, axis=0)         # ties -> lowest level wins
     level = jnp.take_along_axis(cands, best[None], axis=0)[0]
     jbest = jnp.min(j, axis=0)
